@@ -1,0 +1,22 @@
+from .polyline import Polyline, square_loop, circle_loop, func_to_polyline
+from .queries import (
+    cross2,
+    distance,
+    closest_point,
+    is_silhouette,
+    silhouette_distance,
+    first_hit,
+)
+
+__all__ = [
+    "Polyline",
+    "square_loop",
+    "circle_loop",
+    "func_to_polyline",
+    "cross2",
+    "distance",
+    "closest_point",
+    "is_silhouette",
+    "silhouette_distance",
+    "first_hit",
+]

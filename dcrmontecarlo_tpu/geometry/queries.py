@@ -1,0 +1,182 @@
+"""Batched polyline queries (TPU-native rebuild of the reference's
+``torch.jit.script`` geometry kernels, ``geometry/PolylinesSimple.py:13-197``).
+
+All queries are *walker-batched*: they take ``(W,)`` coordinate arrays and
+reduce over the ``(S,)`` segment axis as a ``(W, S)`` broadcast that XLA
+fuses into the reduction (no host loop, no per-walker dispatch). A fused
+Pallas kernel with the segment soup resident in VMEM backs the same
+signatures for large ``S`` (see ``dcrmontecarlo_tpu/ops``).
+
+Deliberate fixes vs the reference (SURVEY.md §3.3, §5):
+
+* ``first_hit`` uses the true *ray* parameter ``t = cross(u, w)/cross(d, u)``;
+  the reference's ``ray_intersection_jit`` returns the *segment* parameter
+  ``s`` and treats it as a distance (``PolylinesSimple.py:123-132,172,196``),
+  which is only correct for its unit test's symmetric geometry.
+* the returned hit normal is oriented *against the incoming ray* (i.e. into
+  the domain the walker came from), removing the winding-order dependence of
+  the reference's CCW normal (``PolylinesSimple.py:190-194``).
+"""
+
+import jax.numpy as jnp
+
+from .polyline import Polyline
+
+__all__ = [
+    "cross2",
+    "distance",
+    "closest_point",
+    "is_silhouette",
+    "silhouette_distance",
+    "first_hit",
+]
+
+_BIG = jnp.float32(3.0e38)
+
+
+def cross2(ax, ay, bx, by):
+    """2D cross product ``a x b`` (reference ``cross_product_2d_jit``,
+    ``PolylinesSimple.py:13-23``)."""
+    return ax * by - ay * bx
+
+
+def _seg_fields(poly: Polyline):
+    ax = poly.seg_a[:, 0][None, :]  # (1, S)
+    ay = poly.seg_a[:, 1][None, :]
+    bx = poly.seg_b[:, 0][None, :]
+    by = poly.seg_b[:, 1][None, :]
+    valid = poly.seg_valid[None, :]
+    return ax, ay, bx, by, valid
+
+
+def closest_point(poly: Polyline, px, py):
+    """Distance and closest point on the polyline for each query point.
+
+    Rebuild of ``distance_to_polyline_jit`` (``PolylinesSimple.py:25-49``)
+    that additionally returns the foot point, used to project terminal
+    walker positions onto the boundary before evaluating the Dirichlet BC
+    (an accuracy improvement over the reference, which evaluates the BC at
+    the walker position — ``WoStSolver.py:295``).
+
+    Args:
+        px, py: ``(W,)`` query coordinates.
+    Returns:
+        ``(dist, cx, cy)`` each ``(W,)``.
+    """
+    ax, ay, bx, by, valid = _seg_fields(poly)
+    pxe, pye = px[:, None], py[:, None]
+    ux, uy = bx - ax, by - ay
+    vx, vy = pxe - ax, pye - ay
+    uu = ux * ux + uy * uy
+    t = jnp.clip((vx * ux + vy * uy) / jnp.maximum(uu, 1e-30), 0.0, 1.0)
+    cx = ax + t * ux
+    cy = ay + t * uy
+    d2 = (cx - pxe) ** 2 + (cy - pye) ** 2
+    d2 = jnp.where(valid, d2, _BIG)
+    idx = jnp.argmin(d2, axis=1)
+    w = jnp.arange(px.shape[0])
+    dist = jnp.sqrt(d2[w, idx])
+    return dist, cx[w, idx], cy[w, idx]
+
+
+def distance(poly: Polyline, px, py):
+    """Minimum distance to the polyline (``PolylinesSimple.py:25-49``)."""
+    ax, ay, bx, by, valid = _seg_fields(poly)
+    pxe, pye = px[:, None], py[:, None]
+    ux, uy = bx - ax, by - ay
+    vx, vy = pxe - ax, pye - ay
+    uu = ux * ux + uy * uy
+    t = jnp.clip((vx * ux + vy * uy) / jnp.maximum(uu, 1e-30), 0.0, 1.0)
+    dx = ax + t * ux - pxe
+    dy = ay + t * uy - pye
+    d2 = jnp.where(valid, dx * dx + dy * dy, _BIG)
+    return jnp.sqrt(jnp.min(d2, axis=1))
+
+
+def is_silhouette(poly: Polyline, px, py):
+    """Per-interior-vertex silhouette mask for each query point.
+
+    A vertex ``b`` with neighbours ``a, c`` is a silhouette point seen from
+    ``p`` iff ``cross(ab, ap) * cross(bc, bp) < 0``
+    (``is_silhouette_jit``, ``PolylinesSimple.py:51-81``).
+
+    Returns:
+        ``(W, V)`` boolean mask.
+    """
+    a = poly.vert_abc[:, 0]  # (V, 2)
+    b = poly.vert_abc[:, 1]
+    c = poly.vert_abc[:, 2]
+    abx = (b[:, 0] - a[:, 0])[None, :]
+    aby = (b[:, 1] - a[:, 1])[None, :]
+    bcx = (c[:, 0] - b[:, 0])[None, :]
+    bcy = (c[:, 1] - b[:, 1])[None, :]
+    apx = px[:, None] - a[:, 0][None, :]
+    apy = py[:, None] - a[:, 1][None, :]
+    bpx = px[:, None] - b[:, 0][None, :]
+    bpy = py[:, None] - b[:, 1][None, :]
+    s = cross2(abx, aby, apx, apy) * cross2(bcx, bcy, bpx, bpy)
+    return (s < 0) & poly.vert_valid[None, :]
+
+
+def silhouette_distance(poly: Polyline, px, py):
+    """Distance to the closest silhouette vertex, ``+inf`` if none.
+
+    Rebuild of ``silhouette_distance_jit`` (``PolylinesSimple.py:83-102``).
+    Open two-point chains have no interior vertices and always return
+    ``+inf`` (e.g. the DCR top surface, ``testGeophysicalScenario.py:99-102``).
+    """
+    mask = is_silhouette(poly, px, py)
+    b = poly.vert_abc[:, 1]
+    dx = b[:, 0][None, :] - px[:, None]
+    dy = b[:, 1][None, :] - py[:, None]
+    d2 = jnp.where(mask, dx * dx + dy * dy, jnp.inf)
+    return jnp.sqrt(jnp.min(d2, axis=1))
+
+
+def first_hit(poly: Polyline, px, py, dx, dy, r, t_min=1e-6):
+    """First ray/polyline intersection within distance ``r``.
+
+    Rebuild of ``intersect_polylines_jit`` (``PolylinesSimple.py:134-197``)
+    with the ray-parameter bug fixed: for ray ``p + t d`` against segment
+    ``a + s u`` the intersection satisfies ``t = cross(u, w)/cross(d, u)``
+    and ``s = cross(d, w)/cross(d, u)`` with ``w = p - a``; valid when
+    ``s in [0, 1]`` and ``t > t_min`` (instead of the reference's 1e-6
+    origin offset, ``PolylinesSimple.py:159``).
+
+    Args:
+        px, py: ``(W,)`` ray origins. dx, dy: ``(W,)`` unit directions.
+        r: ``(W,)`` max distances. t_min: scalar minimum hit parameter.
+    Returns:
+        ``(hx, hy, nx, ny, t_hit, hit)``: hit (or sphere) point, inward unit
+        normal (zero when no hit), hit distance ``min(t, r)``, bool mask.
+    """
+    ax, ay, bx, by, valid = _seg_fields(poly)
+    ux, uy = bx - ax, by - ay
+    wx = px[:, None] - ax
+    wy = py[:, None] - ay
+    dxe, dye = dx[:, None], dy[:, None]
+    den = cross2(dxe, dye, ux, uy)
+    den_safe = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    t = cross2(ux, uy, wx, wy) / den_safe
+    s = cross2(dxe, dye, wx, wy) / den_safe
+    ok = valid & (s >= 0.0) & (s <= 1.0) & (t > t_min) & (jnp.abs(den) > 1e-30)
+    t = jnp.where(ok, t, _BIG)
+    idx = jnp.argmin(t, axis=1)
+    w = jnp.arange(px.shape[0])
+    t_best = t[w, idx]
+    hit = t_best <= r
+    t_hit = jnp.where(hit, t_best, r)
+    hx = px + t_hit * dx
+    hy = py + t_hit * dy
+    # CCW segment normal, then orient against the incoming ray (inward).
+    sux = ux[0, :][idx]
+    suy = uy[0, :][idx]
+    ulen = jnp.sqrt(jnp.maximum(sux * sux + suy * suy, 1e-30))
+    nx = -suy / ulen
+    ny = sux / ulen
+    flip = (nx * dx + ny * dy) > 0.0
+    nx = jnp.where(flip, -nx, nx)
+    ny = jnp.where(flip, -ny, ny)
+    nx = jnp.where(hit, nx, 0.0)
+    ny = jnp.where(hit, ny, 0.0)
+    return hx, hy, nx, ny, t_hit, hit

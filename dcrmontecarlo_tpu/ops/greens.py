@@ -1,0 +1,76 @@
+"""Green's functions for the 2D ball, jnp-traceable (TPU-resident).
+
+TPU-native rebuild of the Green's-function math in reference
+``solvers/utils.py:5-61``. Unlike the reference these are pure jnp
+functions of arrays (no scipy host calls, no python scalars), so they fuse
+into the compiled walker step.
+
+Definitions (ball of radius R, center x):
+
+* free-space/ball Green's function ``G(r) = ln(R/r) / (2 pi)``
+  (the reference's ``greensFunction2D`` at ``solvers/utils.py:46-54`` drops
+  the ``ln R`` offset; we use the ball Green's function with zero boundary
+  value, which is the one whose disk integral is the norm below),
+* its disk integral ``|G| = \\int_B G dA = R^2 / 4``
+  (reference ``greensFunctionNorm2D``, ``solvers/utils.py:56-61``),
+* screened (Yukawa) ball Green's function
+  ``G_s(r) = [K0(r z/R) - (K0(z)/I0(z)) I0(r z/R)] / (2 pi)`` with
+  ``z = R sqrt(sigma_bar)`` (reference ``screenedGreens2D``,
+  ``solvers/utils.py:5-26``),
+* its disk integral ``|G_s| = (1 - 1/I0(z)) / sigma_bar``
+  (reference ``screenedGreensNorm2D``, ``solvers/utils.py:29-44``).
+
+``sigma_bar * |G_s| = 1 - 1/I0(z)`` is the delta-tracking interior-event
+probability used in the walk (reference ``solvers/WoStSolver.py:273-275``).
+"""
+
+import jax.numpy as jnp
+
+from .bessel import i0, i0e, k0
+
+__all__ = [
+    "greens_2d",
+    "greens_norm_2d",
+    "screened_greens_2d",
+    "screened_greens_norm_2d",
+    "screened_interior_prob",
+]
+
+_TWO_PI = 2.0 * jnp.pi
+
+
+def greens_2d(r, R):
+    """Ball Green's function ``ln(R/r)/(2 pi)`` (zero on the sphere)."""
+    rc = jnp.maximum(r, 1e-12)
+    return jnp.log(R / rc) / _TWO_PI
+
+
+def greens_norm_2d(R):
+    """Disk integral of ``greens_2d``: ``R^2/4``."""
+    return R * R / 4.0
+
+
+def screened_greens_2d(r, R, sigma_bar):
+    """Screened (Yukawa) ball Green's function at distance ``r``."""
+    s = jnp.sqrt(sigma_bar)
+    z = R * s
+    rz = jnp.maximum(r, 1e-12) * s
+    return (k0(rz) - (k0(z) / i0(z)) * i0(rz)) / _TWO_PI
+
+
+def screened_greens_norm_2d(R, sigma_bar):
+    """Disk integral of the screened Green's function.
+
+    ``(1 - 1/I0(R sqrt(sigma_bar))) / sigma_bar``, computed via the
+    exponentially scaled ``i0e`` so it stays finite for large arguments
+    (1/I0 underflows cleanly to 0).
+    """
+    z = R * jnp.sqrt(sigma_bar)
+    inv_i0 = jnp.exp(-z) / i0e(z)
+    return (1.0 - inv_i0) / sigma_bar
+
+
+def screened_interior_prob(R, sigma_bar):
+    """Delta-tracking interior-event probability ``1 - 1/I0(R sqrt(sb))``."""
+    z = R * jnp.sqrt(sigma_bar)
+    return 1.0 - jnp.exp(-z) / i0e(z)

@@ -1,0 +1,163 @@
+"""Radial source/interior-point samplers for the 2D ball.
+
+TPU-native rebuild of the reference's rejection-sampled radius caches
+(``solvers/utils.py:64-217``). The reference fills a host-side 10k-entry
+cache by rejection sampling a *wrong* density (``-log r`` instead of the
+Green's-weighted area density ``-r log(r/R)``; see SURVEY.md §5 quirk 2-3)
+and rescales unit samples by the ball radius even for the non-scale-
+invariant screened kernel. Both are replaced with exact device-side
+sampling:
+
+* **Green's radial density** ``p(r) = r ln(R/r) / (R^2/4)`` on ``(0, R)``
+  has CDF ``F(s) = s^2 (1 - 2 ln s)`` for ``s = r/R``, which is exactly the
+  law of ``s = sqrt(U1 * U2)`` for independent uniforms (the density of
+  ``V = U1*U2`` is ``-ln v``, and ``s = sqrt(V)``). One fused expression,
+  no rejection, no cache, no bias.
+
+* **Screened Green's radial density** ``p(r) ∝ r G_s(r; R, sigma_bar)`` is
+  not scale invariant (its shape depends on ``z = R sqrt(sigma_bar)``), so
+  a per-problem inverse-CDF table ``s(z, u)`` is precomputed host-side in
+  float64 (scipy Bessel) and bilinearly interpolated on device in
+  ``(log z, u)``. For ``z`` below the table range the screened density
+  converges to the unscreened one and the closed form above is used.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "sample_greens_radius",
+    "ScreenedRadialTable",
+    "build_screened_radial_table",
+    "sample_screened_radius",
+    "greens_radial_pdf",
+    "screened_radial_pdf",
+]
+
+
+def sample_greens_radius(R, u1, u2):
+    """Exact sample of the Green's-weighted radius in a ball of radius R.
+
+    ``r = R * sqrt(u1 * u2)`` has density ``r ln(R/r)/(R^2/4)`` — the
+    normalized radial marginal of ``G(x, y)`` over the 2D ball. Replaces
+    ``GreensDistribution2D`` (``solvers/utils.py:120-151``).
+    """
+    return R * jnp.sqrt(u1 * u2)
+
+
+def greens_radial_pdf(r, R):
+    """Normalized Green's radial density ``r ln(R/r) / (R^2/4)``."""
+    rc = jnp.clip(r, 1e-12, R)
+    return jnp.where((r > 0) & (r < R), rc * jnp.log(R / rc) / (R * R / 4.0), 0.0)
+
+
+class ScreenedRadialTable(NamedTuple):
+    """Inverse-CDF table for the screened radial density (device arrays)."""
+
+    log_z0: jnp.ndarray   # () log of smallest tabulated z
+    dlog_z: jnp.ndarray   # () log-spacing of the z grid
+    n_z: int
+    n_u: int
+    table: jnp.ndarray    # (n_z, n_u) normalized radius s in (0, 1)
+
+
+def build_screened_radial_table(
+    z_min: float = 1e-2,
+    z_max: float = 1e3,
+    n_z: int = 64,
+    n_u: int = 128,
+    n_s: int = 8192,
+) -> ScreenedRadialTable:
+    """Host-side (float64, scipy) construction of the inverse CDF of
+    ``p(s) ∝ s [K0(z s) - (K0(z)/I0(z)) I0(z s)]`` on ``s ∈ (0, 1)``.
+
+    Uses scaled Bessel functions so large ``z`` (deep screening) does not
+    overflow: with ``i0e/k0e``, ``K0(zs) - c I0(zs)`` is evaluated as
+    ``e^{-zs} [k0e(zs) - (k0e(z)/i0e(z)) e^{-2z(1-s)} i0e(zs)]`` and the
+    common ``e^{-zs}`` scale cancels in the CDF normalization only if kept —
+    so everything is computed in log-safe float64 directly.
+    """
+    from scipy.special import i0e, k0e
+
+    zs = np.exp(np.linspace(np.log(z_min), np.log(z_max), n_z))
+    # integration grid in s, denser near 0 where K0 diverges
+    s = np.concatenate([
+        np.geomspace(1e-7, 1e-2, n_s // 4, endpoint=False),
+        np.linspace(1e-2, 1.0, n_s - n_s // 4),
+    ])
+    u_grid = np.linspace(0.0, 1.0, n_u)
+    table = np.empty((n_z, n_u), np.float64)
+    for i, z in enumerate(zs):
+        x = z * s
+        # K0(x) = k0e(x) e^{-x};  I0(x) = i0e(x) e^{x}
+        # ratio c = K0(z)/I0(z) = (k0e(z)/i0e(z)) e^{-2z}
+        log_c = np.log(k0e(z) / i0e(z)) - 2.0 * z
+        # G ∝ k0e(x) e^{-x} - e^{log_c} i0e(x) e^{x}
+        #   = e^{-x} [k0e(x) - i0e(x) e^{log_c + 2x}]
+        g = np.exp(-x) * (k0e(x) - i0e(x) * np.exp(np.minimum(log_c + 2.0 * x, 700.0)))
+        dens = np.maximum(s * g, 0.0)
+        cdf = np.concatenate([[0.0], np.cumsum(0.5 * (dens[1:] + dens[:-1]) * np.diff(s))])
+        cdf /= cdf[-1]
+        # invert: s as a function of u (cdf is monotone)
+        table[i] = np.interp(u_grid, cdf, s)
+    return ScreenedRadialTable(
+        log_z0=jnp.asarray(np.log(z_min), jnp.float32),
+        dlog_z=jnp.asarray(
+            (np.log(z_max) - np.log(z_min)) / (n_z - 1), jnp.float32
+        ),
+        n_z=n_z,
+        n_u=n_u,
+        table=jnp.asarray(table, jnp.float32),
+    )
+
+
+def sample_screened_radius(tab: ScreenedRadialTable, R, sigma_bar, u1, u2):
+    """Sample the screened Green's-weighted radius in a ball of radius R.
+
+    Replaces ``ScreenedGreensDistribution2D`` (``solvers/utils.py:154-195``)
+    with exact inverse-CDF interpolation. ``u1`` picks the quantile; for
+    ``z`` below the table range the closed-form unscreened sample
+    ``R sqrt(u1 u2)`` is used (screened → unscreened as ``z → 0``).
+    """
+    z = R * jnp.sqrt(sigma_bar)
+    lz = jnp.log(jnp.maximum(z, 1e-30))
+    f = (lz - tab.log_z0) / tab.dlog_z
+    f = jnp.clip(f, 0.0, tab.n_z - 1.000001)
+    iz = jnp.floor(f).astype(jnp.int32)
+    fz = f - iz
+    g = u1 * (tab.n_u - 1)
+    iu = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, tab.n_u - 2)
+    fu = g - iu
+    flat = tab.table.reshape(-1)
+    base = iz * tab.n_u + iu
+    s00 = jnp.take(flat, base)
+    s01 = jnp.take(flat, base + 1)
+    s10 = jnp.take(flat, base + tab.n_u)
+    s11 = jnp.take(flat, base + tab.n_u + 1)
+    s = (1 - fz) * ((1 - fu) * s00 + fu * s01) + fz * ((1 - fu) * s10 + fu * s11)
+    below = z < jnp.exp(tab.log_z0)
+    s_unscreened = jnp.sqrt(u1 * u2)
+    return R * jnp.where(below, s_unscreened, s)
+
+
+def screened_radial_pdf(r, R, sigma_bar):
+    """Normalized screened radial density (host/numpy oracle for tests)."""
+    from scipy.special import i0, k0
+
+    r = np.asarray(r, np.float64)
+    sq = np.sqrt(sigma_bar)
+    c = k0(R * sq) / i0(R * sq)
+    g = k0(r * sq) - c * i0(r * sq)
+    dens = np.where((r > 0) & (r < R), r * g, 0.0)
+    # normalize numerically
+    s = np.concatenate([
+        np.geomspace(1e-7 * R, 1e-2 * R, 2048, endpoint=False),
+        np.linspace(1e-2 * R, R, 8192),
+    ])
+    gs = k0(s * sq) - c * i0(s * sq)
+    norm = np.trapezoid(s * gs, s)
+    return dens / norm

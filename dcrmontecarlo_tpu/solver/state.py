@@ -1,0 +1,56 @@
+"""SoA walker state for the batched Walk-on-Stars loop.
+
+TPU-native replacement for the reference's per-walk Python locals
+(``solvers/WoStSolver.py:188-195``): every scalar the interpreted loop kept
+per walk becomes a ``(W,)`` lane of a structure-of-arrays pytree carried
+through ``lax.while_loop``. Walker *slots* are recycled: each slot owns a
+quota of walks for one evaluation point and immediately starts its next
+walk when one terminates, keeping VPU occupancy high despite the heavy
+tail of the walk-length distribution (SURVEY.md §7 hard part 3).
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+__all__ = ["WalkerState", "init_state"]
+
+
+class WalkerState(NamedTuple):
+    """All arrays have shape ``(W,)`` unless noted."""
+
+    px: jnp.ndarray          # f32 current walker position x
+    py: jnp.ndarray          # f32 current walker position y
+    on_bdry: jnp.ndarray     # bool standing on the Neumann boundary
+    nx: jnp.ndarray          # f32 inward normal at the last Neumann hit
+    ny: jnp.ndarray          # f32
+    atten: jnp.ndarray       # f32 delta-tracking attenuation (1.0 otherwise)
+    walk_acc: jnp.ndarray    # f32 source contributions of the current walk
+    quota: jnp.ndarray       # i32 walks left for this slot (incl. current)
+    steps_cur: jnp.ndarray   # i32 steps taken in the current walk
+    acc_sum: jnp.ndarray     # f32 sum of finished-walk totals
+    acc_sumsq: jnp.ndarray   # f32 sum of squared finished-walk totals
+    n_done: jnp.ndarray      # i32 finished walks
+    total_steps: jnp.ndarray  # () f32 active walker-steps taken (diagnostic)
+    step_idx: jnp.ndarray    # () i32 global loop iteration (RNG counter)
+
+
+def init_state(p0x, p0y, quotas) -> WalkerState:
+    w = p0x.shape[0]
+    f0 = jnp.zeros((w,), jnp.float32)
+    return WalkerState(
+        px=p0x.astype(jnp.float32),
+        py=p0y.astype(jnp.float32),
+        on_bdry=jnp.zeros((w,), bool),
+        nx=f0,
+        ny=f0,
+        atten=jnp.ones((w,), jnp.float32),
+        walk_acc=f0,
+        quota=quotas.astype(jnp.int32),
+        steps_cur=jnp.zeros((w,), jnp.int32),
+        acc_sum=f0,
+        acc_sumsq=f0,
+        n_done=jnp.zeros((w,), jnp.int32),
+        total_steps=jnp.zeros((), jnp.float32),
+        step_idx=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,102 @@
+"""Statistical tests for the radial samplers against analytic densities.
+
+The reference's samplers are validated only implicitly; here each sampler
+is tested directly: empirical CDF vs analytic CDF (Kolmogorov-Smirnov-style
+sup-norm bound with fixed seeds).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dcrmontecarlo_tpu.sampling import (
+    sample_greens_radius,
+    greens_radial_pdf,
+    build_screened_radial_table,
+    sample_screened_radius,
+    screened_radial_pdf,
+    uniform_radial,
+    RadialDistribution,
+    mis_sample,
+)
+
+
+def _ecdf_sup_error(samples, cdf_grid_r, cdf_grid_f):
+    samples = np.sort(np.asarray(samples))
+    emp = np.searchsorted(samples, cdf_grid_r, side="right") / len(samples)
+    return np.abs(emp - cdf_grid_f).max()
+
+
+def test_greens_radius_exact_distribution():
+    n = 200_000
+    key = jax.random.PRNGKey(0)
+    u = jax.random.uniform(key, (2, n))
+    R = 1.7
+    r = np.asarray(sample_greens_radius(R, u[0], u[1]))
+    assert (r > 0).all() and (r < R).all()
+    s_grid = np.linspace(1e-4, 1.0, 200)
+    cdf = s_grid**2 * (1.0 - 2.0 * np.log(s_grid))
+    err = _ecdf_sup_error(r, s_grid * R, cdf)
+    # KS 99.9% bound ~ 1.95/sqrt(n) ≈ 0.0044
+    assert err < 0.005, err
+
+
+def test_greens_radial_pdf_normalized():
+    R = 2.3
+    r = np.linspace(1e-6, R, 100_000)
+    p = np.asarray(greens_radial_pdf(jnp.asarray(r), R))
+    np.testing.assert_allclose(np.trapezoid(p, r), 1.0, rtol=1e-3)
+
+
+def test_screened_radius_matches_analytic_cdf():
+    tab = build_screened_radial_table()
+    key = jax.random.PRNGKey(1)
+    n = 200_000
+    u = jax.random.uniform(key, (2, n))
+    for R, sb in [(1.0, 4.0), (10.0, 1.0), (0.5, 0.1)]:
+        r = np.asarray(
+            sample_screened_radius(tab, jnp.float32(R), jnp.float32(sb), u[0], u[1])
+        )
+        assert (r >= 0).all() and (r <= R).all()
+        rr = np.concatenate([
+            np.geomspace(1e-6 * R, 1e-2 * R, 512, endpoint=False),
+            np.linspace(1e-2 * R, R, 4096),
+        ])
+        pdf = screened_radial_pdf(rr, R, sb)
+        cdf = np.concatenate([[0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(rr))])
+        cdf /= cdf[-1]
+        err = _ecdf_sup_error(r, rr, cdf)
+        # table interpolation adds a small bias on top of MC error
+        assert err < 0.02, (R, sb, err)
+
+
+def test_screened_radius_small_z_falls_back_to_unscreened():
+    tab = build_screened_radial_table()
+    key = jax.random.PRNGKey(2)
+    u = jax.random.uniform(key, (2, 100_000))
+    R = 1.0
+    r = np.asarray(sample_screened_radius(tab, R, jnp.float32(1e-8), u[0], u[1]))
+    s_grid = np.linspace(1e-4, 1.0, 200)
+    cdf = s_grid**2 * (1.0 - 2.0 * np.log(s_grid))
+    assert _ecdf_sup_error(r, s_grid * R, cdf) < 0.005
+
+
+def test_mis_balance_heuristic_unbiased():
+    # Estimate int_0^R f(r) dr with two distributions; MIS must be unbiased.
+    R = 1.0
+    greens = RadialDistribution(
+        sample=lambda R, u1, u2: sample_greens_radius(R, u1, u2),
+        pdf=lambda r, R: greens_radial_pdf(r, R),
+    )
+    dists = [uniform_radial(), greens]
+    key = jax.random.PRNGKey(3)
+    n = 400_000
+    us, u1, u2 = jax.random.uniform(key, (3, n))
+    r, idx, w = mis_sample(dists, [0.5, 0.5], R, us, u1, u2)
+    # combined estimator: E[w_i f(r)/ (c_i p_i(r))] summed over techniques
+    f = lambda r: r * r
+    wj = jnp.asarray([0.5, 0.5])
+    pdfs = jnp.stack([d.pdf(r, R) for d in dists], axis=-1)
+    p_sel = jnp.take_along_axis(pdfs, idx[:, None], axis=-1)[:, 0]
+    est = np.asarray(jnp.mean(w * f(r) / jnp.maximum(wj[idx] * p_sel, 1e-30)))
+    np.testing.assert_allclose(est, 1.0 / 3.0, rtol=0.02)

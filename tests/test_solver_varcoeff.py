@@ -1,0 +1,127 @@
+"""Variable-coefficient / delta-tracking tests (config #4).
+
+Asserting rebuilds of ``tests/testWoStCorrectness.py`` (polynomial
+manufactured solution, ``:81-142``) plus analytic screened-Poisson checks
+the reference does not have.
+"""
+
+import numpy as np
+import scipy.special as sp
+
+from dcrmontecarlo_tpu import Problem, WoStSolver, square_loop, circle_loop
+from dcrmontecarlo_tpu.solver import SolverOptions
+
+
+def test_screened_constant_sigma_disk():
+    # -lap u + sigma u = 0 on unit disk, u = 1 on the boundary:
+    # u(x) = I0(|x| sqrt(sigma)) / I0(sqrt(sigma)).
+    sigma = 4.0
+    prob = Problem(
+        dirichlet=circle_loop(1.0, n=256),
+        bc_dirichlet=lambda x, y: 1.0 + 0.0 * x,
+        sigma=lambda x, y: sigma + 0.0 * x,
+        # constant sigma' -> grid spread 0 -> reference fallback sigma_bar=10
+        # (WoStSolver.py:134-136) exercises delta tracking with a loose
+        # majorant; the estimator stays unbiased.
+    )
+    assert prob.use_delta_tracking
+    solver = WoStSolver(prob, SolverOptions(target_slots=16384))
+    pts = np.array([[0.0, 0.0], [0.5, 0.0], [0.0, 0.8]])
+    res = solver.solve(pts, n_walks=8000, max_steps=1000, eps=1e-3, seed=0)
+    r = np.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2)
+    exact = sp.i0(r * np.sqrt(sigma)) / sp.i0(np.sqrt(sigma))
+    err = np.abs(res.mean - exact)
+    tol = 4.0 * res.stderr + 0.01
+    assert (err < tol).all(), (res.mean, exact, res.stderr)
+
+
+def test_constant_alpha_reduces_to_wos():
+    # alpha = 5 constant, sigma = 0: PDE is 5 lap u = -f. With f = 0 and
+    # harmonic BC the solution equals the plain-WoS one.
+    prob = Problem(
+        dirichlet=square_loop(1.0),
+        bc_dirichlet=lambda x, y: x + 2.0 * y,
+        alpha=lambda x, y: 5.0 + 0.0 * x,
+    )
+    assert prob.use_delta_tracking
+    solver = WoStSolver(prob, SolverOptions(target_slots=8192))
+    pts = np.array([[0.0, 0.0], [0.4, -0.2]])
+    res = solver.solve(pts, n_walks=6000, max_steps=1000, eps=1e-3, seed=1)
+    exact = pts[:, 0] + 2.0 * pts[:, 1]
+    err = np.abs(res.mean - exact)
+    tol = 4.0 * res.stderr + 0.01
+    assert (err < tol).all(), (res.mean, exact, res.stderr)
+
+
+def _polynomial_manufactured():
+    """Reference manufactured solution (testWoStCorrectness.py:81-142):
+    u = (1-x^2)(1-y^2), D = 2 + 0.5x + 0.5y, absorption = 2 + xy,
+    f = -div(D grad u) + sigma u derived analytically.
+    """
+
+    def u_exact(pts):
+        x, y = pts[:, 0], pts[:, 1]
+        return (1 - x**2) * (1 - y**2)
+
+    def alpha(x, y):
+        return 2.0 + 0.5 * x + 0.5 * y
+
+    def sigma(x, y):
+        return 2.0 + x * y
+
+    def bc(x, y):
+        return (1 - x * x) * (1 - y * y)
+
+    def source(x, y):
+        u = (1 - x * x) * (1 - y * y)
+        lap_u = -2 * (2 - x * x - y * y)
+        D = 2 + 0.5 * x + 0.5 * y
+        gradD_dot_gradu = -x * (1 - y * y) - y * (1 - x * x)
+        div_D_grad_u = D * lap_u + gradD_dot_gradu
+        return -div_D_grad_u + (2 + x * y) * u
+
+    return u_exact, alpha, sigma, bc, source
+
+
+def test_manufactured_polynomial_solution():
+    u_exact, alpha, sigma, bc, source = _polynomial_manufactured()
+    prob = Problem(
+        dirichlet=square_loop(1.0),
+        bc_dirichlet=bc,
+        source=source,
+        alpha=alpha,
+        sigma=sigma,
+    )
+    assert prob.use_delta_tracking
+    assert prob.sigma_bar > 0
+    solver = WoStSolver(prob, SolverOptions(target_slots=16384))
+    # interior grid like create_test_points (testWoStCorrectness.py:144-156)
+    g = np.linspace(-0.7, 0.7, 4)
+    X, Y = np.meshgrid(g, g, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    res = solver.solve(pts, n_walks=3000, max_steps=800, eps=1e-3, seed=2)
+    exact = u_exact(pts)
+    err = np.abs(res.mean - exact)
+    tol = 5.0 * res.stderr + 0.03
+    frac_ok = (err < tol).mean()
+    rmse = np.sqrt(np.mean((res.mean - exact) ** 2))
+    assert rmse < 0.08, (rmse, res.mean, exact)
+    assert frac_ok > 0.85, (frac_ok, err, tol)
+
+
+def test_convergence_with_walks():
+    # RMSE must drop as n_walks grows (reference convergence sweep,
+    # testWoStCorrectness.py:185-196).
+    u_exact, alpha, sigma, bc, source = _polynomial_manufactured()
+    prob = Problem(
+        dirichlet=square_loop(1.0), bc_dirichlet=bc, source=source,
+        alpha=alpha, sigma=sigma,
+    )
+    solver = WoStSolver(prob, SolverOptions(target_slots=8192))
+    pts = np.array([[0.0, 0.0], [0.3, -0.3], [-0.5, 0.2]])
+    exact = u_exact(pts)
+    rmses = []
+    for n_walks in [50, 400, 3200]:
+        res = solver.solve(pts, n_walks=n_walks, max_steps=800, eps=1e-3, seed=3)
+        rmses.append(np.sqrt(np.mean((res.mean - exact) ** 2)))
+    assert rmses[2] < rmses[0], rmses
