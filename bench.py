@@ -1,0 +1,87 @@
+"""Headline benchmark: DCR-survey walker throughput (walker-steps/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's sequential Python triple loop executes one
+walker-step per interpreter iteration with two torch.jit geometry scans and
+two nested autograd calls (``solvers/WoStSolver.py:206-291``), bounding it
+at ~1e4 walker-steps/s on CPU (BASELINE.md). ``vs_baseline`` is the speedup
+over that 1e4 steps/s bound. Target: >= 1e8 steps/s per TPU v5e chip.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=["smoke", "full"], default="full")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    from dcrmontecarlo_tpu.models import geophysical_scenario
+    from dcrmontecarlo_tpu.solver import SolverOptions, WoStSolver
+
+    if args.preset == "smoke":
+        target_slots, n_walks, max_steps = 4096, 64, 200
+    else:
+        target_slots, n_walks, max_steps = 1 << 20, 1 << 14, 500
+
+    survey, electrodes = geophysical_scenario(sharpness=0.5)
+    problem = survey.build_problem()
+    electrodes = np.asarray(electrodes, np.float32).copy()
+    electrodes[:, 1] = -0.5  # start just inside the half-space
+
+    solver = WoStSolver(problem, SolverOptions(target_slots=target_slots))
+
+    # warmup / compile
+    solver.solve(electrodes, n_walks=min(n_walks, 64), max_steps=max_steps,
+                 eps=0.9, seed=0)
+    fn = solver._build_solve_fn(
+        n_points=electrodes.shape[0], n_walks=n_walks, max_steps=max_steps,
+        eps=0.9,
+    )
+    key = jax.random.PRNGKey(0)
+    pts = np.asarray(electrodes)
+    # compile the full-size variant
+    out = fn(pts, key)
+    jax.block_until_ready(out)
+
+    steps_total = 0.0
+    t0 = time.perf_counter()
+    for rep in range(args.repeats):
+        mean, stderr, total_steps, iters = fn(pts, jax.random.PRNGKey(rep + 1))
+        jax.block_until_ready(total_steps)
+        steps_total += float(total_steps)
+    dt = time.perf_counter() - t0
+
+    rate = steps_total / dt
+    baseline = 1e4  # reference structural bound, walker-steps/s (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "dcr_survey_walker_steps_per_sec_per_chip",
+                "value": rate,
+                "unit": "walker-steps/s",
+                "vs_baseline": rate / baseline,
+            }
+        )
+    )
+    # diagnostics to stderr (driver parses stdout)
+    print(
+        f"preset={args.preset} walks={n_walks}x{len(pts)}pts "
+        f"steps={steps_total:.3g} time={dt:.2f}s "
+        f"mean[0]={float(np.asarray(mean)[0]):.5f} "
+        f"backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

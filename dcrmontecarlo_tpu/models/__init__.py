@@ -1,0 +1,16 @@
+from .manufactured import polynomial_manufactured, trig_manufactured, interior_grid
+from .poisson import poisson_square, poisson_solve_points
+from .varcoeff import variable_coefficient_problem, varcoeff_solve_points
+from .dcr_scenarios import geophysical_scenario, notebook_survey
+
+__all__ = [
+    "polynomial_manufactured",
+    "trig_manufactured",
+    "interior_grid",
+    "poisson_square",
+    "poisson_solve_points",
+    "variable_coefficient_problem",
+    "varcoeff_solve_points",
+    "geophysical_scenario",
+    "notebook_survey",
+]

@@ -1,0 +1,142 @@
+"""Multi-chip data-parallel solve over a TPU mesh.
+
+The reference is single-process, single-thread Python (SURVEY.md §2); this
+module supplies its missing scale axis the TPU-native way: walker slots are
+sharded over a 1D ``jax.sharding.Mesh`` with ``shard_map``, each device
+runs the *entire* walk loop independently on its shard (walkers never
+communicate — no per-iteration collectives, so device loops don't sync),
+and a single ``psum`` over ICI combines the per-point
+``(sum, sum-of-squares, count)`` triples at the end. Seeds are stratified
+per shard by folding the device index into the RNG key. Multi-host (DCN)
+works through the same mesh via ``jax.distributed`` initialization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..problems.problem import Problem
+from ..solver.state import init_state
+from ..solver.wost import SolveResult, SolverOptions, WoStSolver
+
+__all__ = ["ShardedWoStSolver", "make_mesh"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "walkers") -> Mesh:
+    """1D device mesh over the walker axis."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+class ShardedWoStSolver(WoStSolver):
+    """WoStSolver with walker slots sharded across a device mesh.
+
+    Geometry/coefficient fields are replicated (they are compile-time
+    constants of the step); evaluation points are replicated; only the
+    walker-slot axis is partitioned. Results are bitwise independent of
+    the mesh size only up to RNG stratification (each shard uses its own
+    fold of the seed), exactly like running independent chains per device.
+    """
+
+    def __init__(
+        self,
+        problem: Problem,
+        mesh: Mesh,
+        options: SolverOptions = SolverOptions(),
+    ):
+        super().__init__(problem, options)
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+
+    def _slot_layout(self, n_points: int, n_walks: int):
+        """Like the base layout but with K divisible by the mesh size."""
+        n_dev = self.mesh.devices.size
+        K = int(
+            np.clip(self.options.target_slots // max(n_points, 1), 1, n_walks)
+        )
+        K = max(n_dev, (K // n_dev) * n_dev)
+        base, rem = divmod(n_walks, K)
+        quota_row = np.full((K,), base, np.int32)
+        quota_row[:rem] += 1
+        return K, quota_row
+
+    @functools.lru_cache(maxsize=32)
+    def _build_solve_fn(self, n_points: int, n_walks: int, max_steps: int, eps: float):
+        step = self._make_step_core(eps, max_steps)
+        K, quota_row = self._slot_layout(n_points, n_walks)
+        max_quota = int(quota_row.max())
+        step_cap = max_quota * (max_steps + 1) + 2
+        axis = self.axis
+        n_dev = self.mesh.devices.size
+        # lay slots out walker-major so the sharded axis is contiguous:
+        # (K, n_points) with K split over devices
+        quotas_km = jnp.asarray(np.tile(quota_row[:, None], (1, n_points)))
+
+        def shard_body(points, quotas_shard, key):
+            # quotas_shard: (K/n_dev, n_points) on each device
+            dev = jax.lax.axis_index(axis)
+            shard_key = jax.random.fold_in(key, dev)
+            k_local = quotas_shard.shape[0]
+            # mark per-device state as axis-varying: the while-loop body
+            # makes every carry component device-dependent, so the initial
+            # carry must be too (shard_map vma typing)
+            pv = lambda a: jax.lax.pcast(a, (axis,), to="varying")
+            p0x = pv(jnp.tile(points[:, 0], (k_local,)))
+            p0y = pv(jnp.tile(points[:, 1], (k_local,)))
+            state = init_state(p0x, p0y, quotas_shard.reshape(-1))
+            state = state._replace(
+                on_bdry=pv(state.on_bdry),
+                nx=pv(state.nx),
+                ny=pv(state.ny),
+                atten=pv(state.atten),
+                walk_acc=pv(state.walk_acc),
+                steps_cur=pv(state.steps_cur),
+                acc_sum=pv(state.acc_sum),
+                acc_sumsq=pv(state.acc_sumsq),
+                n_done=pv(state.n_done),
+                total_steps=pv(state.total_steps),
+                step_idx=pv(state.step_idx),
+            )
+
+            def cond(s):
+                return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
+
+            def body(s):
+                s2, _ = step(s, p0x, p0y, shard_key)
+                return s2
+
+            final = jax.lax.while_loop(cond, body, state)
+            sums = final.acc_sum.reshape(k_local, n_points).sum(axis=0)
+            sumsq = final.acc_sumsq.reshape(k_local, n_points).sum(axis=0)
+            steps = final.total_steps
+            # one collective per solve, over ICI
+            sums = jax.lax.psum(sums, axis)
+            sumsq = jax.lax.psum(sumsq, axis)
+            steps = jax.lax.psum(steps, axis)
+            iters = jax.lax.pmax(final.step_idx, axis)
+            return sums, sumsq, steps, iters
+
+        mapped = jax.shard_map(
+            shard_body,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis, None), P()),
+            out_specs=(P(), P(), P(), P()),
+        )
+
+        @jax.jit
+        def run(points, key):
+            sums, sumsq, steps, iters = mapped(points, quotas_km, key)
+            mean = sums / n_walks
+            var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
+            stderr = jnp.sqrt(var / n_walks)
+            return mean, stderr, steps, iters
+
+        return run

@@ -126,12 +126,14 @@ def sample_screened_radius(tab: ScreenedRadialTable, R, sigma_bar, u1, u2):
     z = R * jnp.sqrt(sigma_bar)
     lz = jnp.log(jnp.maximum(z, 1e-30))
     f = (lz - tab.log_z0) / tab.dlog_z
-    f = jnp.clip(f, 0.0, tab.n_z - 1.000001)
-    iz = jnp.floor(f).astype(jnp.int32)
-    fz = f - iz
+    # clamp the *integer* cell index (clamping the float value to
+    # n_z - 1 - eps rounds back up to n_z - 1 in float32 and the bilinear
+    # gather then reads out of bounds, which jnp.take fills with NaN)
+    iz = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, tab.n_z - 2)
+    fz = jnp.clip(f - iz, 0.0, 1.0)
     g = u1 * (tab.n_u - 1)
     iu = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, tab.n_u - 2)
-    fu = g - iu
+    fu = jnp.clip(g - iu, 0.0, 1.0)
     flat = tab.table.reshape(-1)
     base = iz * tab.n_u + iu
     s00 = jnp.take(flat, base)

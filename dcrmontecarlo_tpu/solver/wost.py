@@ -102,8 +102,11 @@ class WoStSolver:
         self.options = options
         self._table = None
         if problem.use_delta_tracking:
-            # z = R sqrt(sigma_bar) can reach diameter * sqrt(sigma_bar)
-            z_max = max(10.0, 2.0 * problem.diameter * np.sqrt(problem.sigma_bar))
+            # z = R sqrt(sigma_bar) can reach diameter * sqrt(sigma_bar);
+            # headroom x4 covers walkers that leak past an open Neumann
+            # gap (the reference notebook's "walk appears to be escaping"
+            # TODO, cell 19) whose star radius exceeds the domain diameter.
+            z_max = max(10.0, 4.0 * problem.diameter * np.sqrt(problem.sigma_bar))
             self._table = build_screened_radial_table(z_max=z_max)
         self._solve_cache = {}
 

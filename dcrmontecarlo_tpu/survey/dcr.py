@@ -1,0 +1,227 @@
+"""DC-resistivity survey layer (TPU-native rebuild of C17/C18).
+
+Builds electrode geometries, dipole current sources, and converts solved
+potentials into dipole voltage differences and apparent resistivities — the
+capabilities exercised by the reference's DCR scenario script
+(``tests/testGeophysicalScenario.py``) and SimPEG cross-validation notebook
+(``tests/testNotebook.ipynb`` cells 3, 17-21, which imports SimPEG's
+``apparent_resistivity_from_voltage``).
+
+Geometric factors: the PDE solved here is strictly 2D (line sources), so
+the native apparent-resistivity conversion uses the 2D half-plane factor
+
+    ``rho_a = pi * dV / (I * ln[(r_BM r_AN)/(r_AM r_BN)])``
+
+derived from the half-plane line-source potential
+``u(r) = -(I rho / pi) ln r``. The conventional 3D point-source half-space
+factor ``rho_a = 2 pi dV / (I [1/AM - 1/BM - 1/AN + 1/BN])`` (what SimPEG's
+``apparent_resistivity_from_voltage`` applies to field data) is also
+provided for users comparing against 3D conventions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from ..geometry.polyline import Polyline
+from ..problems.fields import gaussian_dipole, smooth_circle
+from ..problems.problem import Problem
+from ..solver.wost import SolveResult, SolverOptions, WoStSolver
+
+__all__ = [
+    "surface_electrode_line",
+    "dipole_voltages",
+    "apparent_resistivity_2d",
+    "apparent_resistivity_halfspace",
+    "DCRSurvey",
+    "SurveyResult",
+    "halfspace_domain",
+]
+
+
+def surface_electrode_line(x_range, spacing: float, y: float = 0.0) -> np.ndarray:
+    """Measurement electrodes along the surface.
+
+    Rebuild of ``create_surface_measurement_grid``
+    (``tests/testGeophysicalScenario.py:58-74``).
+    """
+    x = np.arange(x_range[0], x_range[1] + spacing, spacing, dtype=np.float32)
+    return np.stack([x, np.full_like(x, y)], axis=1)
+
+
+def halfspace_domain(
+    half_width: float,
+    depth: float,
+    surface_y: float = 0.0,
+):
+    """Dirichlet sides/bottom + Neumann (insulating) top surface.
+
+    The standard DCR domain of both reference scenarios
+    (``testGeophysicalScenario.py:88-106``; notebook cell 18): the far-field
+    box is grounded (u = 0) and the air interface is a zero-flux Neumann
+    segment.
+
+    Returns:
+        ``(dirichlet, neumann)`` polylines. The Dirichlet chain is open
+        (left side, bottom, right side); the Neumann chain is the top
+        segment.
+    """
+    dirichlet = Polyline.from_points(
+        [
+            [-half_width, surface_y],
+            [-half_width, surface_y - depth],
+            [half_width, surface_y - depth],
+            [half_width, surface_y],
+        ]
+    )
+    neumann = Polyline.from_points(
+        [[-half_width, surface_y], [half_width, surface_y]]
+    )
+    return dirichlet, neumann
+
+
+def dipole_voltages(potentials: np.ndarray) -> np.ndarray:
+    """Adjacent-electrode dipole receiver voltages ``V_M - V_N``.
+
+    Matches the notebook's receiver layout (cell 3:
+    ``locations_m = electrodes[:-1]; locations_n = electrodes[1:]``) and its
+    plotted differences (cell 21: ``voltages[:-1] - voltages[1:]``).
+    """
+    potentials = np.asarray(potentials)
+    return potentials[:-1] - potentials[1:]
+
+
+def _pair_distances(a, b, m, n):
+    a, b, m, n = (np.asarray(v, np.float64) for v in (a, b, m, n))
+    r = lambda p, q: np.sqrt(((p - q) ** 2).sum(axis=-1))
+    return r(a, m), r(b, m), r(a, n), r(b, n)
+
+
+def apparent_resistivity_2d(dv, current, a, b, m, n):
+    """Apparent resistivity for 2D line sources in a half-plane.
+
+    ``rho_a = pi dV / (I ln[(r_BM r_AN)/(r_AM r_BN)])``.
+
+    Args:
+        dv: ``(R,)`` dipole voltages ``V_M - V_N``.
+        current: injected current I.
+        a, b: ``(2,)`` current electrode positions.
+        m, n: ``(R, 2)`` potential electrode positions.
+    """
+    am, bm, an, bn = _pair_distances(a, b, np.asarray(m), np.asarray(n))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        g = np.log((bm * an) / (am * bn))
+        rho = np.pi * np.asarray(dv, np.float64) / (current * g)
+    # receivers coinciding with a current electrode have no defined factor
+    return np.where(np.isfinite(g) & (np.abs(g) > 0), rho, np.nan)
+
+
+def apparent_resistivity_halfspace(dv, current, a, b, m, n):
+    """Apparent resistivity with the conventional 3D point-source factor
+    (SimPEG's ``apparent_resistivity_from_voltage`` convention, notebook
+    cell 0)."""
+    am, bm, an, bn = _pair_distances(a, b, np.asarray(m), np.asarray(n))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        g = 1.0 / am - 1.0 / bm - 1.0 / an + 1.0 / bn
+        rho = 2.0 * np.pi * np.asarray(dv, np.float64) / (current * g)
+    return np.where(np.isfinite(g) & (np.abs(g) > 0), rho, np.nan)
+
+
+class SurveyResult(NamedTuple):
+    electrodes: np.ndarray          # (N, 2)
+    potentials: np.ndarray          # (N,)
+    potentials_stderr: np.ndarray   # (N,)
+    voltages: np.ndarray            # (N-1,) adjacent dipole voltages
+    voltages_stderr: np.ndarray     # (N-1,) (correlated-walk upper bound)
+    apparent_resistivity: np.ndarray  # (N-1,) 2D line-source convention
+    solve: SolveResult
+
+
+@dataclass
+class DCRSurvey:
+    """A DC-resistivity forward-modelling survey.
+
+    Bundles the half-space domain, a current dipole, and a conductivity
+    field into a solvable :class:`Problem` and post-processes potentials
+    into dipole voltages / apparent resistivities — the full pipeline of
+    the reference's scenario test + notebook.
+
+    Args:
+        half_width / depth: domain extents (m).
+        current_a / current_b: +/- current electrode positions.
+        conductivity: field ``alpha(x, y)`` in S/m.
+        current: injected current (A).
+        source_width: Gaussian regularization width of the current
+            electrodes (reference uses 0.5 m at 200 m scale, 5 m at
+            1000 m scale).
+    """
+
+    half_width: float
+    depth: float
+    current_a: tuple
+    current_b: tuple
+    conductivity: callable
+    current: float = 1.0
+    source_width: float = 0.5
+    surface_y: float = 0.0
+    sigma_bar_override: Optional[float] = None
+    electrode_nudge: float = 0.1
+
+    def build_problem(self) -> Problem:
+        dirichlet, neumann = halfspace_domain(
+            self.half_width, self.depth, self.surface_y
+        )
+        return Problem(
+            dirichlet=dirichlet,
+            neumann=neumann,
+            bc_dirichlet=lambda x, y: 0.0 * x,  # far-field ground
+            source=gaussian_dipole(
+                self.current_a, self.current_b, self.current, self.source_width
+            ),
+            alpha=self.conductivity,
+            sigma_bar_override=self.sigma_bar_override,
+        )
+
+    def run(
+        self,
+        electrodes: np.ndarray,
+        n_walks: int = 1000,
+        max_steps: int = 500,
+        eps: float = 0.9,
+        seed: int = 0,
+        options: SolverOptions = SolverOptions(),
+    ) -> SurveyResult:
+        problem = self.build_problem()
+        solver = WoStSolver(problem, options)
+        # Electrodes sitting exactly on the Neumann surface start their
+        # first step with a uniform (not hemisphere) direction and can leak
+        # out of the half-space; nudge them just inside, as the reference
+        # notebook does (cell 19: electrodes at y = -0.1).
+        pts = np.asarray(electrodes, np.float32).copy()
+        on_surface = np.abs(pts[:, 1] - self.surface_y) < self.electrode_nudge
+        pts[on_surface, 1] = self.surface_y - self.electrode_nudge
+        res = solver.solve(
+            pts, n_walks=n_walks, max_steps=max_steps, eps=eps, seed=seed
+        )
+        dv = dipole_voltages(res.mean)
+        dv_err = np.sqrt(res.stderr[:-1] ** 2 + res.stderr[1:] ** 2)
+        rho_a = apparent_resistivity_2d(
+            dv,
+            self.current,
+            np.asarray(self.current_a, np.float64),
+            np.asarray(self.current_b, np.float64),
+            electrodes[:-1],
+            electrodes[1:],
+        )
+        return SurveyResult(
+            electrodes=np.asarray(electrodes),
+            potentials=res.mean,
+            potentials_stderr=res.stderr,
+            voltages=dv,
+            voltages_stderr=dv_err,
+            apparent_resistivity=rho_a,
+            solve=res,
+        )

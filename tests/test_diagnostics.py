@@ -1,0 +1,73 @@
+"""Walk-history tracing + occupancy profiling + plotting smoke tests."""
+
+import numpy as np
+
+from dcrmontecarlo_tpu import Problem, WoStSolver, square_loop
+from dcrmontecarlo_tpu.diagnostics import profile_occupancy, trace_walks
+from dcrmontecarlo_tpu.solver import SolverOptions
+from dcrmontecarlo_tpu.utils.plotting import (
+    plot_multiple_walks,
+    plot_walk_history,
+    plot_walk_statistics,
+)
+
+
+def _solver():
+    prob = Problem(
+        dirichlet=square_loop(1.0),
+        bc_dirichlet=lambda x, y: x + 2.0 * y,
+        source=lambda x, y: 1.0 + 0.0 * x,
+    )
+    return prob, WoStSolver(prob, SolverOptions(target_slots=64))
+
+
+def test_trace_walks_capture():
+    prob, solver = _solver()
+    hist = trace_walks(solver, (0.2, 0.1), n_walks=8, max_steps=100, eps=1e-3)
+    assert hist.positions.shape[0] == 8
+    assert (hist.walk_length >= 1).all()
+    # every walk starts at the evaluation point
+    np.testing.assert_allclose(hist.positions[:, 0], [[0.2, 0.1]] * 8, atol=1e-6)
+    # paths stay within the domain
+    T = hist.positions.shape[1]
+    for w in range(8):
+        L = int(hist.walk_length[w]) + 1
+        path = hist.positions[w, :L]
+        assert (np.abs(path) <= 1.0 + 1e-4).all()
+    # totals are consistent with the solver estimate direction
+    assert np.isfinite(hist.total).all()
+
+
+def test_trace_walks_reference_schema():
+    prob, solver = _solver()
+    hist = trace_walks(solver, (0.0, 0.0), n_walks=4, max_steps=50, eps=1e-3)
+    d = hist.to_dict()
+    assert set(d.keys()) == {0}
+    walk = d[0][0]
+    assert {"walk_id", "path", "contributions", "total_contribution"} <= set(walk)
+    assert {"point", "dirichlet_distance", "neumann_distance"} <= set(walk["path"][0])
+    types = {c["type"] for c in walk["contributions"]}
+    assert "boundary" in types
+
+
+def test_occupancy_profile():
+    prob, solver = _solver()
+    profile = profile_occupancy(
+        solver, np.array([[0.0, 0.0]]), n_walks=32, max_steps=100, eps=1e-3
+    )
+    assert profile.iterations > 1
+    assert 0.0 < profile.mean_occupancy <= 1.0
+    assert profile.walks_done_per_iter.sum() == 32
+
+
+def test_plotting_smoke(tmp_path):
+    prob, solver = _solver()
+    hist = trace_walks(solver, (0.1, -0.2), n_walks=6, max_steps=50, eps=1e-3)
+    f1 = plot_walk_history(hist, 0, problem=prob, save_path=tmp_path / "h.png")
+    f2 = plot_multiple_walks(hist, problem=prob, save_path=tmp_path / "m.png")
+    f3 = plot_walk_statistics(hist, save_path=tmp_path / "s.png")
+    for p in ("h.png", "m.png", "s.png"):
+        assert (tmp_path / p).stat().st_size > 0
+    import matplotlib.pyplot as plt
+
+    plt.close("all")

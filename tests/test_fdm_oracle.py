@@ -1,0 +1,71 @@
+"""Validate the FDM oracle itself against analytic solutions before it is
+used to judge the MC solver (the reference trusts SimPEG the same way)."""
+
+import numpy as np
+
+from dcrmontecarlo_tpu.validation import fdm_solve
+
+
+def test_fdm_poisson_quadratic():
+    # lap u = 4 with u = x^2 + y^2 on the boundary.
+    sol = fdm_solve(
+        bounds=((-2, 2), (-2, 2)),
+        alpha=lambda X, Y: np.ones_like(X),
+        source=lambda X, Y: -4.0 * np.ones_like(X),
+        bc=lambda X, Y: X**2 + Y**2,
+        nx=129,
+        ny=129,
+    )
+    pts = np.array([[0.0, 0.0], [1.0, 0.5], [-1.2, -0.7]])
+    exact = pts[:, 0] ** 2 + pts[:, 1] ** 2
+    np.testing.assert_allclose(sol(pts), exact, atol=2e-3)
+
+
+def test_fdm_variable_coefficient_manufactured():
+    # u = (1-x^2)(1-y^2), D = 2+0.5x+0.5y, sigma = 2+xy (same fields as the
+    # reference manufactured solution, testWoStCorrectness.py:81-142).
+    def alpha(X, Y):
+        return 2.0 + 0.5 * X + 0.5 * Y
+
+    def sigma(X, Y):
+        return 2.0 + X * Y
+
+    def source(X, Y):
+        u = (1 - X**2) * (1 - Y**2)
+        lap_u = -2 * (2 - X**2 - Y**2)
+        D = alpha(X, Y)
+        gdot = -X * (1 - Y**2) - Y * (1 - X**2)
+        return -(D * lap_u + gdot) + sigma(X, Y) * u
+
+    sol = fdm_solve(
+        bounds=((-1, 1), (-1, 1)),
+        alpha=alpha,
+        source=source,
+        sigma=sigma,
+        bc=lambda X, Y: (1 - X**2) * (1 - Y**2),
+        nx=161,
+        ny=161,
+    )
+    pts = np.array([[0.0, 0.0], [0.5, -0.3], [-0.7, 0.7]])
+    exact = (1 - pts[:, 0] ** 2) * (1 - pts[:, 1] ** 2)
+    np.testing.assert_allclose(sol(pts), exact, atol=3e-3)
+
+
+def test_fdm_neumann_top_strip():
+    # u = y on [0, 2] strip: grad u = (0, 1); at the top y=2 flux is NOT
+    # zero, so instead check the reflecting-left/right analogue rotated:
+    # with neumann_top and u depending only on x, du/dy = 0 holds at the
+    # top. Take u = x^2 with alpha=1: lap u = 2 -> f = -2, Dirichlet
+    # sides/bottom u = x^2, zero flux at top is satisfied by u(x).
+    sol = fdm_solve(
+        bounds=((-1, 1), (0, 1)),
+        alpha=lambda X, Y: np.ones_like(X),
+        source=lambda X, Y: -2.0 * np.ones_like(X),
+        bc=lambda X, Y: X**2,
+        neumann_top=True,
+        nx=129,
+        ny=65,
+    )
+    pts = np.array([[0.0, 0.9], [0.5, 1.0], [-0.3, 0.5]])
+    exact = pts[:, 0] ** 2
+    np.testing.assert_allclose(sol(pts), exact, atol=3e-3)

@@ -1,0 +1,56 @@
+"""Model-zoo scenario builders solve correctly (C14-C16 rebuilds)."""
+
+import numpy as np
+
+from dcrmontecarlo_tpu.models import (
+    interior_grid,
+    polynomial_manufactured,
+    poisson_solve_points,
+    poisson_square,
+    trig_manufactured,
+    variable_coefficient_problem,
+    varcoeff_solve_points,
+)
+from dcrmontecarlo_tpu.solver import SolverOptions, WoStSolver
+
+
+def test_polynomial_model():
+    prob, u_exact = polynomial_manufactured()
+    pts = interior_grid(n_points=3)
+    res = WoStSolver(prob, SolverOptions(target_slots=8192)).solve(
+        pts, n_walks=2000, max_steps=800, eps=1e-3, seed=0
+    )
+    rmse = np.sqrt(np.mean((res.mean - u_exact(pts)) ** 2))
+    assert rmse < 0.08, rmse
+
+
+def test_trig_model():
+    prob, u_exact = trig_manufactured()
+    pts = interior_grid(n_points=3)
+    res = WoStSolver(prob, SolverOptions(target_slots=8192)).solve(
+        pts, n_walks=2500, max_steps=800, eps=1e-3, seed=1
+    )
+    rmse = np.sqrt(np.mean((res.mean - u_exact(pts)) ** 2))
+    assert rmse < 0.15, (rmse, res.mean, u_exact(pts))
+
+
+def test_poisson_model():
+    prob, u_exact = poisson_square()
+    pts = poisson_solve_points(n=5)
+    res = WoStSolver(prob, SolverOptions(target_slots=8192)).solve(
+        pts, n_walks=1500, max_steps=300, eps=1e-3, seed=2
+    )
+    err = np.abs(res.mean - u_exact(pts))
+    assert (err < 4 * res.stderr + 0.03).mean() > 0.9
+
+
+def test_varcoeff_model_runs():
+    prob = variable_coefficient_problem()
+    assert prob.use_delta_tracking and prob.neumann is not None
+    pts = varcoeff_solve_points(n=5)
+    res = WoStSolver(prob, SolverOptions(target_slots=4096)).solve(
+        pts, n_walks=300, max_steps=500, eps=1e-3, seed=3
+    )
+    assert np.isfinite(res.mean).all()
+    # solution bounded by max |BC| + source effects; loose sanity bound
+    assert np.abs(res.mean).max() < 5.0

@@ -1,0 +1,73 @@
+"""Sharded solver tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+
+from dcrmontecarlo_tpu import Problem, square_loop
+from dcrmontecarlo_tpu.parallel import ShardedWoStSolver, make_mesh
+from dcrmontecarlo_tpu.solver import SolverOptions, WoStSolver
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_matches_analytic():
+    prob = Problem(
+        dirichlet=square_loop(1.0),
+        bc_dirichlet=lambda x, y: x + 2.0 * y,
+    )
+    mesh = make_mesh(8)
+    solver = ShardedWoStSolver(prob, mesh, SolverOptions(target_slots=4096))
+    pts = np.array([[0.0, 0.0], [0.5, 0.3], [-0.7, -0.2]])
+    res = solver.solve(pts, n_walks=4000, max_steps=200, eps=1e-3, seed=0)
+    exact = pts[:, 0] + 2.0 * pts[:, 1]
+    err = np.abs(res.mean - exact)
+    tol = 4.0 * res.stderr + 5e-3
+    assert (err < tol).all(), (res.mean, exact, res.stderr)
+    assert res.total_steps > 0
+
+
+def test_sharded_poisson_source():
+    prob = Problem(
+        dirichlet=square_loop(2.0),
+        bc_dirichlet=lambda x, y: x * x + y * y,
+        source=lambda x, y: -4.0 + 0.0 * x,
+    )
+    mesh = make_mesh(8)
+    solver = ShardedWoStSolver(prob, mesh, SolverOptions(target_slots=8192))
+    pts = np.array([[0.0, 0.0], [1.0, 0.5]])
+    res = solver.solve(pts, n_walks=4000, max_steps=300, eps=1e-3, seed=1)
+    exact = pts[:, 0] ** 2 + pts[:, 1] ** 2
+    err = np.abs(res.mean - exact)
+    assert (err < 4.0 * res.stderr + 0.02).all(), (res.mean, exact, res.stderr)
+
+
+def test_sharded_agrees_with_single_device():
+    # same problem solved sharded vs single-device must agree within
+    # combined MC error (different RNG streams)
+    prob = Problem(
+        dirichlet=square_loop(1.0),
+        bc_dirichlet=lambda x, y: x * x - y * y,
+    )
+    pts = np.array([[0.2, 0.1], [-0.4, 0.5]])
+    single = WoStSolver(prob, SolverOptions(target_slots=2048)).solve(
+        pts, n_walks=4000, max_steps=200, eps=1e-3, seed=0
+    )
+    sharded = ShardedWoStSolver(prob, make_mesh(8), SolverOptions(target_slots=2048)).solve(
+        pts, n_walks=4000, max_steps=200, eps=1e-3, seed=0
+    )
+    err = np.abs(single.mean - sharded.mean)
+    tol = 4.0 * np.sqrt(single.stderr**2 + sharded.stderr**2) + 1e-4
+    assert (err < tol).all(), (single.mean, sharded.mean)
+
+
+def test_mesh_subset_sizes():
+    # 2- and 4-device meshes also work (driver dry-runs arbitrary n)
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x + y)
+    pts = np.array([[0.1, -0.1]])
+    for n in (2, 4):
+        solver = ShardedWoStSolver(prob, make_mesh(n), SolverOptions(target_slots=512))
+        res = solver.solve(pts, n_walks=500, max_steps=100, eps=1e-3, seed=0)
+        assert np.isfinite(res.mean).all()
