@@ -110,6 +110,63 @@ class Polyline(NamedTuple):
     def num_segments(self) -> int:
         return int(np.asarray(self.seg_valid).sum())
 
+    # ------------------------------------------------------------------ #
+    # OO query facade (reference PolyLines ABC parity,
+    # geometry/Polylines.py:8-63): thin delegates to the batched query
+    # kernels in .queries, accepting (2,) points or (W, 2) batches.
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _split(point):
+        p = jnp.atleast_2d(jnp.asarray(point, jnp.float32))
+        return p[:, 0], p[:, 1], jnp.asarray(point).ndim == 1
+
+    def distance(self, point):
+        """Min distance to the polyline (``PolylinesSimple.py:214-224``)."""
+        from . import queries
+
+        px, py, scalar = self._split(point)
+        d = queries.distance(self, px, py)
+        return d[0] if scalar else d
+
+    def is_silhouette(self, point):
+        """Silhouette mask over interior vertices
+        (``PolylinesSimple.py:242-253``)."""
+        from . import queries
+
+        px, py, scalar = self._split(point)
+        m = queries.is_silhouette(self, px, py)
+        m = m[:, : max(1, len(np.asarray(self.points)) - 2)]
+        return m[0] if scalar else m
+
+    def silhouette_distance(self, point):
+        """Distance to the closest silhouette vertex
+        (``PolylinesSimple.py:255-265``)."""
+        from . import queries
+
+        px, py, scalar = self._split(point)
+        d = queries.silhouette_distance(self, px, py)
+        return d[0] if scalar else d
+
+    def intersect(self, point, direction, r):
+        """First ray hit within ``r`` (``PolylinesSimple.py:294-307``).
+
+        Returns ``(hit_point, inward_normal, hit)``.
+        """
+        from . import queries
+
+        px, py, scalar = self._split(point)
+        dx, dy, _ = self._split(direction)
+        n = jnp.linalg.norm(jnp.stack([dx, dy]), axis=0)
+        dx, dy = dx / n, dy / n
+        rr = jnp.broadcast_to(jnp.asarray(r, jnp.float32), px.shape)
+        hx, hy, nx, ny, _, hit = queries.first_hit(self, px, py, dx, dy, rr)
+        hp = jnp.stack([hx, hy], axis=-1)
+        nv = jnp.stack([nx, ny], axis=-1)
+        if scalar:
+            return hp[0], nv[0], bool(hit[0])
+        return hp, nv, hit
+
     def bounds(self):
         """Domain bounds from vertex chain (``WoStSolver.py:38-43``)."""
         pts = np.asarray(self.points)

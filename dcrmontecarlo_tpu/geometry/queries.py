@@ -18,6 +18,7 @@ Deliberate fixes vs the reference (SURVEY.md §3.3, §5):
   the reference's CCW normal (``PolylinesSimple.py:190-194``).
 """
 
+import jax
 import jax.numpy as jnp
 
 from .polyline import Polyline
@@ -38,6 +39,27 @@ def cross2(ax, ay, bx, by):
     """2D cross product ``a x b`` (reference ``cross_product_2d_jit``,
     ``PolylinesSimple.py:13-23``)."""
     return ax * by - ay * bx
+
+
+def _min_by(key, payloads, axis):
+    """Variadic min-reduction: ``(min key, payloads at the min)``.
+
+    Compiles to a single fused XLA reduce — unlike ``argmin`` + gather,
+    which lowers to a serialized per-lane gather on TPU and dominated the
+    step time in profiling.
+    """
+    operands = (key,) + tuple(payloads)
+    inits = (jnp.asarray(jnp.inf, key.dtype),) + tuple(
+        jnp.asarray(0, p.dtype) for p in payloads
+    )
+
+    def comp(acc, item):
+        pick = item[0] < acc[0]
+        return tuple(
+            jax.lax.select(pick, i, a) for a, i in zip(acc, item)
+        )
+
+    return jax.lax.reduce(operands, inits, comp, (axis,))
 
 
 def _seg_fields(poly: Polyline):
@@ -73,10 +95,10 @@ def closest_point(poly: Polyline, px, py):
     cy = ay + t * uy
     d2 = (cx - pxe) ** 2 + (cy - pye) ** 2
     d2 = jnp.where(valid, d2, _BIG)
-    idx = jnp.argmin(d2, axis=1)
-    w = jnp.arange(px.shape[0])
-    dist = jnp.sqrt(d2[w, idx])
-    return dist, cx[w, idx], cy[w, idx]
+    cxb = jnp.broadcast_to(cx, d2.shape)
+    cyb = jnp.broadcast_to(cy, d2.shape)
+    d2m, cxm, cym = _min_by(d2, (cxb, cyb), axis=1)
+    return jnp.sqrt(d2m), cxm, cym
 
 
 def distance(poly: Polyline, px, py):
@@ -161,19 +183,16 @@ def first_hit(poly: Polyline, px, py, dx, dy, r, t_min=1e-6):
     s = cross2(dxe, dye, wx, wy) / den_safe
     ok = valid & (s >= 0.0) & (s <= 1.0) & (t > t_min) & (jnp.abs(den) > 1e-30)
     t = jnp.where(ok, t, _BIG)
-    idx = jnp.argmin(t, axis=1)
-    w = jnp.arange(px.shape[0])
-    t_best = t[w, idx]
+    # CCW segment normals, reduced jointly with the min hit parameter.
+    ulen = jnp.sqrt(jnp.maximum(ux * ux + uy * uy, 1e-30))
+    nxs = jnp.broadcast_to(-uy / ulen, t.shape)
+    nys = jnp.broadcast_to(ux / ulen, t.shape)
+    t_best, nx, ny = _min_by(t, (nxs, nys), axis=1)
     hit = t_best <= r
     t_hit = jnp.where(hit, t_best, r)
     hx = px + t_hit * dx
     hy = py + t_hit * dy
-    # CCW segment normal, then orient against the incoming ray (inward).
-    sux = ux[0, :][idx]
-    suy = uy[0, :][idx]
-    ulen = jnp.sqrt(jnp.maximum(sux * sux + suy * suy, 1e-30))
-    nx = -suy / ulen
-    ny = sux / ulen
+    # orient against the incoming ray (inward)
     flip = (nx * dx + ny * dy) > 0.0
     nx = jnp.where(flip, -nx, nx)
     ny = jnp.where(flip, -ny, ny)

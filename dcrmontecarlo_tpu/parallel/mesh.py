@@ -59,8 +59,9 @@ class ShardedWoStSolver(WoStSolver):
     def _slot_layout(self, n_points: int, n_walks: int):
         """Like the base layout but with K divisible by the mesh size."""
         n_dev = self.mesh.devices.size
+        k_cap = max(1, n_walks // max(self.options.min_quota, 1))
         K = int(
-            np.clip(self.options.target_slots // max(n_points, 1), 1, n_walks)
+            np.clip(self.options.target_slots // max(n_points, 1), 1, k_cap)
         )
         K = max(n_dev, (K // n_dev) * n_dev)
         base, rem = divmod(n_walks, K)

@@ -4,6 +4,7 @@ from .radial import (
     ScreenedRadialTable,
     build_screened_radial_table,
     sample_screened_radius,
+    sample_screened_radius_exact,
     screened_radial_pdf,
 )
 from .mis import RadialDistribution, uniform_radial, mis_sample
@@ -14,6 +15,7 @@ __all__ = [
     "ScreenedRadialTable",
     "build_screened_radial_table",
     "sample_screened_radius",
+    "sample_screened_radius_exact",
     "screened_radial_pdf",
     "RadialDistribution",
     "uniform_radial",

@@ -55,6 +55,7 @@ from ..sampling.radial import (
     build_screened_radial_table,
     sample_greens_radius,
     sample_screened_radius,
+    sample_screened_radius_exact,
 )
 from .state import WalkerState, init_state
 
@@ -78,6 +79,10 @@ class SolverOptions:
     project_to_boundary: bool = True   # evaluate BC at the projected point
     t_min_frac: float = 1e-5           # min first-hit ray parameter / diameter
     rmin_factor: float = 0.5           # rmin = rmin_factor * eps (WoStSolver.py:167)
+    screened_sampler: str = "exact"    # "exact" (rejection, gather-free) or
+                                       # "table" (inverse-CDF interpolation)
+    min_quota: int = 4                 # min walks per recycled slot; amortizes
+                                       # the walk-length straggler tail
 
 
 class SolveResult(NamedTuple):
@@ -101,7 +106,7 @@ class WoStSolver:
         self.problem = problem
         self.options = options
         self._table = None
-        if problem.use_delta_tracking:
+        if problem.use_delta_tracking and options.screened_sampler == "table":
             # z = R sqrt(sigma_bar) can reach diameter * sqrt(sigma_bar);
             # headroom x4 covers walkers that leak past an open Neumann
             # gap (the reference notebook's "walk appears to be escaping"
@@ -141,7 +146,8 @@ class WoStSolver:
 
         def step(state: WalkerState, p0x, p0y, key):
             W = state.px.shape[0]
-            u = jax.random.uniform(jax.random.fold_in(key, state.step_idx), (4, W))
+            step_key = jax.random.fold_in(key, state.step_idx)
+            u = jax.random.uniform(step_key, (4, W))
             act = state.quota > 0
 
             # -- termination check (WoStSolver.py:206-208,294-298) -------- #
@@ -201,7 +207,12 @@ class WoStSolver:
 
             # -- radial sample (exact; fixes solvers/utils.py:138-195) ---- #
             if use_delta:
-                r_s = sample_screened_radius(table, r, sigma_bar, u[1], u[2])
+                if table is not None:
+                    r_s = sample_screened_radius(table, r, sigma_bar, u[1], u[2])
+                else:
+                    r_s = sample_screened_radius_exact(
+                        jax.random.fold_in(step_key, 1), r, sigma_bar
+                    )
             else:
                 r_s = sample_greens_radius(r, u[1], u[2])
             beyond = r_s > t_hit  # clamp to star region (WoStSolver.py:248)
@@ -292,8 +303,15 @@ class WoStSolver:
     # ------------------------------------------------------------------ #
 
     def _slot_layout(self, n_points: int, n_walks: int):
-        """Distribute ``n_walks`` per point over K recycled slots."""
-        K = int(np.clip(self.options.target_slots // max(n_points, 1), 1, n_walks))
+        """Distribute ``n_walks`` per point over K recycled slots.
+
+        K is capped so each slot runs at least ``min_quota`` walks: the loop
+        runs until the *slowest* walk finishes, so quota-1 slots spend the
+        whole straggler tail idle, while recycling slots stay ~fully busy
+        until their quota drains.
+        """
+        k_cap = max(1, n_walks // max(self.options.min_quota, 1))
+        K = int(np.clip(self.options.target_slots // max(n_points, 1), 1, k_cap))
         base, rem = divmod(n_walks, K)
         quota_row = np.full((K,), base, np.int32)
         quota_row[:rem] += 1
@@ -336,7 +354,9 @@ class WoStSolver:
         max_steps: int = 1000,
         eps: float = 1e-4,
         seed: int = 0,
-    ) -> SolveResult:
+        return_history: bool = False,
+        history_walks: int = 16,
+    ):
         """Estimate the PDE solution at ``points``.
 
         Mirror of reference ``solve`` (``solvers/WoStSolver.py:319-353``)
@@ -349,16 +369,42 @@ class WoStSolver:
             max_steps: per-walk step cap.
             eps: Dirichlet termination shell width.
             seed: RNG seed (counter-based threefry; reproducible).
+            return_history: also capture traced walks per point in the
+                reference's history-dict schema (``WoStSolver.py:330-349``).
+                Unlike the reference — which records *every* walk and is
+                memory-unbounded — the capture is a separate bounded run of
+                ``history_walks`` walks per point (see
+                ``diagnostics/history.py``).
+
+        Returns:
+            :class:`SolveResult`, or ``(SolveResult, history_dict)`` when
+            ``return_history`` is set.
         """
         pts = jnp.asarray(np.asarray(points, np.float32).reshape(-1, 2))
         n_points = int(pts.shape[0])
         fn = self._build_solve_fn(n_points, int(n_walks), int(max_steps), float(eps))
         key = jax.random.PRNGKey(seed)
         mean, stderr, total_steps, iters = fn(pts, key)
-        return SolveResult(
+        result = SolveResult(
             mean=np.asarray(mean),
             stderr=np.asarray(stderr),
             n_walks=int(n_walks),
             total_steps=float(total_steps),
             iterations=int(iters),
         )
+        if not return_history:
+            return result
+        from ..diagnostics.history import trace_walks
+
+        history = {}
+        for i in range(n_points):
+            h = trace_walks(
+                self,
+                np.asarray(pts[i]),
+                n_walks=history_walks,
+                max_steps=int(max_steps),
+                eps=float(eps),
+                seed=seed + i,
+            )
+            history[i] = h.to_dict()[0]
+        return result, history

@@ -14,6 +14,7 @@ from dcrmontecarlo_tpu.sampling import (
     greens_radial_pdf,
     build_screened_radial_table,
     sample_screened_radius,
+    sample_screened_radius_exact,
     screened_radial_pdf,
     uniform_radial,
     RadialDistribution,
@@ -68,6 +69,38 @@ def test_screened_radius_matches_analytic_cdf():
         err = _ecdf_sup_error(r, rr, cdf)
         # table interpolation adds a small bias on top of MC error
         assert err < 0.02, (R, sb, err)
+
+
+def test_screened_radius_exact_matches_analytic_cdf():
+    # the gather-free rejection sampler (solver default) across regimes:
+    # small-z envelope, crossover, deep screening, mixed per-lane radii
+    n = 200_000
+    for i, (R, sb) in enumerate([(1.0, 4.0), (10.0, 1.0), (0.5, 0.1),
+                                 (100.0, 0.075)]):
+        key = jax.random.PRNGKey(i)
+        r = np.asarray(
+            sample_screened_radius_exact(key, jnp.full((n,), R), sb)
+        )
+        assert (r >= 0).all() and (r <= R).all()
+        rr = np.concatenate([
+            np.geomspace(1e-6 * R, 1e-2 * R, 512, endpoint=False),
+            np.linspace(1e-2 * R, R, 4096),
+        ])
+        pdf = screened_radial_pdf(rr, R, sb)
+        cdf = np.concatenate([[0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(rr))])
+        cdf /= cdf[-1]
+        err = _ecdf_sup_error(r, rr, cdf)
+        assert err < 0.006, (R, sb, err)
+
+
+def test_screened_radius_exact_mixed_lanes():
+    # per-lane radii spanning both rejection regimes in one call
+    n = 100_000
+    key = jax.random.PRNGKey(42)
+    R = jnp.asarray(np.random.default_rng(0).uniform(0.1, 50.0, n), jnp.float32)
+    r = np.asarray(sample_screened_radius_exact(key, R, 0.44))
+    assert (r >= 0).all() and (r <= np.asarray(R) + 1e-5).all()
+    assert np.isfinite(r).all()
 
 
 def test_screened_radius_small_z_falls_back_to_unscreened():
