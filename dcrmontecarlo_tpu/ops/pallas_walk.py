@@ -1,0 +1,487 @@
+"""Fused Pallas walk kernel — the TPU fast path for the WoSt solver.
+
+Why this exists (measured on v5e): the XLA `lax.while_loop` solver pays a
+~60-85 us **per-iteration** dispatch floor plus a full HBM round trip of
+the walker state every step, and XLA's threefry inside a while-loop costs
+minutes of compile time. This kernel instead:
+
+* keeps the entire SoA walker state **resident in VMEM** across
+  ``n_inner`` (default 256) walk steps per launch — HBM sees the state
+  once per launch instead of once per step;
+* tiles walkers over the Pallas grid ``(W / block, )`` with double-buffered
+  DMA between blocks;
+* uses the on-core ``pltpu.prng_random_bits`` generator (one seed per
+  block x launch) instead of threefry;
+* **unrolls the polyline geometry statically**: segment endpoints and
+  interior-vertex triples are baked into the kernel as scalar constants
+  (the boundary is static problem data), so the per-step closest-point /
+  silhouette / first-hit queries are pure register arithmetic — the Pallas
+  realization of the "segment arrays resident in VMEM" plan (SURVEY.md §2,
+  TPU-native equivalents table);
+* runs the same branchless step semantics as
+  ``solver/wost.py::_make_step_core`` (termination + recycle, star radius,
+  hemisphere direction, first hit, source NEE, delta-tracking move), and
+  the same two-regime **exact screened-radius rejection sampler** as
+  ``sampling/radial.py::sample_screened_radius_exact`` with a fixed
+  unrolled redraw budget.
+
+The Pallas path currently supports boundaries up to ``MAX_UNROLL_SEGMENTS``
+segments (covers every reference scenario; larger geometry falls back to
+the XLA path, which handles arbitrary S).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["make_pallas_walk", "pallas_supported", "MAX_UNROLL_SEGMENTS"]
+
+MAX_UNROLL_SEGMENTS = 96
+_LANES = 128
+_TWO_PI = 2.0 * np.pi
+
+
+def pallas_supported(problem) -> bool:
+    """Pallas fast path handles statically-unrollable geometry."""
+    n_seg = problem.dirichlet.num_segments
+    n_vert = 0
+    if problem.neumann is not None:
+        n_seg += problem.neumann.num_segments
+        n_vert = int(np.asarray(problem.neumann.vert_valid).sum())
+    return n_seg + n_vert <= MAX_UNROLL_SEGMENTS
+
+
+def _static_segments(poly):
+    """Extract segment endpoints as python-float tuples (static constants)."""
+    a = np.asarray(poly.seg_a)[np.asarray(poly.seg_valid)]
+    b = np.asarray(poly.seg_b)[np.asarray(poly.seg_valid)]
+    return [
+        (float(a[i, 0]), float(a[i, 1]), float(b[i, 0]), float(b[i, 1]))
+        for i in range(len(a))
+    ]
+
+
+def _static_vertices(poly):
+    abc = np.asarray(poly.vert_abc)[np.asarray(poly.vert_valid)]
+    return [tuple(float(v) for v in abc[i].ravel()) for i in range(len(abc))]
+
+
+def _false_like(x):
+    # all-False mask without materializing a bool constant (Mosaic cannot
+    # lower the i8->i1 truncation that jnp.zeros(shape, bool) produces)
+    return x > jnp.float32(3.0e38)
+
+
+def _uniform(shape):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # keep 24 mantissa bits; bitcast to int32 (positive) because Mosaic has
+    # no uint32->f32 cast
+    mant = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return mant.astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
+def _closest_point_unrolled(segs, px, py):
+    big = jnp.float32(3e38)
+    best = jnp.full_like(px, big)
+    bcx = jnp.zeros_like(px)
+    bcy = jnp.zeros_like(px)
+    for (ax, ay, bx, by) in segs:
+        ux, uy = bx - ax, by - ay
+        uu = max(ux * ux + uy * uy, 1e-30)
+        vx = px - ax
+        vy = py - ay
+        t = jnp.clip((vx * ux + vy * uy) * (1.0 / uu), 0.0, 1.0)
+        cx = ax + t * ux
+        cy = ay + t * uy
+        d2 = (cx - px) ** 2 + (cy - py) ** 2
+        pick = d2 < best
+        best = jnp.where(pick, d2, best)
+        bcx = jnp.where(pick, cx, bcx)
+        bcy = jnp.where(pick, cy, bcy)
+    return jnp.sqrt(best), bcx, bcy
+
+
+def _silhouette_unrolled(verts, px, py):
+    big = jnp.float32(3e38)
+    best = jnp.full_like(px, big)
+    for (axv, ayv, bxv, byv, cxv, cyv) in verts:
+        abx, aby = bxv - axv, byv - ayv
+        bcx_, bcy_ = cxv - bxv, cyv - byv
+        apx = px - axv
+        apy = py - ayv
+        bpx = px - bxv
+        bpy = py - byv
+        s = (abx * apy - aby * apx) * (bcx_ * bpy - bcy_ * bpx)
+        d2 = bpx * bpx + bpy * bpy
+        best = jnp.where(s < 0, jnp.minimum(best, d2), best)
+    return jnp.sqrt(best)
+
+
+def _first_hit_unrolled(segs, px, py, dx, dy, r, t_min):
+    big = jnp.float32(3e38)
+    t_best = jnp.full_like(px, big)
+    nx = jnp.zeros_like(px)
+    ny = jnp.zeros_like(px)
+    for (ax, ay, bx, by) in segs:
+        ux, uy = bx - ax, by - ay
+        ulen = max(float(np.hypot(ux, uy)), 1e-30)
+        nxs, nys = -uy / ulen, ux / ulen  # static CCW normal
+        wx = px - ax
+        wy = py - ay
+        den = dx * uy - dy * ux
+        den_safe = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+        inv_den = 1.0 / den_safe
+        t = (ux * wy - uy * wx) * inv_den
+        s = (dx * wy - dy * wx) * inv_den
+        ok = (s >= 0.0) & (s <= 1.0) & (t > t_min) & (jnp.abs(den) > 1e-30)
+        t = jnp.where(ok, t, big)
+        pick = t < t_best
+        t_best = jnp.where(pick, t, t_best)
+        nx = jnp.where(pick, nxs, nx)
+        ny = jnp.where(pick, nys, ny)
+    hit = t_best <= r
+    t_hit = jnp.where(hit, t_best, r)
+    # orient against the ray (inward)
+    flip = (nx * dx + ny * dy) > 0.0
+    nx = jnp.where(flip, -nx, nx)
+    ny = jnp.where(flip, -ny, ny)
+    nx = jnp.where(hit, nx, 0.0)
+    ny = jnp.where(hit, ny, 0.0)
+    return px + t_hit * dx, py + t_hit * dy, nx, ny, t_hit, hit
+
+
+# ---------------------------------------------------------------------- #
+# Bessel + screened sampling (same math as ops/bessel.py and              #
+# sampling/radial.py, restated on register arrays)                        #
+# ---------------------------------------------------------------------- #
+
+def _i0e(x):
+    from .bessel import i0e
+
+    return i0e(x)
+
+
+def _k0e(x):
+    from .bessel import k0e
+
+    return k0e(x)
+
+
+def _screened_interior_prob(r, sigma_bar):
+    z = r * float(np.sqrt(sigma_bar))
+    return 1.0 - jnp.exp(-z) / _i0e(z)
+
+
+def _screened_norm(r, sigma_bar):
+    z = r * float(np.sqrt(sigma_bar))
+    return (1.0 - jnp.exp(-z) / _i0e(z)) / float(sigma_bar)
+
+
+def _sample_screened_exact(r, sigma_bar, n_rounds):
+    """Unrolled two-regime rejection (see sample_screened_radius_exact).
+
+    ``n_rounds`` fixed attempts; un-accepted lanes (< 0.44^n_rounds) keep
+    their last candidate. ``n_rounds=12`` keeps residual envelope bias
+    below 6e-5 of lanes.
+    """
+    sq = float(np.sqrt(sigma_bar))
+    z = jnp.maximum(r * sq, 1e-12)
+    small = z < 2.0
+    tiny = z < 1e-3
+    k0e_z = _k0e(z)
+    i0e_z = _i0e(z)
+
+    accepted = _false_like(z)
+    s_cur = jnp.zeros_like(z)
+    for _ in range(n_rounds):
+        u = _uniform((4,) + z.shape)
+        u0 = jnp.maximum(u[0], 1e-7)
+        u1 = jnp.maximum(u[1], 1e-7)
+        u2 = jnp.maximum(u[2], 1e-7)
+        s_small = jnp.sqrt(u0 * u1)
+        x_small = z * s_small
+        x_large = -jnp.log(u1 * u2) * jnp.sqrt(jnp.maximum(1.0 - u0 * u0, 1e-12))
+        x = jnp.where(small, x_small, x_large)
+        s = jnp.where(small, s_small, x_large / z)
+        ratio = (k0e_z * _i0e(x)) / (i0e_z * _k0e(x)) * jnp.exp(
+            -2.0 * jnp.maximum(z - x, 0.0)
+        )
+        k0x = _k0e(x) * jnp.exp(-x)
+        ln_s = -jnp.log(jnp.clip(s, 1e-12, 1.0 - 1e-7))
+        p_small = jnp.clip(k0x * (1.0 - ratio) / jnp.maximum(ln_s, 1e-12), 0.0, 1.0)
+        p_large = jnp.where(x <= z, jnp.clip(1.0 - ratio, 0.0, 1.0), 0.0)
+        p = jnp.where(small, p_small, p_large)
+        take = (~accepted) & (u[3] < p)
+        s_cur = jnp.where(take | (~accepted), s, s_cur)  # keep last candidate
+        accepted = accepted | take
+    # unscreened shortcut for tiny z
+    u = _uniform((2,) + z.shape)
+    s_tiny = jnp.sqrt(jnp.maximum(u[0], 1e-12) * jnp.maximum(u[1], 1e-12))
+    s_cur = jnp.where(tiny, s_tiny, s_cur)
+    return jnp.clip(s_cur, 0.0, 1.0) * r
+
+
+class PallasWalkPlan(NamedTuple):
+    run: callable      # (points_state..., seeds) -> new state
+    block_rows: int
+    n_inner: int
+
+
+def make_pallas_walk(
+    problem,
+    eps: float,
+    max_steps: int,
+    t_min: float,
+    rmin: float,
+    project: bool,
+    n_inner: int = 256,
+    block_rows: int = 128,
+    rejection_rounds: int = 12,
+):
+    """Build the fused multi-step kernel.
+
+    Returns a jittable ``launch(state_dict, seed) -> state_dict`` advancing
+    every walker by ``n_inner`` steps. State arrays are ``(rows, 128)``
+    float32/int32 with rows a multiple of ``block_rows``.
+    """
+    pb = problem
+    use_delta = pb.use_delta_tracking
+    has_neumann = pb.neumann is not None
+    has_source = pb.source is not None
+    sigma_bar = float(pb.sigma_bar) if use_delta else 0.0
+    dir_segs = _static_segments(pb.dirichlet)
+    neu_segs = _static_segments(pb.neumann) if has_neumann else []
+    neu_verts = _static_vertices(pb.neumann) if has_neumann else []
+
+    def _lift2d(f):
+        # scalar fields (incl. jax.grad-built sigma', which requires scalar
+        # tracing) applied to (rows, 128) register arrays via double vmap
+        return jax.vmap(jax.vmap(
+            lambda x, y: jnp.asarray(f(x, y), jnp.float32) + 0.0 * x
+        ))
+
+    bc = _lift2d(pb.bc_dirichlet)
+    source = _lift2d(pb.source) if has_source else None
+    alpha_c = _lift2d(pb.alpha_c) if use_delta else None
+    sigma_prime = _lift2d(pb.sigma_prime) if use_delta else None
+    # python-float constants (pallas kernels may not capture array consts)
+    eps_f = float(eps)
+    rmin_f = float(rmin)
+    t_min_f = float(t_min)
+
+    def kernel(
+        seed_ref,
+        p0x_ref, p0y_ref,
+        px_ref, py_ref, nx_ref, ny_ref, atten_ref, acc_ref,
+        asum_ref, asq_ref, quota_ref, steps_ref, ndone_ref, ob_ref,
+        life_ref,
+        # outputs (aliased to the state inputs, same order)
+        opx_ref, opy_ref, onx_ref, ony_ref, oatten_ref, oacc_ref,
+        oasum_ref, oasq_ref, oquota_ref, osteps_ref, ondone_ref, oob_ref,
+        olife_ref,
+    ):
+        # scramble (seed, block) so sequential launch seeds and block ids
+        # land in well-separated PRNG streams
+        pltpu.prng_seed(
+            seed_ref[0] * jnp.int32(-1640531527)  # golden-ratio odd const
+            + pl.program_id(0) * jnp.int32(0x68E31DA4)
+        )
+        p0x = p0x_ref[:]
+        p0y = p0y_ref[:]
+
+        def step(_, carry):
+            (px, py, nxv, nyv, atten, acc, asum, asq, quota, steps,
+             ndone, obi, life) = carry
+            # masks are carried as int32: Mosaic cannot round-trip i1
+            # vectors through loop carries (trunci i8->i1 unsupported)
+            ob = obi != 0
+            act = quota > 0
+
+            dD, cx, cy = _closest_point_unrolled(dir_segs, px, py)
+            done_eps = dD <= eps_f
+            walk_done = act & (done_eps | (steps >= max_steps))
+            if project:
+                bx = jnp.where(done_eps, cx, px)
+                by = jnp.where(done_eps, cy, py)
+            else:
+                bx, by = px, py
+            contrib = acc + bc(bx, by) * atten
+            wd = walk_done.astype(jnp.float32)
+            asum = asum + wd * contrib
+            asq = asq + wd * contrib * contrib
+            ndone = ndone + walk_done.astype(jnp.int32)
+            quota = quota - walk_done.astype(jnp.int32)
+
+            px = jnp.where(walk_done, p0x, px)
+            py = jnp.where(walk_done, p0y, py)
+            acc = jnp.where(walk_done, 0.0, acc)
+            atten = jnp.where(walk_done, 1.0, atten)
+            ob = ob & ~walk_done
+            steps = jnp.where(walk_done, 0, steps)
+            stepping = act & ~walk_done
+
+            if has_neumann and neu_verts:
+                d_sil = _silhouette_unrolled(neu_verts, px, py)
+                r = jnp.maximum(rmin_f, jnp.minimum(dD, d_sil))
+            else:
+                r = jnp.maximum(rmin_f, dD)
+
+            u = _uniform((2,) + px.shape)
+            theta = float(_TWO_PI) * u[0]
+            dx = jnp.cos(theta)
+            dy = jnp.sin(theta)
+            if has_neumann:
+                # inward-normal-centered hemisphere without atan2: rotate
+                # the normal by beta = pi (u - 1/2); cos(beta) = sin(pi u),
+                # sin(beta) = -cos(pi u)
+                cb = jnp.sin(float(np.pi) * u[0])
+                sb = -jnp.cos(float(np.pi) * u[0])
+                hdx = nxv * cb - nyv * sb
+                hdy = nyv * cb + nxv * sb
+                dx = jnp.where(ob, hdx, dx)
+                dy = jnp.where(ob, hdy, dy)
+
+            if has_neumann:
+                hx, hy, hnx, hny, t_hit, hit = _first_hit_unrolled(
+                    neu_segs, px, py, dx, dy, r, t_min_f
+                )
+            else:
+                hx = px + r * dx
+                hy = py + r * dy
+                hnx = jnp.zeros_like(px)
+                hny = jnp.zeros_like(px)
+                t_hit = r
+                hit = _false_like(px)
+
+            if use_delta:
+                r_s = _sample_screened_exact(r, sigma_bar, rejection_rounds)
+            else:
+                r_s = r * jnp.sqrt(jnp.maximum(u[1], 1e-12)
+                                   * jnp.maximum(_uniform(px.shape), 1e-12))
+            beyond = r_s > t_hit
+            sx = jnp.where(beyond, hx, px + r_s * dx)
+            sy = jnp.where(beyond, hy, py + r_s * dy)
+
+            if use_delta:
+                a_p = alpha_c(px, py)
+                a_s = alpha_c(sx, sy)
+
+            if has_source:
+                f_val = source(sx, sy)
+                if use_delta:
+                    w_src = (_screened_norm(r, sigma_bar)
+                             / jnp.sqrt(a_s * a_p) * atten)
+                else:
+                    w_src = r * r * 0.25
+                acc = acc + jnp.where(stepping & ~beyond, f_val * w_src, 0.0)
+
+            if use_delta:
+                p_int = _screened_interior_prob(r, sigma_bar)
+                interior = _uniform(px.shape) < p_int
+                a_h = alpha_c(hx, hy)
+                sp_s = sigma_prime(sx, sy)
+                scale_int = jnp.sqrt(a_s / a_p) * jnp.maximum(
+                    1.0 - sp_s / float(sigma_bar), 0.0
+                )
+                scale_edge = jnp.sqrt(a_h / a_p)
+                atten = jnp.where(
+                    stepping,
+                    atten * jnp.where(interior, scale_int, scale_edge),
+                    atten,
+                )
+                newx = jnp.where(interior, sx, hx)
+                newy = jnp.where(interior, sy, hy)
+                new_ob = hit & ~interior
+            else:
+                newx, newy = hx, hy
+                new_ob = hit
+
+            px = jnp.where(stepping, newx, px)
+            py = jnp.where(stepping, newy, py)
+            # boolean blends via logical algebra: Mosaic lowers i1-vector
+            # selects through an unsupported i8->i1 truncation
+            ob = (stepping & new_ob) | (~stepping & ob)
+            upd_n = stepping & hit
+            nxv = jnp.where(upd_n, hnx, nxv)
+            nyv = jnp.where(upd_n, hny, nyv)
+            steps = steps + stepping.astype(jnp.int32)
+            # per-lane lifetime counter: summed outside the kernel for the
+            # walker-steps throughput metric
+            life = life + stepping.astype(jnp.int32)
+            return (px, py, nxv, nyv, atten, acc, asum, asq, quota, steps,
+                    ndone, ob.astype(jnp.int32), life)
+
+        carry = (
+            px_ref[:], py_ref[:], nx_ref[:], ny_ref[:], atten_ref[:],
+            acc_ref[:], asum_ref[:], asq_ref[:], quota_ref[:], steps_ref[:],
+            ndone_ref[:], ob_ref[:], life_ref[:],
+        )
+        carry = jax.lax.fori_loop(0, n_inner, step, carry)
+        (px, py, nxv, nyv, atten, acc, asum, asq, quota, steps, ndone, obi,
+         life) = carry
+        opx_ref[:] = px
+        opy_ref[:] = py
+        onx_ref[:] = nxv
+        ony_ref[:] = nyv
+        oatten_ref[:] = atten
+        oacc_ref[:] = acc
+        oasum_ref[:] = asum
+        oasq_ref[:] = asq
+        oquota_ref[:] = quota
+        osteps_ref[:] = steps
+        ondone_ref[:] = ndone
+        oob_ref[:] = obi
+        olife_ref[:] = life
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    def launch(state, seed):
+        """Advance all walkers by ``n_inner`` steps.
+
+        state: dict with keys p0x,p0y (f32), px,py,nx,ny,atten,acc,asum,asq
+        (f32), quota,steps,ndone,ob (i32) — all (rows, 128).
+        """
+        rows = state["px"].shape[0]
+        grid = (rows // block_rows,)
+        bspec = lambda: pl.BlockSpec(
+            (block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        order = ["px", "py", "nx", "ny", "atten", "acc",
+                 "asum", "asq", "quota", "steps", "ndone", "ob", "life"]
+        dtypes = [f32] * 8 + [i32] * 5
+        out_shape = [
+            jax.ShapeDtypeStruct((rows, _LANES), dt) for dt in dtypes
+        ]
+        out_specs = [bspec() for _ in order]
+        # alias state inputs (after seed, p0x, p0y) to the state outputs
+        aliases = {3 + k: k for k in range(len(order))}
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+                bspec(),  # p0x
+                bspec(),  # p0y
+            ] + [bspec() for _ in order],
+            out_shape=out_shape,
+            out_specs=out_specs,
+            input_output_aliases=aliases,
+        )(
+            jnp.asarray([seed], i32),
+            state["p0x"], state["p0y"],
+            *[state[k] for k in order],
+        )
+        new_state = dict(state)
+        for k, name in enumerate(order):
+            new_state[name] = outs[k]
+        return new_state
+
+    return PallasWalkPlan(run=launch, block_rows=block_rows, n_inner=n_inner)

@@ -148,6 +148,96 @@ def sample_screened_radius(tab: ScreenedRadialTable, R, sigma_bar, u1, u2):
     return R * jnp.where(below, s_unscreened, s)
 
 
+def _exact_rejection(draw, R, sigma_bar, max_rounds: int):
+    """Core two-regime rejection loop; ``draw(round) -> (4, W) uniforms``.
+
+    See :func:`sample_screened_radius_exact` for the math.
+    """
+    R = jnp.asarray(R, jnp.float32)
+    sb = jnp.asarray(sigma_bar, jnp.float32)
+    sq = jnp.sqrt(sb)
+    z = jnp.maximum(R * sq, 1e-12)
+    small = z < 2.0
+
+    from ..ops.bessel import i0e, k0e
+
+    k0e_z = k0e(z)
+    i0e_z = i0e(z)
+
+    def accept_prob(x, s):
+        ratio = (k0e_z * i0e(x)) / (i0e_z * k0e(x)) * jnp.exp(
+            -2.0 * jnp.maximum(z - x, 0.0)
+        )
+        k0x = k0e(x) * jnp.exp(-x)
+        num = k0x * (1.0 - ratio)
+        ln_s = -jnp.log(jnp.clip(s, 1e-12, 1.0 - 1e-7))
+        p_small = jnp.clip(num / jnp.maximum(ln_s, 1e-12), 0.0, 1.0)
+        p_large = jnp.where(x <= z, jnp.clip(1.0 - ratio, 0.0, 1.0), 0.0)
+        return jnp.where(small, p_small, p_large)
+
+    def candidates(u):
+        u0 = jnp.maximum(u[0], 1e-7)
+        u1 = jnp.maximum(u[1], 1e-7)
+        u2 = jnp.maximum(u[2], 1e-7)
+        s_small = jnp.sqrt(u0 * u1)
+        x_small = z * s_small
+        x_large = -jnp.log(u1 * u2) * jnp.sqrt(
+            jnp.maximum(1.0 - u0 * u0, 1e-12)
+        )
+        x = jnp.where(small, x_small, x_large)
+        s = jnp.where(small, s_small, x_large / z)
+        return x, s, u[3]
+
+    x0, s0, ua0 = candidates(draw(jnp.int32(0)))
+    acc0 = ua0 < accept_prob(x0, s0)
+
+    def cond(carry):
+        i, s_cur, accepted = carry
+        return (i < max_rounds) & jnp.any(~accepted)
+
+    def body(carry):
+        i, s_cur, accepted = carry
+        x, s, ua = candidates(draw(i + 1))
+        take = (~accepted) & (ua < accept_prob(x, s))
+        s_cur = jnp.where(take, s, s_cur)
+        return i + 1, s_cur, accepted | take
+
+    _, s_fin, _ = jax.lax.while_loop(cond, body, (jnp.int32(1), s0, acc0))
+    # z below any meaningful screening: unscreened closed form
+    tiny = z < 1e-3
+    u = draw(jnp.int32(-997))
+    s_fin = jnp.where(
+        tiny,
+        jnp.sqrt(jnp.maximum(u[0], 1e-12) * jnp.maximum(u[1], 1e-12)),
+        s_fin,
+    )
+    return jnp.clip(s_fin, 0.0, 1.0) * R
+
+
+def sample_screened_radius_fast(seed, counter, R, sigma_bar,
+                                max_rounds: int = 64):
+    """Exact screened-radius sampling with the counter-hash RNG
+    (:mod:`.rng`) — identical math to :func:`sample_screened_radius_exact`
+    but compiles in seconds instead of minutes inside while-loops.
+
+    Args:
+        seed: u32 scalar. counter: u32 scalar (e.g. walk-loop step index).
+    """
+    from .rng import counter_uniform, mix32
+
+    lanes = int(np.prod(jnp.shape(R))) if jnp.shape(R) else 1
+    base = mix32(jnp.asarray(seed).astype(jnp.uint32)
+                 ^ (jnp.asarray(counter).astype(jnp.uint32)
+                    * jnp.uint32(0xB5297A4D)))
+
+    def draw(round_idx):
+        u = counter_uniform(base ^ jnp.asarray(round_idx).astype(jnp.uint32)
+                            * jnp.uint32(0x68E31DA4), 0, 4, lanes)
+        return u.reshape((4,) + jnp.shape(R))
+
+    return _exact_rejection(draw, R, sigma_bar, max_rounds)
+
+
 def sample_screened_radius_exact(key, R, sigma_bar, max_rounds: int = 64):
     """Exact, gather-free sampling of the screened Green's-weighted radius.
 
@@ -183,66 +273,13 @@ def sample_screened_radius_exact(key, R, sigma_bar, max_rounds: int = 64):
     Returns:
         ``(W,)`` radii in ``(0, R)``.
     """
-    from ..ops.bessel import i0e, k0e
-
-    R = jnp.asarray(R, jnp.float32)
-    sb = jnp.asarray(sigma_bar, jnp.float32)
-    sq = jnp.sqrt(sb)
-    z = jnp.maximum(R * sq, 1e-12)
-    small = z < 2.0
-    # stable c-ratio pieces: c I0(x)/K0(x) = (k0e(z) i0e(x))/(i0e(z) k0e(x))
-    #                                         * exp(-2 (z - x))
-    k0e_z = k0e(z)
-    i0e_z = i0e(z)
-
-    def accept_prob(x, s):
-        ratio = (k0e_z * i0e(x)) / (i0e_z * k0e(x)) * jnp.exp(
-            -2.0 * jnp.maximum(z - x, 0.0)
-        )
-        # small regime: [K0(x) - c I0(x)] / (-ln s), envelope ratio <= 1
-        k0x = k0e(x) * jnp.exp(-x)
-        num = k0x * (1.0 - ratio)
-        ln_s = -jnp.log(jnp.clip(s, 1e-12, 1.0 - 1e-7))
-        p_small = jnp.clip(num / jnp.maximum(ln_s, 1e-12), 0.0, 1.0)
-        # large regime: candidate already ~ x K0(x); reject outside ball
-        p_large = jnp.where(x <= z, jnp.clip(1.0 - ratio, 0.0, 1.0), 0.0)
-        return jnp.where(small, p_small, p_large)
-
     def draw(round_idx):
-        u = jax.random.uniform(
-            jax.random.fold_in(key, round_idx), (4,) + z.shape,
+        return jax.random.uniform(
+            jax.random.fold_in(key, round_idx), (4,) + jnp.shape(R),
             minval=1e-7, maxval=1.0,
         )
-        s_small = jnp.sqrt(u[0] * u[1])
-        x_small = z * s_small
-        x_large = -jnp.log(u[1] * u[2]) * jnp.sqrt(
-            jnp.maximum(1.0 - u[0] * u[0], 1e-12)
-        )
-        x = jnp.where(small, x_small, x_large)
-        s = jnp.where(small, s_small, x_large / z)
-        return x, s, u[3]
 
-    x0, s0, ua0 = draw(jnp.int32(0))
-    acc0 = ua0 < accept_prob(x0, s0)
-
-    def cond(carry):
-        i, s_cur, accepted = carry
-        return (i < max_rounds) & jnp.any(~accepted)
-
-    def body(carry):
-        i, s_cur, accepted = carry
-        x, s, ua = draw(i + 1)
-        take = (~accepted) & (ua < accept_prob(x, s))
-        s_cur = jnp.where(take, s, s_cur)
-        return i + 1, s_cur, accepted | take
-
-    _, s_fin, _ = jax.lax.while_loop(cond, body, (jnp.int32(1), s0, acc0))
-    # z below any meaningful screening: unscreened closed form
-    tiny = z < 1e-3
-    u = jax.random.uniform(jax.random.fold_in(key, jnp.int32(997)),
-                           (2,) + jnp.shape(z), minval=1e-12, maxval=1.0)
-    s_fin = jnp.where(tiny, jnp.sqrt(u[0] * u[1]), s_fin)
-    return jnp.clip(s_fin, 0.0, 1.0) * R
+    return _exact_rejection(draw, R, sigma_bar, max_rounds)
 
 
 def screened_radial_pdf(r, R, sigma_bar):

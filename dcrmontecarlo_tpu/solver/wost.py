@@ -56,7 +56,9 @@ from ..sampling.radial import (
     sample_greens_radius,
     sample_screened_radius,
     sample_screened_radius_exact,
+    sample_screened_radius_fast,
 )
+from ..sampling.rng import counter_uniform, mix32
 from .state import WalkerState, init_state
 
 __all__ = ["WoStSolver", "SolveResult", "SolverOptions"]
@@ -83,6 +85,17 @@ class SolverOptions:
                                        # "table" (inverse-CDF interpolation)
     min_quota: int = 4                 # min walks per recycled slot; amortizes
                                        # the walk-length straggler tail
+    rng: str = "fast"                  # "fast" (counter-hash; compiles in
+                                       # seconds) or "threefry" (jax.random;
+                                       # minutes of XLA compile in while-loops
+                                       # on the current TPU toolchain)
+    backend: str = "auto"              # "auto" | "pallas" | "xla": pallas runs
+                                       # the fused multi-step VMEM-resident
+                                       # kernel (ops/pallas_walk.py); auto
+                                       # picks pallas on TPU when the
+                                       # geometry is statically unrollable
+    pallas_inner_steps: int = 256      # walk steps per pallas launch
+    pallas_block_rows: int = 128       # walker rows (x128 lanes) per block
 
 
 class SolveResult(NamedTuple):
@@ -144,10 +157,17 @@ class WoStSolver:
         t_min = jnp.float32(opts.t_min_frac * pb.diameter)
         project = opts.project_to_boundary
 
+        rng_fast = opts.rng == "fast"
+
         def step(state: WalkerState, p0x, p0y, key):
             W = state.px.shape[0]
-            step_key = jax.random.fold_in(key, state.step_idx)
-            u = jax.random.uniform(step_key, (4, W))
+            if rng_fast:
+                kd = jnp.asarray(key, jnp.uint32).reshape(-1)
+                seed32 = kd[0] ^ mix32(kd[-1])
+                u = counter_uniform(seed32, state.step_idx, 4, W)
+            else:
+                step_key = jax.random.fold_in(key, state.step_idx)
+                u = jax.random.uniform(step_key, (4, W))
             act = state.quota > 0
 
             # -- termination check (WoStSolver.py:206-208,294-298) -------- #
@@ -184,13 +204,17 @@ class WoStSolver:
 
             # -- direction (WoStSolver.py:226-232; normal-centered fix) --- #
             theta = (2.0 * jnp.pi) * u[0]
-            if has_neumann:
-                phi = jnp.arctan2(state.ny, state.nx)
-                theta = jnp.where(
-                    on_bdry, phi + jnp.pi * (u[0] - 0.5), theta
-                )
             dx = jnp.cos(theta)
             dy = jnp.sin(theta)
+            if has_neumann:
+                # hemisphere around the inward normal via rotation (no
+                # atan2): beta = pi (u - 1/2)
+                cb = jnp.sin(jnp.pi * u[0])
+                sb = -jnp.cos(jnp.pi * u[0])
+                hdx = state.nx * cb - state.ny * sb
+                hdy = state.ny * cb + state.nx * sb
+                dx = jnp.where(on_bdry, hdx, dx)
+                dy = jnp.where(on_bdry, hdy, dy)
 
             # -- next point (WoStSolver.py:235-239) ----------------------- #
             if has_neumann:
@@ -209,6 +233,11 @@ class WoStSolver:
             if use_delta:
                 if table is not None:
                     r_s = sample_screened_radius(table, r, sigma_bar, u[1], u[2])
+                elif rng_fast:
+                    r_s = sample_screened_radius_fast(
+                        seed32 ^ jnp.uint32(0xA5A5A5A5), state.step_idx,
+                        r, sigma_bar,
+                    )
                 else:
                     r_s = sample_screened_radius_exact(
                         jax.random.fold_in(step_key, 1), r, sigma_bar
@@ -317,8 +346,30 @@ class WoStSolver:
         quota_row[:rem] += 1
         return K, quota_row
 
+    def _use_pallas(self) -> bool:
+        mode = self.options.backend
+        if mode == "xla":
+            return False
+        from ..ops.pallas_walk import pallas_supported
+
+        ok = pallas_supported(self.problem)
+        if mode == "pallas":
+            if not ok:
+                raise ValueError(
+                    "backend='pallas' requires statically-unrollable "
+                    "geometry (see ops/pallas_walk.MAX_UNROLL_SEGMENTS)"
+                )
+            return True
+        # auto: pallas on TPU only (interpret-mode CPU pallas is slow)
+        return ok and jax.default_backend() == "tpu"
+
     @functools.lru_cache(maxsize=32)
     def _build_solve_fn(self, n_points: int, n_walks: int, max_steps: int, eps: float):
+        if self._use_pallas():
+            return self._build_solve_fn_pallas(n_points, n_walks, max_steps, eps)
+        return self._build_solve_fn_xla(n_points, n_walks, max_steps, eps)
+
+    def _build_solve_fn_xla(self, n_points: int, n_walks: int, max_steps: int, eps: float):
         step = self._make_step_core(eps, max_steps)
         K, quota_row = self._slot_layout(n_points, n_walks)
         quotas = jnp.asarray(np.tile(quota_row, n_points))
@@ -344,6 +395,93 @@ class WoStSolver:
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
             return mean, stderr, final.total_steps, final.step_idx
+
+        return jax.jit(run)
+
+    def _build_solve_fn_pallas(
+        self, n_points: int, n_walks: int, max_steps: int, eps: float
+    ):
+        """Fused-kernel solve: outer launch loop around the multi-step
+        Pallas kernel (``ops/pallas_walk.py``), which advances every walker
+        ``pallas_inner_steps`` per launch with state resident in VMEM."""
+        from ..ops.pallas_walk import make_pallas_walk
+
+        opts = self.options
+        pb = self.problem
+        K, quota_row = self._slot_layout(n_points, n_walks)
+        lane_block = opts.pallas_block_rows * 128
+        W = n_points * K
+        rows = max(opts.pallas_block_rows,
+                   ((W + lane_block - 1) // lane_block) * opts.pallas_block_rows)
+        W_pad = rows * 128
+        n_inner = opts.pallas_inner_steps
+        plan = make_pallas_walk(
+            pb,
+            eps=eps,
+            max_steps=max_steps,
+            t_min=opts.t_min_frac * pb.diameter,
+            rmin=opts.rmin_factor * eps,
+            project=opts.project_to_boundary,
+            n_inner=n_inner,
+            block_rows=opts.pallas_block_rows,
+        )
+        max_quota = int(quota_row.max())
+        launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
+
+        # slot layout: point-major (point i owns slots i*K..(i+1)*K-1), padded
+        quotas = np.zeros((W_pad,), np.int32)
+        quotas[:W] = np.tile(quota_row, n_points)
+        point_id = np.zeros((W_pad,), np.int32)
+        point_id[:W] = np.repeat(np.arange(n_points, dtype=np.int32), K)
+        point_id[W:] = 0  # padded slots have quota 0: contribute nothing
+        quotas_j = jnp.asarray(quotas).reshape(rows, 128)
+        point_id_j = jnp.asarray(point_id)
+
+        def run(points, key):
+            p0x = jnp.concatenate(
+                [jnp.repeat(points[:, 0], K),
+                 jnp.zeros((W_pad - W,), jnp.float32)]
+            ).reshape(rows, 128)
+            p0y = jnp.concatenate(
+                [jnp.repeat(points[:, 1], K),
+                 jnp.zeros((W_pad - W,), jnp.float32)]
+            ).reshape(rows, 128)
+            f0 = jnp.zeros((rows, 128), jnp.float32)
+            i0_ = jnp.zeros((rows, 128), jnp.int32)
+            state = {
+                "p0x": p0x, "p0y": p0y,
+                "px": p0x, "py": p0y,
+                "nx": f0, "ny": f0,
+                "atten": f0 + 1.0, "acc": f0,
+                "asum": f0, "asq": f0,
+                "quota": quotas_j, "steps": i0_, "ndone": i0_, "ob": i0_,
+                "life": i0_,
+            }
+            seed0 = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+
+            def cond(c):
+                state, launches = c
+                return (launches < launch_cap) & jnp.any(state["quota"] > 0)
+
+            def body(c):
+                state, launches = c
+                new_state = plan.run(state, seed0 + launches * 1000003)
+                return new_state, launches + 1
+
+            state, launches = jax.lax.while_loop(
+                cond, body, (state, jnp.int32(0))
+            )
+            total_steps = jnp.sum(state["life"].astype(jnp.float32))
+            sums = jax.ops.segment_sum(
+                state["asum"].reshape(-1), point_id_j, num_segments=n_points
+            )
+            sumsq = jax.ops.segment_sum(
+                state["asq"].reshape(-1), point_id_j, num_segments=n_points
+            )
+            mean = sums / n_walks
+            var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
+            stderr = jnp.sqrt(var / n_walks)
+            return mean, stderr, total_steps, launches * n_inner
 
         return jax.jit(run)
 

@@ -1,0 +1,89 @@
+"""Pallas fused-kernel tests.
+
+Statistical checks require the hardware PRNG (``pltpu.prng_random_bits``
+returns zeros in interpreter mode), so they run only on a real TPU —
+CI covers the XLA path; the driver's TPU bench exercises this one.
+Structural checks (kernel traces, deterministic semantics match the XLA
+step) run everywhere via interpreter mode.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from dcrmontecarlo_tpu import Problem, WoStSolver, square_loop, circle_loop
+from dcrmontecarlo_tpu.solver import SolverOptions
+from dcrmontecarlo_tpu.ops.pallas_walk import pallas_supported
+
+on_tpu = jax.default_backend() == "tpu"
+
+
+def test_pallas_supported_detection():
+    prob = Problem(dirichlet=square_loop(1.0))
+    assert pallas_supported(prob)
+    big = Problem(
+        dirichlet=circle_loop(1.0, n=256),  # 256 segments > MAX_UNROLL
+    )
+    assert not pallas_supported(big)
+
+
+def test_backend_pallas_rejects_large_geometry():
+    big = Problem(dirichlet=circle_loop(1.0, n=256))
+    s = WoStSolver(big, SolverOptions(backend="pallas"))
+    with pytest.raises(ValueError):
+        s._use_pallas()
+
+
+def test_auto_backend_on_cpu_is_xla():
+    prob = Problem(dirichlet=square_loop(1.0))
+    s = WoStSolver(prob, SolverOptions(backend="auto"))
+    if not on_tpu:
+        assert not s._use_pallas()
+
+
+def test_pallas_kernel_traces_in_interpret_mode():
+    # semantic smoke: kernel compiles & runs (PRNG is zeros in interpret
+    # mode, so walks march deterministically along +x; the estimate is then
+    # exactly bc(p0 + dD * x_hat))
+    from jax.experimental.pallas import tpu as pltpu
+
+    prob = Problem(dirichlet=square_loop(1.0), bc_dirichlet=lambda x, y: x + 2 * y)
+    s = WoStSolver(
+        prob,
+        SolverOptions(target_slots=256, backend="pallas",
+                      pallas_inner_steps=16, pallas_block_rows=8),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        res = s.solve(np.array([[0.0, 0.0], [0.5, 0.3]]), n_walks=16,
+                      max_steps=50, eps=1e-3, seed=0)
+    np.testing.assert_allclose(res.mean, [1.0, 1.6], atol=1e-5)
+    np.testing.assert_allclose(res.stderr, 0.0, atol=1e-6)
+
+
+@pytest.mark.skipif(not on_tpu, reason="hardware PRNG required")
+def test_pallas_harmonic_tpu():
+    prob = Problem(dirichlet=square_loop(1.0), bc_dirichlet=lambda x, y: x + 2 * y)
+    s = WoStSolver(prob, SolverOptions(target_slots=1 << 15, backend="pallas"))
+    pts = np.array([[0.0, 0.0], [0.5, 0.3]])
+    res = s.solve(pts, n_walks=8000, max_steps=200, eps=1e-3, seed=0)
+    exact = pts[:, 0] + 2 * pts[:, 1]
+    assert (np.abs(res.mean - exact) < 4 * res.stderr + 5e-3).all()
+
+
+@pytest.mark.skipif(not on_tpu, reason="hardware PRNG required")
+def test_pallas_matches_xla_tpu():
+    prob = Problem(
+        dirichlet=square_loop(2.0),
+        bc_dirichlet=lambda x, y: x * x + y * y,
+        source=lambda x, y: -4.0 + 0.0 * x,
+    )
+    pts = np.array([[0.0, 0.0], [1.0, 0.5]])
+    a = WoStSolver(prob, SolverOptions(target_slots=1 << 14, backend="pallas")).solve(
+        pts, n_walks=8000, max_steps=300, eps=1e-3, seed=0
+    )
+    b = WoStSolver(prob, SolverOptions(target_slots=1 << 14, backend="xla")).solve(
+        pts, n_walks=8000, max_steps=300, eps=1e-3, seed=0
+    )
+    err = np.abs(a.mean - b.mean)
+    tol = 4 * np.sqrt(a.stderr**2 + b.stderr**2)
+    assert (err < tol).all(), (a.mean, b.mean)
