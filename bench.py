@@ -29,16 +29,19 @@ def main():
     from dcrmontecarlo_tpu.solver import SolverOptions, WoStSolver
 
     if args.preset == "smoke":
-        target_slots, n_walks, max_steps = 4096, 64, 200
+        target_slots, n_walks, max_steps, min_quota = 4096, 64, 200, 4
     else:
-        target_slots, n_walks, max_steps = 1 << 20, 1 << 14, 500
+        # tuned on v5e: ~590k walker slots at quota 8 saturate the chip
+        target_slots, n_walks, max_steps, min_quota = 1 << 21, 1 << 19, 500, 8
 
     survey, electrodes = geophysical_scenario(sharpness=0.5)
     problem = survey.build_problem()
     electrodes = np.asarray(electrodes, np.float32).copy()
     electrodes[:, 1] = -0.5  # start just inside the half-space
 
-    solver = WoStSolver(problem, SolverOptions(target_slots=target_slots))
+    solver = WoStSolver(
+        problem, SolverOptions(target_slots=target_slots, min_quota=min_quota)
+    )
 
     # warmup / compile
     solver.solve(electrodes, n_walks=min(n_walks, 64), max_steps=max_steps,

@@ -71,6 +71,15 @@ class ShardedWoStSolver(WoStSolver):
 
     @functools.lru_cache(maxsize=32)
     def _build_solve_fn(self, n_points: int, n_walks: int, max_steps: int, eps: float):
+        if self._use_pallas():
+            return self._build_solve_fn_pallas_sharded(
+                n_points, n_walks, max_steps, eps
+            )
+        return self._build_solve_fn_xla_sharded(n_points, n_walks, max_steps, eps)
+
+    def _build_solve_fn_xla_sharded(
+        self, n_points: int, n_walks: int, max_steps: int, eps: float
+    ):
         step = self._make_step_core(eps, max_steps)
         K, quota_row = self._slot_layout(n_points, n_walks)
         max_quota = int(quota_row.max())
@@ -130,6 +139,129 @@ class ShardedWoStSolver(WoStSolver):
             mesh=self.mesh,
             in_specs=(P(), P(axis, None), P()),
             out_specs=(P(), P(), P(), P()),
+        )
+
+        @jax.jit
+        def run(points, key):
+            sums, sumsq, steps, iters = mapped(points, quotas_km, key)
+            mean = sums / n_walks
+            var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
+            stderr = jnp.sqrt(var / n_walks)
+            return mean, stderr, steps, iters
+
+        return run
+
+    def _build_solve_fn_pallas_sharded(
+        self, n_points: int, n_walks: int, max_steps: int, eps: float
+    ):
+        """shard_map around the fused Pallas launch loop: each device runs
+        the multi-step kernel on its walker shard independently; one psum
+        combines per-point sums at the end (same collective pattern as the
+        XLA sharded path)."""
+        from ..ops.pallas_walk import make_pallas_walk
+
+        opts = self.options
+        pb = self.problem
+        axis = self.axis
+        n_dev = self.mesh.devices.size
+        K, quota_row = self._slot_layout(n_points, n_walks)
+        k_local = K // n_dev
+        lane_block = opts.pallas_block_rows * 128
+        w_local = n_points * k_local
+        rows_local = max(
+            opts.pallas_block_rows,
+            ((w_local + lane_block - 1) // lane_block) * opts.pallas_block_rows,
+        )
+        w_pad = rows_local * 128
+        n_inner = opts.pallas_inner_steps
+        plan = make_pallas_walk(
+            pb,
+            eps=eps,
+            max_steps=max_steps,
+            t_min=opts.t_min_frac * pb.diameter,
+            rmin=opts.rmin_factor * eps,
+            project=opts.project_to_boundary,
+            n_inner=n_inner,
+            block_rows=opts.pallas_block_rows,
+        )
+        max_quota = int(quota_row.max())
+        launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
+
+        # quotas laid out (K, n_points) so the slot axis shards evenly
+        quotas_km = jnp.asarray(
+            np.tile(quota_row[:, None], (1, n_points)).astype(np.int32)
+        )
+        # per-shard point ids for the final segment sum
+        pid_local = np.zeros((w_pad,), np.int32)
+        pid_local[:w_local] = np.tile(
+            np.arange(n_points, dtype=np.int32), k_local
+        )
+        pid_local_j = jnp.asarray(pid_local)
+
+        def shard_body(points, quotas_shard, key):
+            dev = jax.lax.axis_index(axis)
+            seed0 = (
+                jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+                ^ (dev * jnp.int32(0x3504F333))
+            )
+            pv = lambda a: jax.lax.pcast(a, (axis,), to="varying")
+            # slot-major layout matching pid_local: slot j of point i at
+            # index j * n_points + i
+            p0x = pv(jnp.concatenate([
+                jnp.tile(points[:, 0], (k_local,)),
+                jnp.zeros((w_pad - w_local,), jnp.float32),
+            ]).reshape(rows_local, 128))
+            p0y = pv(jnp.concatenate([
+                jnp.tile(points[:, 1], (k_local,)),
+                jnp.zeros((w_pad - w_local,), jnp.float32),
+            ]).reshape(rows_local, 128))
+            quota = jnp.concatenate([
+                quotas_shard.reshape(-1),
+                jnp.zeros((w_pad - w_local,), jnp.int32),
+            ]).reshape(rows_local, 128)
+            f0 = pv(jnp.zeros((rows_local, 128), jnp.float32))
+            i0_ = pv(jnp.zeros((rows_local, 128), jnp.int32))
+            state = {
+                "p0x": p0x, "p0y": p0y,
+                "px": p0x, "py": p0y,
+                "nx": f0, "ny": f0,
+                "atten": f0 + 1.0, "acc": f0,
+                "asum": f0, "asq": f0,
+                "quota": quota, "steps": i0_, "ndone": i0_, "ob": i0_,
+                "life": i0_,
+            }
+
+            def cond(c):
+                state, launches = c
+                return (launches < launch_cap) & jnp.any(state["quota"] > 0)
+
+            def body(c):
+                state, launches = c
+                new_state = plan.run(state, seed0 + launches * 1000003)
+                return new_state, launches + 1
+
+            state, launches = jax.lax.while_loop(
+                cond, body, (state, pv(jnp.int32(0)))
+            )
+            sums = jax.ops.segment_sum(
+                state["asum"].reshape(-1), pid_local_j, num_segments=n_points
+            )
+            sumsq = jax.ops.segment_sum(
+                state["asq"].reshape(-1), pid_local_j, num_segments=n_points
+            )
+            steps = jnp.sum(state["life"].astype(jnp.float32))
+            sums = jax.lax.psum(sums, axis)
+            sumsq = jax.lax.psum(sumsq, axis)
+            steps = jax.lax.psum(steps, axis)
+            iters = jax.lax.pmax(launches * n_inner, axis)
+            return sums, sumsq, steps, iters
+
+        mapped = jax.shard_map(
+            shard_body,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis, None), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,  # pallas_call outputs carry no vma metadata
         )
 
         @jax.jit

@@ -8,7 +8,7 @@ finite-volume oracle on the identical conductivity model).
 import numpy as np
 import pytest
 
-from dcrmontecarlo_tpu.models import geophysical_scenario
+from dcrmontecarlo_tpu.models import geophysical_scenario, notebook_survey
 from dcrmontecarlo_tpu.solver import SolverOptions
 from dcrmontecarlo_tpu.survey import (
     apparent_resistivity_2d,
@@ -98,6 +98,30 @@ def test_dcr_voltage_antisymmetry(scenario_run):
     x = result.electrodes[:, 0]
     assert v[np.argmin(np.abs(x + 10))] > 0
     assert v[np.argmin(np.abs(x - 10))] < 0
+
+
+def test_notebook_survey_smoke():
+    # C18 rebuild (testNotebook.ipynb cells 3, 17-19): 1000 m dipole-dipole
+    # survey. Small-walk smoke on CPU: finite potentials, correct dipole
+    # sign structure (+ electrode at x=-200, - at x=+200), and voltage
+    # differences computable for all 20 receiver dipoles.
+    survey, electrodes = notebook_survey()
+    assert electrodes.shape == (21, 2)
+    result = survey.run(
+        electrodes,
+        n_walks=150,
+        max_steps=300,
+        eps=0.9,
+        seed=0,
+        options=SolverOptions(target_slots=4096),
+    )
+    assert np.isfinite(result.potentials).all()
+    x = result.electrodes[:, 0]
+    near_pos = np.abs(x + 200) <= 40
+    near_neg = np.abs(x - 200) <= 40
+    assert result.potentials[near_pos].mean() > 0
+    assert result.potentials[near_neg].mean() < 0
+    assert result.voltages.shape == (20,)
 
 
 def test_dcr_apparent_resistivity_scale(scenario_run):
