@@ -129,7 +129,7 @@ def trace_walks(
         [np.asarray(recs["px"]).T, np.asarray(recs["py"]).T], axis=-1
     )
     active = np.asarray(recs["active"]).T
-    total = np.asarray(final.acc_sum)
+    total = np.asarray(final.acc_sum)[0]  # source axis: first (or only) field
     boundary = np.asarray(recs["bnd"]).T.sum(axis=1)
     walk_length = np.maximum(active.sum(axis=1) - 1, 0)
     return WalkHistory(

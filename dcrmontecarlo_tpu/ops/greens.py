@@ -58,19 +58,36 @@ def screened_greens_2d(r, R, sigma_bar):
     return (k0(rz) - (k0(z) / i0(z)) * i0(rz)) / _TWO_PI
 
 
+def _one_minus_inv_i0(z):
+    """``1 - 1/I0(z)`` without catastrophic cancellation.
+
+    For small z the direct form loses all precision in float32 (the true
+    value ~ z^2/4 sinks below the rounding error of the subtraction from
+    1), which corrupted source weights by up to 400% in the weak-screening
+    limit. Series branch: with ``t = z^2/4``,
+    ``I0 = 1 + t + t^2/4 + t^3/36 + ...`` so
+    ``1 - 1/I0 = s / (1 + s)`` with ``s = t + t^2/4 + t^3/36``.
+    """
+    t = z * z * 0.25
+    s = t * (1.0 + t * (0.25 + t / 36.0))
+    small = s / (1.0 + s)
+    large = 1.0 - jnp.exp(-z) / i0e(jnp.maximum(z, 0.25))
+    return jnp.where(z < 0.25, small, large)
+
+
 def screened_greens_norm_2d(R, sigma_bar):
     """Disk integral of the screened Green's function.
 
-    ``(1 - 1/I0(R sqrt(sigma_bar))) / sigma_bar``, computed via the
-    exponentially scaled ``i0e`` so it stays finite for large arguments
-    (1/I0 underflows cleanly to 0).
+    ``(1 - 1/I0(R sqrt(sigma_bar))) / sigma_bar``, via the
+    cancellation-safe ``_one_minus_inv_i0`` (recovers the unscreened limit
+    ``R^2/4`` exactly as ``sigma_bar -> 0``) and the exponentially scaled
+    ``i0e`` for large arguments (1/I0 underflows cleanly to 0).
     """
     z = R * jnp.sqrt(sigma_bar)
-    inv_i0 = jnp.exp(-z) / i0e(z)
-    return (1.0 - inv_i0) / sigma_bar
+    return _one_minus_inv_i0(z) / sigma_bar
 
 
 def screened_interior_prob(R, sigma_bar):
     """Delta-tracking interior-event probability ``1 - 1/I0(R sqrt(sb))``."""
     z = R * jnp.sqrt(sigma_bar)
-    return 1.0 - jnp.exp(-z) / i0e(z)
+    return _one_minus_inv_i0(z)

@@ -174,14 +174,23 @@ def _k0e(x):
     return k0e(x)
 
 
+def _one_minus_inv_i0(z):
+    # cancellation-safe 1 - 1/I0(z); see ops/greens.py::_one_minus_inv_i0
+    t = z * z * 0.25
+    s = t * (1.0 + t * (0.25 + t / 36.0))
+    small = s / (1.0 + s)
+    large = 1.0 - jnp.exp(-z) / _i0e(jnp.maximum(z, 0.25))
+    return jnp.where(z < 0.25, small, large)
+
+
 def _screened_interior_prob(r, sigma_bar):
     z = r * float(np.sqrt(sigma_bar))
-    return 1.0 - jnp.exp(-z) / _i0e(z)
+    return _one_minus_inv_i0(z)
 
 
 def _screened_norm(r, sigma_bar):
     z = r * float(np.sqrt(sigma_bar))
-    return (1.0 - jnp.exp(-z) / _i0e(z)) / float(sigma_bar)
+    return _one_minus_inv_i0(z) / float(sigma_bar)
 
 
 def _sample_screened_exact(r, sigma_bar, n_rounds):

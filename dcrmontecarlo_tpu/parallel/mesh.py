@@ -86,6 +86,7 @@ class ShardedWoStSolver(WoStSolver):
         step_cap = max_quota * (max_steps + 1) + 2
         axis = self.axis
         n_dev = self.mesh.devices.size
+        n_src = max(1, len(self.problem.source_fields))
         # lay slots out walker-major so the sharded axis is contiguous:
         # (K, n_points) with K split over devices
         quotas_km = jnp.asarray(np.tile(quota_row[:, None], (1, n_points)))
@@ -101,7 +102,8 @@ class ShardedWoStSolver(WoStSolver):
             pv = lambda a: jax.lax.pcast(a, (axis,), to="varying")
             p0x = pv(jnp.tile(points[:, 0], (k_local,)))
             p0y = pv(jnp.tile(points[:, 1], (k_local,)))
-            state = init_state(p0x, p0y, quotas_shard.reshape(-1))
+            state = init_state(p0x, p0y, quotas_shard.reshape(-1),
+                               n_src=n_src)
             state = state._replace(
                 on_bdry=pv(state.on_bdry),
                 nx=pv(state.nx),
@@ -124,8 +126,8 @@ class ShardedWoStSolver(WoStSolver):
                 return s2
 
             final = jax.lax.while_loop(cond, body, state)
-            sums = final.acc_sum.reshape(k_local, n_points).sum(axis=0)
-            sumsq = final.acc_sumsq.reshape(k_local, n_points).sum(axis=0)
+            sums = final.acc_sum.reshape(n_src, k_local, n_points).sum(axis=1)
+            sumsq = final.acc_sumsq.reshape(n_src, k_local, n_points).sum(axis=1)
             steps = final.total_steps
             # one collective per solve, over ICI
             sums = jax.lax.psum(sums, axis)
@@ -245,10 +247,10 @@ class ShardedWoStSolver(WoStSolver):
             )
             sums = jax.ops.segment_sum(
                 state["asum"].reshape(-1), pid_local_j, num_segments=n_points
-            )
+            )[None]
             sumsq = jax.ops.segment_sum(
                 state["asq"].reshape(-1), pid_local_j, num_segments=n_points
-            )
+            )[None]
             steps = jnp.sum(state["life"].astype(jnp.float32))
             sums = jax.lax.psum(sums, axis)
             sumsq = jax.lax.psum(sumsq, axis)

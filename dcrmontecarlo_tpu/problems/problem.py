@@ -114,29 +114,51 @@ class Problem:
             if self.sigma_bar_override is not None:
                 self.sigma_bar = float(self.sigma_bar_override)
             else:
-                # sigma_bar = max - min of sigma' on a grid scan
-                # (WoStSolver.py:129-136). The max-min spread (rather than
-                # the max) is kept for reference parity; with the clamp
-                # max(1 - sigma'/sigma_bar, 0) in the walk it remains a
-                # valid, if conservative, majorant whenever min <= 0.
+                # Screening majorant from a grid scan of sigma'.
+                # Deliberate fix of the reference policy (WoStSolver.py:
+                # 129-136, sigma_bar = max - min with a 10.0 fallback when
+                # the spread is <= 0 or > 1e3): a constant sigma' (e.g.
+                # constant coefficients) has zero spread, and the 10.0
+                # fallback then imposes a ~0.3-length mean free path on
+                # walks that need none — O((L sqrt(10))^2) steps instead of
+                # O(log L/eps). Correct majorant:
+                #   * min >= 0: sigma_bar = max (null-collision weight
+                #     1 - sigma'/sigma_bar stays in [0, 1]),
+                #   * min < 0: sigma_bar = max - min (bounds the weight by
+                #     2 while keeping it nonnegative before the clamp),
+                #   * sigma' ~ 0 everywhere: sigma_bar -> 0 recovers plain
+                #     WoSt edge moves.
                 mn, mx, _, _ = grid_min_max(
                     sigma_prime, bounds, self.sigma_bar_resolution
                 )
-                sb = mx - mn
-                if sb <= 0 or sb > 1e3:
-                    # reference fallback (WoStSolver.py:134-136)
-                    if sb > 1e3:
-                        import warnings
+                sb = (mx - mn) if mn < 0 else mx
+                if sb <= 1e-12:
+                    sb = 1e-6  # unscreened limit: pure WoSt
+                if sb > 1e3:
+                    import warnings
 
-                        warnings.warn(
-                            f"sigma' spread {sb:.3g} exceeds 1e3; falling "
-                            "back to sigma_bar=10.0 for reference parity. "
-                            "Delta-tracking weights will be clamped/biased "
-                            "where |sigma'| >> sigma_bar — smooth the "
-                            "coefficient field or set sigma_bar_override."
-                        )
-                    sb = 10.0
+                    warnings.warn(
+                        f"sigma' majorant {sb:.3g} is extreme; delta-"
+                        "tracking walks will take O(sigma_bar * L^2) steps."
+                        " Smooth the coefficient field or set "
+                        "sigma_bar_override."
+                    )
                 self.sigma_bar = float(sb)
+
+    @property
+    def source_fields(self) -> list:
+        """Normalized list of source fields.
+
+        ``source`` may be one field or a list of fields: the solver
+        estimates every source simultaneously from one walker ensemble
+        (walk paths are source-independent; see ``solver/state.py``). Used
+        by multi-source DCR surveys (one ensemble, many current dipoles).
+        """
+        if self.source is None:
+            return []
+        if isinstance(self.source, (list, tuple)):
+            return list(self.source)
+        return [self.source]
 
     @property
     def diameter(self) -> float:

@@ -17,7 +17,15 @@ __all__ = ["WalkerState", "init_state"]
 
 
 class WalkerState(NamedTuple):
-    """All arrays have shape ``(W,)`` unless noted."""
+    """All arrays have shape ``(W,)`` unless noted.
+
+    Accumulators (``walk_acc``, ``acc_sum``, ``acc_sumsq``) carry a leading
+    source axis ``(n_src, W)``: walk *paths* are independent of the source
+    term (they depend only on geometry and coefficients), so one walker
+    ensemble estimates the solution for many source fields simultaneously —
+    each source costs only one extra field evaluation per step, not a new
+    ensemble. The single-source case is ``n_src = 1``.
+    """
 
     px: jnp.ndarray          # f32 current walker position x
     py: jnp.ndarray          # f32 current walker position y
@@ -25,19 +33,20 @@ class WalkerState(NamedTuple):
     nx: jnp.ndarray          # f32 inward normal at the last Neumann hit
     ny: jnp.ndarray          # f32
     atten: jnp.ndarray       # f32 delta-tracking attenuation (1.0 otherwise)
-    walk_acc: jnp.ndarray    # f32 source contributions of the current walk
+    walk_acc: jnp.ndarray    # f32 (n_src, W) source contributions, this walk
     quota: jnp.ndarray       # i32 walks left for this slot (incl. current)
     steps_cur: jnp.ndarray   # i32 steps taken in the current walk
-    acc_sum: jnp.ndarray     # f32 sum of finished-walk totals
-    acc_sumsq: jnp.ndarray   # f32 sum of squared finished-walk totals
+    acc_sum: jnp.ndarray     # f32 (n_src, W) sum of finished-walk totals
+    acc_sumsq: jnp.ndarray   # f32 (n_src, W) sum of squared totals
     n_done: jnp.ndarray      # i32 finished walks
     total_steps: jnp.ndarray  # () f32 active walker-steps taken (diagnostic)
     step_idx: jnp.ndarray    # () i32 global loop iteration (RNG counter)
 
 
-def init_state(p0x, p0y, quotas) -> WalkerState:
+def init_state(p0x, p0y, quotas, n_src: int = 1) -> WalkerState:
     w = p0x.shape[0]
     f0 = jnp.zeros((w,), jnp.float32)
+    acc0 = jnp.zeros((n_src, w), jnp.float32)
     return WalkerState(
         px=p0x.astype(jnp.float32),
         py=p0y.astype(jnp.float32),
@@ -45,11 +54,11 @@ def init_state(p0x, p0y, quotas) -> WalkerState:
         nx=f0,
         ny=f0,
         atten=jnp.ones((w,), jnp.float32),
-        walk_acc=f0,
+        walk_acc=acc0,
         quota=quotas.astype(jnp.int32),
         steps_cur=jnp.zeros((w,), jnp.int32),
-        acc_sum=f0,
-        acc_sumsq=f0,
+        acc_sum=acc0,
+        acc_sumsq=acc0,
         n_done=jnp.zeros((w,), jnp.int32),
         total_steps=jnp.zeros((), jnp.float32),
         step_idx=jnp.zeros((), jnp.int32),

@@ -145,9 +145,10 @@ class WoStSolver:
         neumann = pb.neumann
         has_neumann = neumann is not None
         use_delta = pb.use_delta_tracking
-        has_source = pb.source is not None
+        source_fields = pb.source_fields
+        has_source = len(source_fields) > 0
         bc = jax.vmap(_lift(pb.bc_dirichlet))
-        source = jax.vmap(_lift(pb.source)) if has_source else None
+        sources = [jax.vmap(_lift(f)) for f in source_fields]
         alpha_c = jax.vmap(_lift(pb.alpha_c)) if use_delta else None
         sigma_prime = jax.vmap(_lift(pb.sigma_prime)) if use_delta else None
         sigma_bar = jnp.float32(pb.sigma_bar) if use_delta else None
@@ -252,9 +253,12 @@ class WoStSolver:
                 a_p = alpha_c(px, py)
 
             # -- source next-event estimation (WoStSolver.py:242-258) ----- #
-            src_contrib = jnp.zeros_like(px)
+            # one NEE sample shared by every source field: paths are
+            # source-independent, so a multi-source survey reuses the
+            # ensemble (accumulators carry an (n_src, W) leading axis)
+            src_contrib = jnp.zeros_like(state.walk_acc)
             if has_source:
-                f_val = source(sx, sy)
+                f_val = jnp.stack([f(sx, sy) for f in sources])  # (n_src, W)
                 if use_delta:
                     a_s = alpha_c(sx, sy)
                     w_src = (
@@ -319,8 +323,10 @@ class WoStSolver:
                 "d_silhouette": d_sil,
                 "stepping": stepping,
                 "walk_done": walk_done,
-                "boundary_contrib": jnp.where(walk_done, contrib - state.walk_acc, 0.0),
-                "source_contrib": src_contrib,
+                "boundary_contrib": jnp.where(
+                    walk_done, (contrib - state.walk_acc)[0], 0.0
+                ),
+                "source_contrib": src_contrib[0],
                 "radius": r,
             }
             return new_state, diag
@@ -353,6 +359,8 @@ class WoStSolver:
         from ..ops.pallas_walk import pallas_supported
 
         ok = pallas_supported(self.problem)
+        # multi-source accumulators not yet plumbed through the kernel
+        ok = ok and len(self.problem.source_fields) <= 1
         if mode == "pallas":
             if not ok:
                 raise ValueError(
@@ -376,10 +384,12 @@ class WoStSolver:
         max_quota = int(quota_row.max())
         step_cap = max_quota * (max_steps + 1) + 2
 
+        n_src = max(1, len(self.problem.source_fields))
+
         def run(points, key):
             p0x = jnp.repeat(points[:, 0], K)
             p0y = jnp.repeat(points[:, 1], K)
-            state = init_state(p0x, p0y, quotas)
+            state = init_state(p0x, p0y, quotas, n_src=n_src)
 
             def cond(s):
                 return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
@@ -389,8 +399,8 @@ class WoStSolver:
                 return s2
 
             final = jax.lax.while_loop(cond, body, state)
-            sums = final.acc_sum.reshape(n_points, K).sum(axis=1)
-            sumsq = final.acc_sumsq.reshape(n_points, K).sum(axis=1)
+            sums = final.acc_sum.reshape(n_src, n_points, K).sum(axis=2)
+            sumsq = final.acc_sumsq.reshape(n_src, n_points, K).sum(axis=2)
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
@@ -481,7 +491,7 @@ class WoStSolver:
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            return mean, stderr, total_steps, launches * n_inner
+            return mean[None], stderr[None], total_steps, launches * n_inner
 
         return jax.jit(run)
 
@@ -523,9 +533,16 @@ class WoStSolver:
         fn = self._build_solve_fn(n_points, int(n_walks), int(max_steps), float(eps))
         key = jax.random.PRNGKey(seed)
         mean, stderr, total_steps, iters = fn(pts, key)
+        mean = np.asarray(mean)
+        stderr = np.asarray(stderr)
+        # single-source problems keep the reference's flat (N,) shape;
+        # multi-source problems return (n_src, N)
+        if len(self.problem.source_fields) <= 1:
+            mean = mean[0]
+            stderr = stderr[0]
         result = SolveResult(
-            mean=np.asarray(mean),
-            stderr=np.asarray(stderr),
+            mean=mean,
+            stderr=stderr,
             n_walks=int(n_walks),
             total_steps=float(total_steps),
             iterations=int(iters),

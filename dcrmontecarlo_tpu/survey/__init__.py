@@ -5,7 +5,10 @@ from .dcr import (
     apparent_resistivity_halfspace,
     DCRSurvey,
     SurveyResult,
+    Pseudosection,
     halfspace_domain,
+    dipole_dipole_pairs,
+    run_pseudosection,
 )
 
 __all__ = [
@@ -15,5 +18,8 @@ __all__ = [
     "apparent_resistivity_halfspace",
     "DCRSurvey",
     "SurveyResult",
+    "Pseudosection",
     "halfspace_domain",
+    "dipole_dipole_pairs",
+    "run_pseudosection",
 ]

@@ -38,7 +38,9 @@ __all__ = [
     "apparent_resistivity_halfspace",
     "DCRSurvey",
     "SurveyResult",
+    "Pseudosection",
     "halfspace_domain",
+    "dipole_dipole_pairs",
 ]
 
 
@@ -225,3 +227,141 @@ class DCRSurvey:
             apparent_resistivity=rho_a,
             solve=res,
         )
+
+
+def dipole_dipole_pairs(n_electrodes: int, num_rx_per_src: int = 10):
+    """Enumerate dipole-dipole (source, receiver) index pairs.
+
+    SimPEG-convention survey generation (the notebook builds its survey with
+    ``generate_dcip_sources_line(survey_type="dipole-dipole", ...,
+    num_rx_per_src=10)``, cell 3): source dipole at electrodes ``(i, i+1)``,
+    receiver dipoles ``(j, j+1)`` for ``j`` from ``i+2`` up to
+    ``i+1+num_rx_per_src``.
+
+    Returns:
+        ``(sources, receivers)``: source list of ``(a, b)`` index tuples and
+        per-source lists of ``(m, n)`` receiver index tuples.
+    """
+    sources, receivers = [], []
+    for i in range(n_electrodes - 3):
+        rx = [
+            (j, j + 1)
+            for j in range(i + 2, min(i + 2 + num_rx_per_src, n_electrodes - 1))
+        ]
+        if rx:
+            sources.append((i, i + 1))
+            receivers.append(rx)
+    return sources, receivers
+
+
+class Pseudosection(NamedTuple):
+    """Dipole-dipole pseudosection data.
+
+    Flat arrays over all (source, receiver) measurements; ``pseudo_x`` /
+    ``pseudo_z`` follow the standard plotting convention (midpoint of
+    source/receiver centers, half their separation as depth) used by
+    SimPEG's ``plot_pseudosection``.
+    """
+
+    potentials: np.ndarray       # (n_src, n_electrodes)
+    potentials_stderr: np.ndarray
+    src_index: np.ndarray        # (M,) source id per measurement
+    a_index: np.ndarray          # (M,) current electrode indices
+    b_index: np.ndarray
+    m_index: np.ndarray          # (M,) potential electrode indices
+    n_index: np.ndarray
+    voltage: np.ndarray          # (M,) V_M - V_N
+    voltage_stderr: np.ndarray   # (M,) correlated-walk upper bound
+    apparent_resistivity: np.ndarray  # (M,) 2D line-source convention
+    pseudo_x: np.ndarray         # (M,)
+    pseudo_z: np.ndarray         # (M,)
+
+
+def run_pseudosection(
+    survey: "DCRSurvey",
+    electrodes: np.ndarray,
+    num_rx_per_src: int = 10,
+    n_walks: int = 1000,
+    max_steps: int = 500,
+    eps: float = 0.9,
+    seed: int = 0,
+    options: SolverOptions = SolverOptions(),
+) -> Pseudosection:
+    """Full dipole-dipole sweep from ONE walker ensemble.
+
+    Every source dipole of the survey line is estimated simultaneously:
+    walk paths are independent of the source term, so the solver carries
+    one accumulator row per source (see ``solver/state.py``) instead of
+    re-walking per source — an O(n_src) saving no sequential solver gets.
+    The survey's own ``current_a/current_b`` are ignored; sources come from
+    the electrode line.
+    """
+    from ..problems.fields import gaussian_dipole
+
+    electrodes = np.asarray(electrodes, np.float32)
+    n_elec = len(electrodes)
+    sources, receivers = dipole_dipole_pairs(n_elec, num_rx_per_src)
+    # Current sources are regularized Gaussians; centered exactly on the
+    # insulating surface half their mass (current) falls outside the
+    # domain, halving the injected current and breaking the geometric
+    # factor. Bury them ~2 widths below the surface so the full current
+    # enters the half-space (images make a shallow buried source
+    # equivalent to a surface source at electrode-spacing scales).
+    depth = max(survey.electrode_nudge, 2.0 * survey.source_width)
+    src_pos = electrodes.copy()
+    on_surface = np.abs(src_pos[:, 1] - survey.surface_y) < depth
+    src_pos[on_surface, 1] = survey.surface_y - depth
+    source_fields = [
+        gaussian_dipole(src_pos[a], src_pos[b], survey.current,
+                        survey.source_width)
+        for a, b in sources
+    ]
+    problem = survey.build_problem()
+    problem.source = source_fields
+
+    solver = WoStSolver(problem, options)
+    pts = electrodes.copy()
+    on_surface = np.abs(pts[:, 1] - survey.surface_y) < survey.electrode_nudge
+    pts[on_surface, 1] = survey.surface_y - survey.electrode_nudge
+    res = solver.solve(pts, n_walks=n_walks, max_steps=max_steps, eps=eps,
+                       seed=seed)
+    u = res.mean          # (n_src, n_elec)
+    u_err = res.stderr
+
+    rows = {k: [] for k in ("src", "a", "b", "m", "n", "dv", "dverr",
+                            "rho", "px", "pz")}
+    for s, ((a, b), rx_list) in enumerate(zip(sources, receivers)):
+        for (m, n) in rx_list:
+            dv = u[s, m] - u[s, n]
+            dverr = float(np.sqrt(u_err[s, m] ** 2 + u_err[s, n] ** 2))
+            rho = apparent_resistivity_2d(
+                np.asarray([dv]), survey.current,
+                electrodes[a], electrodes[b],
+                electrodes[m][None], electrodes[n][None],
+            )[0]
+            src_mid = 0.5 * (electrodes[a, 0] + electrodes[b, 0])
+            rx_mid = 0.5 * (electrodes[m, 0] + electrodes[n, 0])
+            rows["src"].append(s)
+            rows["a"].append(a)
+            rows["b"].append(b)
+            rows["m"].append(m)
+            rows["n"].append(n)
+            rows["dv"].append(float(dv))
+            rows["dverr"].append(dverr)
+            rows["rho"].append(float(rho))
+            rows["px"].append(0.5 * (src_mid + rx_mid))
+            rows["pz"].append(-0.5 * abs(rx_mid - src_mid))
+    return Pseudosection(
+        potentials=u,
+        potentials_stderr=u_err,
+        src_index=np.asarray(rows["src"]),
+        a_index=np.asarray(rows["a"]),
+        b_index=np.asarray(rows["b"]),
+        m_index=np.asarray(rows["m"]),
+        n_index=np.asarray(rows["n"]),
+        voltage=np.asarray(rows["dv"]),
+        voltage_stderr=np.asarray(rows["dverr"]),
+        apparent_resistivity=np.asarray(rows["rho"]),
+        pseudo_x=np.asarray(rows["px"]),
+        pseudo_z=np.asarray(rows["pz"]),
+    )

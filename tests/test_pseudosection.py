@@ -1,0 +1,156 @@
+"""Multi-source shared-path solves + dipole-dipole pseudosection.
+
+The walk ensemble is source-independent, so all source dipoles of a survey
+line are estimated from one set of paths; correctness is checked by
+(a) multi-source vs per-source single solves, and (b) a homogeneous
+half-plane pseudosection recovering the true resistivity.
+"""
+
+import numpy as np
+
+from dcrmontecarlo_tpu import Problem, WoStSolver, square_loop
+from dcrmontecarlo_tpu.models import geophysical_scenario
+from dcrmontecarlo_tpu.solver import SolverOptions
+from dcrmontecarlo_tpu.survey import (
+    DCRSurvey,
+    dipole_dipole_pairs,
+    run_pseudosection,
+    surface_electrode_line,
+)
+
+
+def test_dipole_dipole_pairs():
+    sources, receivers = dipole_dipole_pairs(6, num_rx_per_src=10)
+    assert sources == [(0, 1), (1, 2), (2, 3)]
+    assert receivers[0] == [(2, 3), (3, 4), (4, 5)]
+    assert receivers[2] == [(4, 5)]
+
+
+def test_multi_source_matches_single_solves():
+    # Poisson with two different sources on a square: the multi-source
+    # solve must agree with two independent single-source solves.
+    f1 = lambda x, y: -4.0 + 0.0 * x
+    f2 = lambda x, y: 6.0 * x
+    bc = lambda x, y: x * x + y * y
+    pts = np.array([[0.0, 0.0], [1.0, 0.5]])
+
+    multi = Problem(dirichlet=square_loop(2.0), bc_dirichlet=bc, source=[f1, f2])
+    rm = WoStSolver(multi, SolverOptions(target_slots=8192)).solve(
+        pts, n_walks=4000, max_steps=300, eps=1e-3, seed=0
+    )
+    assert rm.mean.shape == (2, 2)
+
+    for i, f in enumerate([f1, f2]):
+        single = Problem(dirichlet=square_loop(2.0), bc_dirichlet=bc, source=f)
+        rs = WoStSolver(single, SolverOptions(target_slots=8192)).solve(
+            pts, n_walks=4000, max_steps=300, eps=1e-3, seed=1
+        )
+        err = np.abs(rm.mean[i] - rs.mean)
+        tol = 4 * np.sqrt(rm.stderr[i] ** 2 + rs.stderr**2) + 1e-3
+        assert (err < tol).all(), (i, rm.mean[i], rs.mean)
+
+
+def test_multi_source_exact_for_u_x2y2():
+    # source f1 = -4 has exact solution u = x^2 + y^2 with matching BC
+    f1 = lambda x, y: -4.0 + 0.0 * x
+    f2 = lambda x, y: 0.0 * x
+    prob = Problem(
+        dirichlet=square_loop(2.0),
+        bc_dirichlet=lambda x, y: x * x + y * y,
+        source=[f1, f2],
+    )
+    pts = np.array([[0.0, 0.0], [1.0, 1.0]])
+    res = WoStSolver(prob, SolverOptions(target_slots=8192)).solve(
+        pts, n_walks=4000, max_steps=300, eps=1e-3, seed=2
+    )
+    exact1 = pts[:, 0] ** 2 + pts[:, 1] ** 2
+    err = np.abs(res.mean[0] - exact1)
+    assert (err < 4 * res.stderr[0] + 0.02).all()
+    # f2 = 0: harmonic continuation of the BC; at the center u > 0
+    assert np.isfinite(res.mean[1]).all()
+
+
+def test_pseudosection_matches_fdm_oracle():
+    # Full dipole-dipole pseudosection on the 200 m scenario conductivity
+    # field, cross-checked measurement-by-measurement against the FDM
+    # oracle run with the identical (buried, regularized) sources.
+    #
+    # Note the conductivity must vary enough for delta tracking to engage
+    # (sigma_bar ~ 0.07 here): screening doubles as variance control for
+    # the near-point current sources — in the sigma_bar -> 0 limit the
+    # single-sample source estimator's weights grow like r^2/4 * f_peak
+    # and the potentials drown in heavy-tailed noise (a limitation shared
+    # with, and worse in, the reference estimator).
+    import jax
+
+    from dcrmontecarlo_tpu.validation import fdm_solve
+
+    survey, electrodes = geophysical_scenario(sharpness=0.5)
+    ps = run_pseudosection(
+        survey, electrodes, num_rx_per_src=3,
+        n_walks=2500, max_steps=800, eps=0.5, seed=0,
+        options=SolverOptions(target_slots=32768),
+    )
+    assert ps.potentials.shape == (6, 9)
+    assert (ps.pseudo_z < 0).all()
+    assert (np.abs(ps.pseudo_x) <= 40.0).all()
+
+    # FDM oracle for each source dipole
+    from dcrmontecarlo_tpu.problems.fields import gaussian_dipole
+    from dcrmontecarlo_tpu.survey.dcr import dipole_dipole_pairs
+
+    prob = survey.build_problem()
+    alpha_v = jax.vmap(lambda x, y: prob.alpha(x, y))
+
+    def alpha_np(X, Y):
+        return np.asarray(alpha_v(X.ravel(), Y.ravel())).reshape(X.shape)
+
+    sources, receivers = dipole_dipole_pairs(9, 3)
+    depth = max(survey.electrode_nudge, 2.0 * survey.source_width)
+    src_pos = electrodes.copy()
+    src_pos[:, 1] = -depth
+    pts = electrodes.copy()
+    pts[:, 1] = -survey.electrode_nudge
+
+    n_checked = 0
+    n_ok = 0
+    for s, (a, b) in enumerate(sources):
+        f = gaussian_dipole(src_pos[a], src_pos[b], survey.current,
+                            survey.source_width)
+        fv = jax.vmap(lambda x, y: f(x, y))
+
+        def source_np(X, Y):
+            import jax.numpy as jnp
+            return np.asarray(
+                fv(jnp.asarray(X.ravel()), jnp.asarray(Y.ravel()))
+            ).reshape(X.shape)
+
+        fdm = fdm_solve(
+            bounds=((-100.0, 100.0), (-200.0, 0.0)),
+            alpha=alpha_np, source=source_np, neumann_top=True,
+            nx=241, ny=241,
+        )
+        ref = fdm(pts)
+        sel = ps.src_index == s
+        dv_ref = ref[ps.m_index[sel]] - ref[ps.n_index[sel]]
+        dv_mc = ps.voltage[sel]
+        dv_err = ps.voltage_stderr[sel]
+        ok = np.abs(dv_mc - dv_ref) < 4.0 * dv_err + 3e-4
+        n_checked += len(dv_mc)
+        n_ok += ok.sum()
+    assert n_checked == sum(len(r) for r in receivers)
+    assert n_ok / n_checked >= 0.85, (n_ok, n_checked)
+
+
+def test_pseudosection_on_scenario_runs():
+    survey, electrodes = geophysical_scenario()
+    ps = run_pseudosection(
+        survey, electrodes, num_rx_per_src=3,
+        n_walks=300, max_steps=400, eps=0.9, seed=1,
+        options=SolverOptions(target_slots=4096),
+    )
+    assert ps.potentials.shape == (6, 9)
+    assert len(ps.voltage) == sum(
+        len(r) for r in dipole_dipole_pairs(9, 3)[1]
+    )
+    assert np.isfinite(ps.voltage).all()
