@@ -80,7 +80,7 @@ def main():
     print(
         f"preset={args.preset} walks={n_walks}x{len(pts)}pts "
         f"steps={steps_total:.3g} time={dt:.2f}s "
-        f"mean[0]={float(np.asarray(mean)[0]):.5f} "
+        f"mean[0]={float(np.asarray(mean).ravel()[0]):.5f} "
         f"backend={jax.default_backend()}",
         file=sys.stderr,
     )
