@@ -43,19 +43,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["make_pallas_walk", "pallas_supported", "MAX_UNROLL_SEGMENTS"]
 
-MAX_UNROLL_SEGMENTS = 96
+MAX_UNROLL_SEGMENTS = 96   # static register unroll above this -> SMEM loop
+MAX_SMEM_SEGMENTS = 8192   # SMEM geometry table budget
 _LANES = 128
 _TWO_PI = 2.0 * np.pi
 
 
-def pallas_supported(problem) -> bool:
-    """Pallas fast path handles statically-unrollable geometry."""
+def _geometry_size(problem):
     n_seg = problem.dirichlet.num_segments
     n_vert = 0
     if problem.neumann is not None:
         n_seg += problem.neumann.num_segments
         n_vert = int(np.asarray(problem.neumann.vert_valid).sum())
-    return n_seg + n_vert <= MAX_UNROLL_SEGMENTS
+    return n_seg + n_vert
+
+
+def pallas_supported(problem) -> bool:
+    """Small boundaries unroll into registers; larger ones loop over an
+    SMEM-resident segment table (up to ``MAX_SMEM_SEGMENTS``)."""
+    return _geometry_size(problem) <= MAX_SMEM_SEGMENTS
 
 
 def _static_segments(poly):
@@ -155,6 +161,125 @@ def _first_hit_unrolled(segs, px, py, dx, dy, r, t_min):
     nx = jnp.where(hit, nx, 0.0)
     ny = jnp.where(hit, ny, 0.0)
     return px + t_hit * dx, py + t_hit * dy, nx, ny, t_hit, hit
+
+
+_CHUNK = 32  # SMEM geometry loop unroll factor
+
+
+def _closest_point_smem(seg_ref, n_seg_pad, px, py):
+    """Closest point over an SMEM-resident ``(S, 4)`` segment table.
+
+    fori over chunks of ``_CHUNK`` statically-unrolled segments: dynamic
+    scalar SMEM reads are cheap, but one fori iteration per segment costs
+    ~us of loop overhead — the unroll amortizes it 8x. Padding segments
+    are degenerate points at 1e30 and lose every min.
+    """
+    big = jnp.float32(3e38)
+
+    def chunk(c, carry):
+        best, bcx, bcy = carry
+        for j in range(_CHUNK):
+            i = c * _CHUNK + j
+            ax = seg_ref[i, 0]
+            ay = seg_ref[i, 1]
+            ux = seg_ref[i, 2] - ax
+            uy = seg_ref[i, 3] - ay
+            uu = jnp.maximum(ux * ux + uy * uy, 1e-30)
+            vx = px - ax
+            vy = py - ay
+            t = jnp.clip((vx * ux + vy * uy) * (1.0 / uu), 0.0, 1.0)
+            cx = ax + t * ux
+            cy = ay + t * uy
+            d2 = (cx - px) ** 2 + (cy - py) ** 2
+            pick = d2 < best
+            best = jnp.where(pick, d2, best)
+            bcx = jnp.where(pick, cx, bcx)
+            bcy = jnp.where(pick, cy, bcy)
+        return best, bcx, bcy
+
+    init = (jnp.full_like(px, big), jnp.zeros_like(px), jnp.zeros_like(px))
+    best, bcx, bcy = jax.lax.fori_loop(0, n_seg_pad // _CHUNK, chunk, init)
+    return jnp.sqrt(best), bcx, bcy
+
+
+def _silhouette_smem(vert_ref, n_vert_pad, px, py):
+    big = jnp.float32(3e38)
+
+    def chunk(c, best):
+        for j in range(_CHUNK):
+            i = c * _CHUNK + j
+            axv = vert_ref[i, 0]
+            ayv = vert_ref[i, 1]
+            bxv = vert_ref[i, 2]
+            byv = vert_ref[i, 3]
+            cxv = vert_ref[i, 4]
+            cyv = vert_ref[i, 5]
+            abx, aby = bxv - axv, byv - ayv
+            bcx_, bcy_ = cxv - bxv, cyv - byv
+            apx = px - axv
+            apy = py - ayv
+            bpx = px - bxv
+            bpy = py - byv
+            sgn = (abx * apy - aby * apx) * (bcx_ * bpy - bcy_ * bpx)
+            d2 = bpx * bpx + bpy * bpy
+            best = jnp.where(sgn < 0, jnp.minimum(best, d2), best)
+        return best
+
+    best = jax.lax.fori_loop(0, n_vert_pad // _CHUNK, chunk,
+                             jnp.full_like(px, big))
+    return jnp.sqrt(best)
+
+
+def _first_hit_smem(seg_ref, n_seg_pad, px, py, dx, dy, r, t_min):
+    big = jnp.float32(3e38)
+
+    def chunk(c, carry):
+        t_best, nx, ny = carry
+        for j in range(_CHUNK):
+            i = c * _CHUNK + j
+            ax = seg_ref[i, 0]
+            ay = seg_ref[i, 1]
+            ux = seg_ref[i, 2] - ax
+            uy = seg_ref[i, 3] - ay
+            ulen = jnp.sqrt(jnp.maximum(ux * ux + uy * uy, 1e-30))
+            nxs, nys = -uy / ulen, ux / ulen
+            wx = px - ax
+            wy = py - ay
+            den = dx * uy - dy * ux
+            den_safe = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+            inv_den = 1.0 / den_safe
+            t = (ux * wy - uy * wx) * inv_den
+            sp = (dx * wy - dy * wx) * inv_den
+            ok = (sp >= 0.0) & (sp <= 1.0) & (t > t_min) & (jnp.abs(den) > 1e-30)
+            t = jnp.where(ok, t, big)
+            pick = t < t_best
+            t_best = jnp.where(pick, t, t_best)
+            nx = jnp.where(pick, nxs, nx)
+            ny = jnp.where(pick, nys, ny)
+        return t_best, nx, ny
+
+    init = (jnp.full_like(px, big), jnp.zeros_like(px), jnp.zeros_like(px))
+    t_best, nx, ny = jax.lax.fori_loop(0, n_seg_pad // _CHUNK, chunk, init)
+    hit = t_best <= r
+    t_hit = jnp.where(hit, t_best, r)
+    flip = (nx * dx + ny * dy) > 0.0
+    nx = jnp.where(flip, -nx, nx)
+    ny = jnp.where(flip, -ny, ny)
+    nx = jnp.where(hit, nx, 0.0)
+    ny = jnp.where(hit, ny, 0.0)
+    return px + t_hit * dx, py + t_hit * dy, nx, ny, t_hit, hit
+
+
+def _seg_table(poly):
+    """(S_pad, 4) float32 [ax, ay, bx, by] incl. degenerate padding rows."""
+    a = np.asarray(poly.seg_a, np.float32)
+    b = np.asarray(poly.seg_b, np.float32)
+    return np.concatenate([a, b], axis=1)
+
+
+def _vert_table(poly):
+    """(V_pad, 6) float32 [a, b, c] triples incl. padding rows."""
+    return np.asarray(poly.vert_abc, np.float32).reshape(len(poly.vert_abc), 6)
 
 
 # ---------------------------------------------------------------------- #
@@ -265,9 +390,26 @@ def make_pallas_walk(
     has_neumann = pb.neumann is not None
     has_source = pb.source is not None
     sigma_bar = float(pb.sigma_bar) if use_delta else 0.0
-    dir_segs = _static_segments(pb.dirichlet)
-    neu_segs = _static_segments(pb.neumann) if has_neumann else []
-    neu_verts = _static_vertices(pb.neumann) if has_neumann else []
+    static_geom = _geometry_size(pb) <= MAX_UNROLL_SEGMENTS
+    dir_segs = _static_segments(pb.dirichlet) if static_geom else []
+    neu_segs = (_static_segments(pb.neumann)
+                if has_neumann and static_geom else [])
+    neu_verts = (_static_vertices(pb.neumann)
+                 if has_neumann and static_geom else [])
+    has_verts = (
+        bool(neu_verts) if static_geom
+        else has_neumann and int(np.asarray(pb.neumann.vert_valid).sum()) > 0
+    )
+    if not static_geom:
+        dir_table = jnp.asarray(_seg_table(pb.dirichlet))
+        neu_table = jnp.asarray(_seg_table(pb.neumann)) if has_neumann else None
+        vert_table = jnp.asarray(_vert_table(pb.neumann)) if has_verts else None
+        geom_inputs = [dir_table] + (
+            [neu_table] if has_neumann else []
+        ) + ([vert_table] if has_verts else [])
+    else:
+        geom_inputs = []
+    n_geom = len(geom_inputs)
 
     def _lift2d(f):
         # scalar fields (incl. jax.grad-built sigma', which requires scalar
@@ -285,17 +427,46 @@ def make_pallas_walk(
     rmin_f = float(rmin)
     t_min_f = float(t_min)
 
-    def kernel(
-        seed_ref,
-        p0x_ref, p0y_ref,
-        px_ref, py_ref, nx_ref, ny_ref, atten_ref, acc_ref,
-        asum_ref, asq_ref, quota_ref, steps_ref, ndone_ref, ob_ref,
-        life_ref,
-        # outputs (aliased to the state inputs, same order)
-        opx_ref, opy_ref, onx_ref, ony_ref, oatten_ref, oacc_ref,
-        oasum_ref, oasq_ref, oquota_ref, osteps_ref, ondone_ref, oob_ref,
-        olife_ref,
-    ):
+    def kernel(*refs):
+        seed_ref = refs[0]
+        gi = 1
+        if not static_geom:
+            dir_seg_ref = refs[gi]
+            gi += 1
+            if has_neumann:
+                neu_seg_ref = refs[gi]
+                gi += 1
+            if has_verts:
+                neu_vert_ref = refs[gi]
+                gi += 1
+        p0x_ref, p0y_ref = refs[gi], refs[gi + 1]
+        (px_ref, py_ref, nx_ref, ny_ref, atten_ref, acc_ref,
+         asum_ref, asq_ref, quota_ref, steps_ref, ndone_ref, ob_ref,
+         life_ref) = refs[gi + 2: gi + 15]
+        (opx_ref, opy_ref, onx_ref, ony_ref, oatten_ref, oacc_ref,
+         oasum_ref, oasq_ref, oquota_ref, osteps_ref, ondone_ref, oob_ref,
+         olife_ref) = refs[gi + 15: gi + 28]
+
+        if static_geom:
+            closest_point = lambda px, py: _closest_point_unrolled(
+                dir_segs, px, py)
+            silhouette = lambda px, py: _silhouette_unrolled(
+                neu_verts, px, py)
+            first_hit = lambda px, py, dx, dy, r: _first_hit_unrolled(
+                neu_segs, px, py, dx, dy, r, t_min_f)
+        else:
+            n_dir = dir_table.shape[0]
+            closest_point = lambda px, py: _closest_point_smem(
+                dir_seg_ref, n_dir, px, py)
+            if has_verts:
+                n_vert = vert_table.shape[0]
+                silhouette = lambda px, py: _silhouette_smem(
+                    neu_vert_ref, n_vert, px, py)
+            if has_neumann:
+                n_neu = neu_table.shape[0]
+                first_hit = lambda px, py, dx, dy, r: _first_hit_smem(
+                    neu_seg_ref, n_neu, px, py, dx, dy, r, t_min_f)
+
         # scramble (seed, block) so sequential launch seeds and block ids
         # land in well-separated PRNG streams
         pltpu.prng_seed(
@@ -313,7 +484,7 @@ def make_pallas_walk(
             ob = obi != 0
             act = quota > 0
 
-            dD, cx, cy = _closest_point_unrolled(dir_segs, px, py)
+            dD, cx, cy = closest_point(px, py)
             done_eps = dD <= eps_f
             walk_done = act & (done_eps | (steps >= max_steps))
             if project:
@@ -336,8 +507,8 @@ def make_pallas_walk(
             steps = jnp.where(walk_done, 0, steps)
             stepping = act & ~walk_done
 
-            if has_neumann and neu_verts:
-                d_sil = _silhouette_unrolled(neu_verts, px, py)
+            if has_neumann and has_verts:
+                d_sil = silhouette(px, py)
                 r = jnp.maximum(rmin_f, jnp.minimum(dD, d_sil))
             else:
                 r = jnp.maximum(rmin_f, dD)
@@ -358,9 +529,7 @@ def make_pallas_walk(
                 dy = jnp.where(ob, hdy, dy)
 
             if has_neumann:
-                hx, hy, hnx, hny, t_hit, hit = _first_hit_unrolled(
-                    neu_segs, px, py, dx, dy, r, t_min_f
-                )
+                hx, hy, hnx, hny, t_hit, hit = first_hit(px, py, dx, dy, r)
             else:
                 hx = px + r * dx
                 hy = py + r * dy
@@ -470,13 +639,17 @@ def make_pallas_walk(
             jax.ShapeDtypeStruct((rows, _LANES), dt) for dt in dtypes
         ]
         out_specs = [bspec() for _ in order]
-        # alias state inputs (after seed, p0x, p0y) to the state outputs
-        aliases = {3 + k: k for k in range(len(order))}
+        # alias state inputs (after seed, geometry, p0x, p0y) to outputs
+        aliases = {1 + n_geom + 2 + k: k for k in range(len(order))}
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            ] + [
+                pl.BlockSpec(memory_space=pltpu.SMEM)   # geometry tables
+                for _ in range(n_geom)
+            ] + [
                 bspec(),  # p0x
                 bspec(),  # p0y
             ] + [bspec() for _ in order],
@@ -485,6 +658,7 @@ def make_pallas_walk(
             input_output_aliases=aliases,
         )(
             jnp.asarray([seed], i32),
+            *geom_inputs,
             state["p0x"], state["p0y"],
             *[state[k] for k in order],
         )

@@ -21,17 +21,45 @@ on_tpu = jax.default_backend() == "tpu"
 def test_pallas_supported_detection():
     prob = Problem(dirichlet=square_loop(1.0))
     assert pallas_supported(prob)
-    big = Problem(
-        dirichlet=circle_loop(1.0, n=256),  # 256 segments > MAX_UNROLL
+    # medium geometry: SMEM-table mode
+    med = Problem(dirichlet=circle_loop(1.0, n=256))
+    assert pallas_supported(med)
+    # beyond the SMEM budget: XLA only
+    from dcrmontecarlo_tpu.geometry import func_to_polyline
+
+    huge = Problem(
+        dirichlet=func_to_polyline(lambda x: 0.0 * x, 0.0, 9000.0, 1.0)
     )
-    assert not pallas_supported(big)
+    assert not pallas_supported(huge)
 
 
-def test_backend_pallas_rejects_large_geometry():
-    big = Problem(dirichlet=circle_loop(1.0, n=256))
-    s = WoStSolver(big, SolverOptions(backend="pallas"))
+def test_backend_pallas_rejects_oversized_geometry():
+    from dcrmontecarlo_tpu.geometry import func_to_polyline
+
+    huge = Problem(
+        dirichlet=func_to_polyline(lambda x: 0.0 * x, 0.0, 9000.0, 1.0)
+    )
+    s = WoStSolver(huge, SolverOptions(backend="pallas"))
     with pytest.raises(ValueError):
         s._use_pallas()
+
+
+def test_pallas_dynamic_geometry_traces_in_interpret_mode():
+    # >96 segments -> SMEM-table kernel path; deterministic interpret-mode
+    # walk along +x from the disk center terminates at bc(1, 0) = 1
+    from jax.experimental.pallas import tpu as pltpu
+
+    prob = Problem(dirichlet=circle_loop(1.0, n=256),
+                   bc_dirichlet=lambda x, y: x + 2 * y)
+    s = WoStSolver(
+        prob,
+        SolverOptions(target_slots=256, backend="pallas",
+                      pallas_inner_steps=16, pallas_block_rows=8),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        res = s.solve(np.array([[0.0, 0.0]]), n_walks=16, max_steps=30,
+                      eps=1e-3, seed=0)
+    np.testing.assert_allclose(res.mean, [1.0], atol=1e-4)
 
 
 def test_auto_backend_on_cpu_is_xla():
