@@ -2,8 +2,16 @@ from .manufactured import polynomial_manufactured, trig_manufactured, interior_g
 from .poisson import poisson_square, poisson_solve_points
 from .varcoeff import variable_coefficient_problem, varcoeff_solve_points
 from .dcr_scenarios import geophysical_scenario, notebook_survey
+from .topography import (
+    topographic_survey_problem,
+    drape_electrodes,
+    rolling_hills,
+)
 
 __all__ = [
+    "topographic_survey_problem",
+    "drape_electrodes",
+    "rolling_hills",
     "polynomial_manufactured",
     "trig_manufactured",
     "interior_grid",

@@ -1,5 +1,6 @@
 from .state import WalkerState, init_state
 from .wost import WoStSolver, SolveResult, SolverOptions
+from .stream import StreamState, solve_stream
 
 __all__ = [
     "WalkerState",
@@ -7,4 +8,6 @@ __all__ = [
     "WoStSolver",
     "SolveResult",
     "SolverOptions",
+    "StreamState",
+    "solve_stream",
 ]

@@ -1,0 +1,94 @@
+"""Streaming/batched solving: unbounded walk counts with progress.
+
+The reference exposes only a blocking ``solve`` with a tqdm bar
+(``WoStSolver.py:182``). Production surveys want (a) walk counts beyond a
+single device launch, (b) progress reporting, and (c) interruptible /
+resumable accumulation. ``solve_stream`` runs fixed-size batches of walks
+(one compiled executable, re-invoked with fresh seeds) and combines their
+``(sum, sumsq)`` statistics exactly; the running :class:`StreamState` is a
+plain pytree of numpy arrays that can be checkpointed and resumed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from .wost import SolveResult, WoStSolver
+
+__all__ = ["StreamState", "solve_stream"]
+
+
+@dataclass
+class StreamState:
+    """Running accumulation over batches (checkpointable)."""
+
+    sum: np.ndarray       # (..., N) running sum of walk totals
+    sumsq: np.ndarray     # (..., N) running sum of squared walk totals
+    n_walks: int = 0
+    total_steps: float = 0.0
+    batches: int = 0
+
+    def result(self) -> SolveResult:
+        mean = self.sum / max(self.n_walks, 1)
+        var = np.maximum(self.sumsq / max(self.n_walks, 1) - mean * mean, 0.0)
+        stderr = np.sqrt(var / max(self.n_walks, 1))
+        return SolveResult(
+            mean=mean,
+            stderr=stderr,
+            n_walks=self.n_walks,
+            total_steps=self.total_steps,
+            iterations=self.batches,
+        )
+
+
+def solve_stream(
+    solver: WoStSolver,
+    points,
+    n_walks_total: int,
+    batch_walks: int = 4096,
+    max_steps: int = 1000,
+    eps: float = 1e-4,
+    seed: int = 0,
+    callback: Optional[Callable[[int, SolveResult], None]] = None,
+    state: Optional[StreamState] = None,
+) -> SolveResult:
+    """Accumulate ``n_walks_total`` walks per point in batches.
+
+    Args:
+        callback: called after each batch with ``(batch_index,
+            partial SolveResult)`` — progress bars, early stopping on
+            stderr, checkpointing.
+        state: resume from a previous run's :class:`StreamState`
+            (``solve_stream`` stores it on ``solver._stream_state``).
+
+    Returns:
+        Combined :class:`SolveResult` over all accumulated walks.
+    """
+    pts = np.asarray(points, np.float32).reshape(-1, 2)
+    done = state.n_walks if state is not None else 0
+    batch_idx = state.batches if state is not None else 0
+    while done < n_walks_total:
+        n = min(batch_walks, n_walks_total - done)
+        res = solver.solve(
+            pts, n_walks=n, max_steps=max_steps, eps=eps,
+            seed=seed + 1000003 * batch_idx,
+        )
+        b_sum = res.mean * n
+        b_sumsq = (res.stderr**2 * n + res.mean**2) * n
+        if state is None:
+            state = StreamState(sum=b_sum, sumsq=b_sumsq)
+        else:
+            state.sum = state.sum + b_sum
+            state.sumsq = state.sumsq + b_sumsq
+        state.n_walks += n
+        state.total_steps += res.total_steps
+        state.batches += 1
+        done += n
+        batch_idx += 1
+        if callback is not None:
+            callback(batch_idx, state.result())
+    solver._stream_state = state
+    return state.result()

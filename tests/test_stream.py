@@ -1,0 +1,53 @@
+"""Streaming solve accumulation tests."""
+
+import numpy as np
+
+from dcrmontecarlo_tpu import Problem, WoStSolver, square_loop
+from dcrmontecarlo_tpu.solver import SolverOptions, solve_stream
+
+
+def _solver():
+    prob = Problem(
+        dirichlet=square_loop(1.0),
+        bc_dirichlet=lambda x, y: x + 2.0 * y,
+    )
+    return WoStSolver(prob, SolverOptions(target_slots=2048))
+
+
+def test_stream_matches_single_solve_statistics():
+    solver = _solver()
+    pts = np.array([[0.0, 0.0], [0.4, -0.2]])
+    res = solve_stream(solver, pts, n_walks_total=4000, batch_walks=1000,
+                       max_steps=200, eps=1e-3, seed=0)
+    assert res.n_walks == 4000
+    exact = pts[:, 0] + 2.0 * pts[:, 1]
+    err = np.abs(res.mean - exact)
+    assert (err < 4 * res.stderr + 5e-3).all(), (res.mean, exact, res.stderr)
+    # stderr scale consistent with a direct solve of the same size
+    direct = solver.solve(pts, n_walks=4000, max_steps=200, eps=1e-3, seed=9)
+    ratio = res.stderr / np.maximum(direct.stderr, 1e-12)
+    assert (ratio > 0.5).all() and (ratio < 2.0).all(), ratio
+
+
+def test_stream_callback_and_partial_results():
+    solver = _solver()
+    pts = np.array([[0.1, 0.1]])
+    seen = []
+    solve_stream(solver, pts, n_walks_total=900, batch_walks=300,
+                 max_steps=100, eps=1e-3, seed=1,
+                 callback=lambda i, r: seen.append((i, r.n_walks)))
+    assert seen == [(1, 300), (2, 600), (3, 900)]
+
+
+def test_stream_resume():
+    solver = _solver()
+    pts = np.array([[0.2, -0.1]])
+    partial = solve_stream(solver, pts, n_walks_total=600, batch_walks=300,
+                           max_steps=100, eps=1e-3, seed=2)
+    state = solver._stream_state
+    full = solve_stream(solver, pts, n_walks_total=1200, batch_walks=300,
+                        max_steps=100, eps=1e-3, seed=2, state=state)
+    assert full.n_walks == 1200
+    assert full.iterations == 4  # 2 resumed + 2 new batches
+    exact = 0.2 + 2 * (-0.1)
+    assert abs(full.mean[0] - exact) < 4 * full.stderr[0] + 5e-3
