@@ -407,7 +407,9 @@ def make_pallas_walk(
     pb = problem
     use_delta = pb.use_delta_tracking
     has_neumann = pb.neumann is not None
-    has_source = pb.source is not None
+    source_fields = pb.source_fields
+    has_source = len(source_fields) > 0
+    n_src = max(1, len(source_fields))
     sigma_bar = float(pb.sigma_bar) if use_delta else 0.0
     static_geom = _geometry_size(pb) <= MAX_UNROLL_SEGMENTS
     dir_segs = _static_segments(pb.dirichlet) if static_geom else []
@@ -438,7 +440,7 @@ def make_pallas_walk(
         ))
 
     bc = _lift2d(pb.bc_dirichlet)
-    source = _lift2d(pb.source) if has_source else None
+    sources = [_lift2d(f) for f in source_fields]
     alpha_c = _lift2d(pb.alpha_c) if use_delta else None
     sigma_prime = _lift2d(pb.sigma_prime) if use_delta else None
     # python-float constants (pallas kernels may not capture array consts)
@@ -459,12 +461,20 @@ def make_pallas_walk(
                 neu_vert_ref = refs[gi]
                 gi += 1
         p0x_ref, p0y_ref = refs[gi], refs[gi + 1]
-        (px_ref, py_ref, nx_ref, ny_ref, atten_ref, acc_ref,
-         asum_ref, asq_ref, quota_ref, steps_ref, ndone_ref, ob_ref,
-         life_ref) = refs[gi + 2: gi + 15]
-        (opx_ref, opy_ref, onx_ref, ony_ref, oatten_ref, oacc_ref,
-         oasum_ref, oasq_ref, oquota_ref, osteps_ref, ondone_ref, oob_ref,
-         olife_ref) = refs[gi + 15: gi + 28]
+        n_state = 5 + 3 * n_src + 5
+        sin = refs[gi + 2: gi + 2 + n_state]
+        sout = refs[gi + 2 + n_state: gi + 2 + 2 * n_state]
+        (px_ref, py_ref, nx_ref, ny_ref, atten_ref) = sin[:5]
+        acc_refs = sin[5: 5 + n_src]
+        asum_refs = sin[5 + n_src: 5 + 2 * n_src]
+        asq_refs = sin[5 + 2 * n_src: 5 + 3 * n_src]
+        (quota_ref, steps_ref, ndone_ref, ob_ref, life_ref) = sin[5 + 3 * n_src:]
+        (opx_ref, opy_ref, onx_ref, ony_ref, oatten_ref) = sout[:5]
+        oacc_refs = sout[5: 5 + n_src]
+        oasum_refs = sout[5 + n_src: 5 + 2 * n_src]
+        oasq_refs = sout[5 + 2 * n_src: 5 + 3 * n_src]
+        (oquota_ref, osteps_ref, ondone_ref, oob_ref, olife_ref) = \
+            sout[5 + 3 * n_src:]
 
         if static_geom:
             closest_point = lambda px, py: _closest_point_unrolled(
@@ -496,8 +506,9 @@ def make_pallas_walk(
         p0y = p0y_ref[:]
 
         def step(_, carry):
-            (px, py, nxv, nyv, atten, acc, asum, asq, quota, steps,
+            (px, py, nxv, nyv, atten, accs, asums, asqs, quota, steps,
              ndone, obi, life) = carry
+            accs, asums, asqs = list(accs), list(asums), list(asqs)
             # masks are carried as int32: Mosaic cannot round-trip i1
             # vectors through loop carries (trunci i8->i1 unsupported)
             ob = obi != 0
@@ -511,16 +522,19 @@ def make_pallas_walk(
                 by = jnp.where(done_eps, cy, py)
             else:
                 bx, by = px, py
-            contrib = acc + bc(bx, by) * atten
+            g_bc = bc(bx, by) * atten
             wd = walk_done.astype(jnp.float32)
-            asum = asum + wd * contrib
-            asq = asq + wd * contrib * contrib
+            for i in range(n_src):
+                contrib = accs[i] + g_bc
+                asums[i] = asums[i] + wd * contrib
+                asqs[i] = asqs[i] + wd * contrib * contrib
             ndone = ndone + walk_done.astype(jnp.int32)
             quota = quota - walk_done.astype(jnp.int32)
 
             px = jnp.where(walk_done, p0x, px)
             py = jnp.where(walk_done, p0y, py)
-            acc = jnp.where(walk_done, 0.0, acc)
+            for i in range(n_src):
+                accs[i] = jnp.where(walk_done, 0.0, accs[i])
             atten = jnp.where(walk_done, 1.0, atten)
             ob = ob & ~walk_done
             steps = jnp.where(walk_done, 0, steps)
@@ -571,13 +585,15 @@ def make_pallas_walk(
                 a_s = alpha_c(sx, sy)
 
             if has_source:
-                f_val = source(sx, sy)
                 if use_delta:
                     w_src = (_screened_norm(r, sigma_bar)
                              / jnp.sqrt(a_s * a_p) * atten)
                 else:
                     w_src = r * r * 0.25
-                acc = acc + jnp.where(stepping & ~beyond, f_val * w_src, 0.0)
+                # one shared NEE sample, one field eval per source
+                w_eff = jnp.where(stepping & ~beyond, w_src, 0.0)
+                for i in range(n_src):
+                    accs[i] = accs[i] + sources[i](sx, sy) * w_eff
 
             if use_delta:
                 p_int = _screened_interior_prob(r, sigma_bar)
@@ -612,25 +628,29 @@ def make_pallas_walk(
             # per-lane lifetime counter: summed outside the kernel for the
             # walker-steps throughput metric
             life = life + stepping.astype(jnp.int32)
-            return (px, py, nxv, nyv, atten, acc, asum, asq, quota, steps,
-                    ndone, ob.astype(jnp.int32), life)
+            return (px, py, nxv, nyv, atten, tuple(accs), tuple(asums),
+                    tuple(asqs), quota, steps, ndone, ob.astype(jnp.int32),
+                    life)
 
         carry = (
             px_ref[:], py_ref[:], nx_ref[:], ny_ref[:], atten_ref[:],
-            acc_ref[:], asum_ref[:], asq_ref[:], quota_ref[:], steps_ref[:],
-            ndone_ref[:], ob_ref[:], life_ref[:],
+            tuple(ref[:] for ref in acc_refs),
+            tuple(ref[:] for ref in asum_refs),
+            tuple(ref[:] for ref in asq_refs),
+            quota_ref[:], steps_ref[:], ndone_ref[:], ob_ref[:], life_ref[:],
         )
         carry = jax.lax.fori_loop(0, n_inner, step, carry)
-        (px, py, nxv, nyv, atten, acc, asum, asq, quota, steps, ndone, obi,
-         life) = carry
+        (px, py, nxv, nyv, atten, accs, asums, asqs, quota, steps, ndone,
+         obi, life) = carry
         opx_ref[:] = px
         opy_ref[:] = py
         onx_ref[:] = nxv
         ony_ref[:] = nyv
         oatten_ref[:] = atten
-        oacc_ref[:] = acc
-        oasum_ref[:] = asum
-        oasq_ref[:] = asq
+        for i in range(n_src):
+            oacc_refs[i][:] = accs[i]
+            oasum_refs[i][:] = asums[i]
+            oasq_refs[i][:] = asqs[i]
         oquota_ref[:] = quota
         osteps_ref[:] = steps
         ondone_ref[:] = ndone
@@ -651,9 +671,14 @@ def make_pallas_walk(
         bspec = lambda: pl.BlockSpec(
             (block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
-        order = ["px", "py", "nx", "ny", "atten", "acc",
-                 "asum", "asq", "quota", "steps", "ndone", "ob", "life"]
-        dtypes = [f32] * 8 + [i32] * 5
+        order = (
+            ["px", "py", "nx", "ny", "atten"]
+            + [f"acc{i}" for i in range(n_src)]
+            + [f"asum{i}" for i in range(n_src)]
+            + [f"asq{i}" for i in range(n_src)]
+            + ["quota", "steps", "ndone", "ob", "life"]
+        )
+        dtypes = [f32] * (5 + 3 * n_src) + [i32] * 5
         out_shape = [
             jax.ShapeDtypeStruct((rows, _LANES), dt) for dt in dtypes
         ]

@@ -188,6 +188,7 @@ class ShardedWoStSolver(WoStSolver):
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
+        n_src_p = max(1, len(pb.source_fields))
 
         # quotas laid out (K, n_points) so the slot axis shards evenly
         quotas_km = jnp.asarray(
@@ -227,11 +228,14 @@ class ShardedWoStSolver(WoStSolver):
                 "p0x": p0x, "p0y": p0y,
                 "px": p0x, "py": p0y,
                 "nx": f0, "ny": f0,
-                "atten": f0 + 1.0, "acc": f0,
-                "asum": f0, "asq": f0,
+                "atten": f0 + 1.0,
                 "quota": quota, "steps": i0_, "ndone": i0_, "ob": i0_,
                 "life": i0_,
             }
+            for i in range(n_src_p):
+                state[f"acc{i}"] = f0
+                state[f"asum{i}"] = f0
+                state[f"asq{i}"] = f0
 
             def cond(c):
                 state, launches = c
@@ -245,12 +249,20 @@ class ShardedWoStSolver(WoStSolver):
             state, launches = jax.lax.while_loop(
                 cond, body, (state, pv(jnp.int32(0)))
             )
-            sums = jax.ops.segment_sum(
-                state["asum"].reshape(-1), pid_local_j, num_segments=n_points
-            )[None]
-            sumsq = jax.ops.segment_sum(
-                state["asq"].reshape(-1), pid_local_j, num_segments=n_points
-            )[None]
+            sums = jnp.stack([
+                jax.ops.segment_sum(
+                    state[f"asum{i}"].reshape(-1), pid_local_j,
+                    num_segments=n_points,
+                )
+                for i in range(n_src_p)
+            ])
+            sumsq = jnp.stack([
+                jax.ops.segment_sum(
+                    state[f"asq{i}"].reshape(-1), pid_local_j,
+                    num_segments=n_points,
+                )
+                for i in range(n_src_p)
+            ])
             steps = jnp.sum(state["life"].astype(jnp.float32))
             sums = jax.lax.psum(sums, axis)
             sumsq = jax.lax.psum(sumsq, axis)

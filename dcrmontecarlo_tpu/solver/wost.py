@@ -359,8 +359,6 @@ class WoStSolver:
         from ..ops.pallas_walk import pallas_supported
 
         ok = pallas_supported(self.problem)
-        # multi-source accumulators not yet plumbed through the kernel
-        ok = ok and len(self.problem.source_fields) <= 1
         if mode == "pallas":
             if not ok:
                 raise ValueError(
@@ -437,6 +435,7 @@ class WoStSolver:
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
+        n_src = max(1, len(pb.source_fields))
 
         # slot layout: point-major (point i owns slots i*K..(i+1)*K-1), padded
         quotas = np.zeros((W_pad,), np.int32)
@@ -462,11 +461,14 @@ class WoStSolver:
                 "p0x": p0x, "p0y": p0y,
                 "px": p0x, "py": p0y,
                 "nx": f0, "ny": f0,
-                "atten": f0 + 1.0, "acc": f0,
-                "asum": f0, "asq": f0,
+                "atten": f0 + 1.0,
                 "quota": quotas_j, "steps": i0_, "ndone": i0_, "ob": i0_,
                 "life": i0_,
             }
+            for i in range(n_src):
+                state[f"acc{i}"] = f0
+                state[f"asum{i}"] = f0
+                state[f"asq{i}"] = f0
             seed0 = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
 
             def cond(c):
@@ -482,16 +484,24 @@ class WoStSolver:
                 cond, body, (state, jnp.int32(0))
             )
             total_steps = jnp.sum(state["life"].astype(jnp.float32))
-            sums = jax.ops.segment_sum(
-                state["asum"].reshape(-1), point_id_j, num_segments=n_points
-            )
-            sumsq = jax.ops.segment_sum(
-                state["asq"].reshape(-1), point_id_j, num_segments=n_points
-            )
+            sums = jnp.stack([
+                jax.ops.segment_sum(
+                    state[f"asum{i}"].reshape(-1), point_id_j,
+                    num_segments=n_points,
+                )
+                for i in range(n_src)
+            ])
+            sumsq = jnp.stack([
+                jax.ops.segment_sum(
+                    state[f"asq{i}"].reshape(-1), point_id_j,
+                    num_segments=n_points,
+                )
+                for i in range(n_src)
+            ])
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            return mean[None], stderr[None], total_steps, launches * n_inner
+            return mean, stderr, total_steps, launches * n_inner
 
         return jax.jit(run)
 
