@@ -57,6 +57,11 @@ class Problem:
     source: Optional[Callable] = None             # f(x, y)
     alpha: Optional[Callable] = None              # diffusion coefficient
     sigma: Optional[Callable] = None              # absorption coefficient
+    source_importance: Optional[object] = None    # GaussianMixture: enables
+                                                  # source-directed MIS NEE
+                                                  # (bounds the heavy-tailed
+                                                  # weights of near-point
+                                                  # sources)
     sigma_bar_resolution: int = 50                # grid scan res (WoStSolver.py:130)
     sigma_bar_override: Optional[float] = None    # skip the grid scan
 

@@ -85,6 +85,12 @@ class SolverOptions:
                                        # "table" (inverse-CDF interpolation)
     min_quota: int = 4                 # min walks per recycled slot; amortizes
                                        # the walk-length straggler tail
+    common_random_numbers: bool = False  # slot-matched RNG streams across
+                                       # evaluation points: correlates walks
+                                       # from different points so voltage
+                                       # DIFFERENCES (dipole receivers)
+                                       # cancel most MC noise; requires
+                                       # rng='fast'; XLA backend only
     rng: str = "fast"                  # "fast" (counter-hash; compiles in
                                        # seconds) or "threefry" (jax.random;
                                        # minutes of XLA compile in while-loops
@@ -132,12 +138,21 @@ class WoStSolver:
     # step function                                                      #
     # ------------------------------------------------------------------ #
 
-    def _make_step_core(self, eps: float, max_steps: int):
+    def _make_step_core(self, eps: float, max_steps: int, crn=None):
         """Build the branchless SoA step: ``(state, p0x, p0y, key) -> state``.
 
         Also returns a per-step diagnostics dict for the history-tracing
         path (``diagnostics/history.py``); the while-loop driver discards
         it.
+
+        ``crn``: optional ``(mode, period, reps)`` common-random-numbers
+        layout — slot ``j`` of EVERY evaluation point draws the same
+        uniforms, so walks from nearby points follow correlated paths and
+        their *differences* (dipole voltages) cancel most MC noise.
+        ``mode`` is "tile" for point-major slot layouts (lane = p*K + j)
+        or "repeat" for slot-major ones (lane = j*P + p). Per-point
+        estimates stay unbiased; quadrature-summed difference errors
+        become conservative upper bounds.
         """
         pb = self.problem
         opts = self.options
@@ -147,6 +162,8 @@ class WoStSolver:
         use_delta = pb.use_delta_tracking
         source_fields = pb.source_fields
         has_source = len(source_fields) > 0
+        importance = pb.source_importance
+        use_mis = has_source and importance is not None
         bc = jax.vmap(_lift(pb.bc_dirichlet))
         sources = [jax.vmap(_lift(f)) for f in source_fields]
         alpha_c = jax.vmap(_lift(pb.alpha_c)) if use_delta else None
@@ -159,16 +176,29 @@ class WoStSolver:
         project = opts.project_to_boundary
 
         rng_fast = opts.rng == "fast"
+        if crn is not None and not rng_fast:
+            raise ValueError("common random numbers require rng='fast'")
+
+        n_u = 8 if use_mis else 4
+
+        def _expand(u):
+            if crn is None:
+                return u
+            mode, period, reps = crn
+            if mode == "tile":
+                return jnp.tile(u, (1, reps))
+            return jnp.repeat(u, reps, axis=1)
 
         def step(state: WalkerState, p0x, p0y, key):
             W = state.px.shape[0]
+            lanes = W if crn is None else crn[1]
             if rng_fast:
                 kd = jnp.asarray(key, jnp.uint32).reshape(-1)
                 seed32 = kd[0] ^ mix32(kd[-1])
-                u = counter_uniform(seed32, state.step_idx, 4, W)
+                u = _expand(counter_uniform(seed32, state.step_idx, n_u, lanes))
             else:
                 step_key = jax.random.fold_in(key, state.step_idx)
-                u = jax.random.uniform(step_key, (4, W))
+                u = jax.random.uniform(step_key, (n_u, W))
             act = state.quota > 0
 
             # -- termination check (WoStSolver.py:206-208,294-298) -------- #
@@ -235,10 +265,20 @@ class WoStSolver:
                 if table is not None:
                     r_s = sample_screened_radius(table, r, sigma_bar, u[1], u[2])
                 elif rng_fast:
-                    r_s = sample_screened_radius_fast(
-                        seed32 ^ jnp.uint32(0xA5A5A5A5), state.step_idx,
-                        r, sigma_bar,
+                    base = mix32(
+                        seed32 ^ jnp.uint32(0xA5A5A5A5)
+                        ^ (jnp.asarray(state.step_idx).astype(jnp.uint32)
+                           * jnp.uint32(0xB5297A4D))
                     )
+
+                    def draw_r(round_idx):
+                        sd = base ^ (jnp.asarray(round_idx).astype(jnp.uint32)
+                                     * jnp.uint32(0x68E31DA4))
+                        return _expand(counter_uniform(sd, 0, 4, lanes))
+
+                    from ..sampling.radial import _exact_rejection
+
+                    r_s = _exact_rejection(draw_r, r, sigma_bar, 64)
                 else:
                     r_s = sample_screened_radius_exact(
                         jax.random.fold_in(step_key, 1), r, sigma_bar
@@ -257,7 +297,7 @@ class WoStSolver:
             # source-independent, so a multi-source survey reuses the
             # ensemble (accumulators carry an (n_src, W) leading axis)
             src_contrib = jnp.zeros_like(state.walk_acc)
-            if has_source:
+            if has_source and not use_mis:
                 f_val = jnp.stack([f(sx, sy) for f in sources])  # (n_src, W)
                 if use_delta:
                     a_s = alpha_c(sx, sy)
@@ -270,12 +310,58 @@ class WoStSolver:
                     w_src = greens_norm_2d(r)
                 src_contrib = jnp.where(stepping & ~beyond, f_val * w_src, 0.0)
                 walk_acc = walk_acc + src_contrib
+            elif use_mis:
+                # source-directed MIS: sample y from the balanced mixture
+                # 0.5 * (ball-Green's density) + 0.5 * (source Gaussians);
+                # the balance-heuristic weight G(x,y)/p_mix(y) is bounded
+                # both far from the source (2*|G|) and at the source peaks
+                # (2 G / q), unlike the plain estimator whose weight grows
+                # like |G| * f_peak.
+                from ..ops.greens import greens_2d, screened_greens_2d
+
+                gx = px + r_s * dx  # un-clamped Green's-side candidate
+                gy = py + r_s * dy
+                take_src = u[4] < 0.5
+                mx, my = importance.sample(u[5], u[6], u[7])
+                yx = jnp.where(take_src, mx, gx)
+                yy = jnp.where(take_src, my, gy)
+                d_y = jnp.sqrt((yx - px) ** 2 + (yy - py) ** 2)
+                d_safe = jnp.maximum(d_y, 1e-12)
+                if use_delta:
+                    g_val = screened_greens_2d(d_safe, r, sigma_bar)
+                    norm = screened_greens_norm_2d(r, sigma_bar)
+                else:
+                    g_val = greens_2d(d_safe, r)
+                    norm = greens_norm_2d(r)
+                g_val = jnp.maximum(g_val, 0.0)
+                in_ball = d_y < r
+                if has_neumann:
+                    ydx = (yx - px) / d_safe
+                    ydy = (yy - py) / d_safe
+                    _, _, _, _, t_y, hit_y = queries.first_hit(
+                        neumann, px, py, ydx, ydy, d_y, t_min
+                    )
+                    in_star = in_ball & ~(hit_y & (t_y < d_y))
+                else:
+                    in_star = in_ball
+                p_mix = 0.5 * jnp.where(in_ball, g_val / norm, 0.0) \
+                    + 0.5 * importance.pdf(yx, yy)
+                w_mis = jnp.where(
+                    in_star & (p_mix > 1e-30), g_val / jnp.maximum(p_mix, 1e-30),
+                    0.0,
+                )
+                if use_delta:
+                    a_y = alpha_c(yx, yy)
+                    w_mis = w_mis / jnp.sqrt(a_y * a_p) * atten
+                f_val = jnp.stack([f(yx, yy) for f in sources])
+                src_contrib = jnp.where(stepping, f_val * w_mis, 0.0)
+                walk_acc = walk_acc + src_contrib
 
             # -- move (WoStSolver.py:271-287) ----------------------------- #
             if use_delta:
                 p_int = screened_interior_prob(r, sigma_bar)
                 interior = u[3] < p_int
-                if not has_source:
+                if use_mis or not has_source:
                     a_s = alpha_c(sx, sy)
                 a_h = alpha_c(hx, hy)
                 sp_s = sigma_prime(sx, sy)
@@ -359,6 +445,9 @@ class WoStSolver:
         from ..ops.pallas_walk import pallas_supported
 
         ok = pallas_supported(self.problem)
+        # source-directed MIS NEE and CRN not yet in the kernel
+        ok = ok and self.problem.source_importance is None
+        ok = ok and not self.options.common_random_numbers
         if mode == "pallas":
             if not ok:
                 raise ValueError(
@@ -376,8 +465,9 @@ class WoStSolver:
         return self._build_solve_fn_xla(n_points, n_walks, max_steps, eps)
 
     def _build_solve_fn_xla(self, n_points: int, n_walks: int, max_steps: int, eps: float):
-        step = self._make_step_core(eps, max_steps)
         K, quota_row = self._slot_layout(n_points, n_walks)
+        crn = ("tile", K, n_points) if self.options.common_random_numbers else None
+        step = self._make_step_core(eps, max_steps, crn=crn)
         quotas = jnp.asarray(np.tile(quota_row, n_points))
         max_quota = int(quota_row.max())
         step_cap = max_quota * (max_steps + 1) + 2

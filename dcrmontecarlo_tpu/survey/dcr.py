@@ -27,7 +27,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 from ..geometry.polyline import Polyline
-from ..problems.fields import gaussian_dipole, smooth_circle
+from ..problems.fields import GaussianMixture, gaussian_dipole, smooth_circle
 from ..problems.problem import Problem
 from ..solver.wost import SolveResult, SolverOptions, WoStSolver
 
@@ -171,11 +171,20 @@ class DCRSurvey:
     surface_y: float = 0.0
     sigma_bar_override: Optional[float] = None
     electrode_nudge: float = 0.1
+    source_mis: bool = False  # source-directed MIS NEE (large variance
+                              # reduction for narrow sources; currently
+                              # runs on the XLA backend)
 
     def build_problem(self) -> Problem:
         dirichlet, neumann = halfspace_domain(
             self.half_width, self.depth, self.surface_y
         )
+        importance = None
+        if self.source_mis:
+            importance = GaussianMixture.from_components([
+                (self.current_a, self.source_width, 0.5),
+                (self.current_b, self.source_width, 0.5),
+            ])
         return Problem(
             dirichlet=dirichlet,
             neumann=neumann,
@@ -185,6 +194,7 @@ class DCRSurvey:
             ),
             alpha=self.conductivity,
             sigma_bar_override=self.sigma_bar_override,
+            source_importance=importance,
         )
 
     def run(
@@ -318,6 +328,12 @@ def run_pseudosection(
     ]
     problem = survey.build_problem()
     problem.source = source_fields
+    if survey.source_mis:
+        # one mixture covering every electrode of the line
+        used = sorted({i for ab in sources for i in ab})
+        problem.source_importance = GaussianMixture.from_components([
+            (tuple(src_pos[i]), survey.source_width, 1.0) for i in used
+        ])
 
     solver = WoStSolver(problem, options)
     pts = electrodes.copy()

@@ -142,6 +142,78 @@ def test_pseudosection_matches_fdm_oracle():
     assert n_ok / n_checked >= 0.85, (n_ok, n_checked)
 
 
+def test_mis_nee_unbiased_and_lower_variance():
+    # Narrow Gaussian source: the plain Green's-sampled NEE has
+    # heavy-tailed weights; source-directed MIS must agree within MC
+    # bounds and cut stderr by a large factor.
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.problems.fields import GaussianMixture
+
+    w = 0.05
+    amp = 1.0 / (2 * np.pi * w * w)
+    src = lambda x, y: amp * jnp.exp(-(x * x + y * y) / (2 * w * w))
+    imp = GaussianMixture.from_components([((0.0, 0.0), w, 1.0)])
+    pts = np.array([[0.5, 0.0], [1.0, 1.0]])
+    results = {}
+    for label, sim in [("plain", None), ("mis", imp)]:
+        prob = Problem(dirichlet=square_loop(2.0),
+                       bc_dirichlet=lambda x, y: 0.0 * x,
+                       source=src, source_importance=sim)
+        s = WoStSolver(prob, SolverOptions(target_slots=8192, backend="xla"))
+        results[label] = s.solve(pts, n_walks=6000, max_steps=300,
+                                 eps=1e-3, seed=0)
+    a, b = results["plain"], results["mis"]
+    dev = np.abs(a.mean - b.mean) / np.sqrt(a.stderr**2 + b.stderr**2)
+    assert (dev < 4).all(), (a.mean, b.mean)
+    # at least 3x stderr reduction (typically ~8-10x)
+    assert (b.stderr < a.stderr / 3).all(), (a.stderr, b.stderr)
+
+
+def test_homogeneous_pseudosection_with_mis_crn():
+    # The quantitative half-plane gate: homogeneous rho = 0.1 ohm-m must be
+    # recovered by the dipole-dipole sweep. Requires both variance tools:
+    # source-directed MIS (bounded NEE weights) and common random numbers
+    # (correlated paths cancel noise in the voltage differences).
+    rho = 0.1
+    survey = DCRSurvey(
+        half_width=300.0, depth=600.0,
+        current_a=(0.0, 0.0), current_b=(1.0, 0.0),
+        conductivity=lambda x, y: 10.0 + 0.0 * x,
+        source_width=0.25, source_mis=True,
+    )
+    electrodes = surface_electrode_line((-20.0, 20.0), 5.0)
+    ps = run_pseudosection(
+        survey, electrodes, num_rx_per_src=4,
+        n_walks=6000, max_steps=1500, eps=0.25, seed=0,
+        options=SolverOptions(target_slots=32768,
+                              common_random_numbers=True),
+    )
+    rho_a = ps.apparent_resistivity
+    med = float(np.median(rho_a))
+    assert abs(med - rho) / rho < 0.2, (med, rho_a)
+    assert np.mean(np.abs(rho_a - rho) / rho < 0.3) >= 0.4, rho_a
+
+
+def test_crn_keeps_per_point_estimates_unbiased():
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x + 2.0 * y)
+    pts = np.array([[0.0, 0.0], [0.3, 0.2], [0.31, 0.2]])
+    s = WoStSolver(prob, SolverOptions(target_slots=4096,
+                                       common_random_numbers=True))
+    res = s.solve(pts, n_walks=4000, max_steps=200, eps=1e-3, seed=0)
+    exact = pts[:, 0] + 2 * pts[:, 1]
+    assert (np.abs(res.mean - exact) < 4 * res.stderr + 5e-3).all()
+    # CRN: nearby points' estimates move together -> their difference is
+    # tighter than the independent-walk quadrature error
+    d_est = res.mean[2] - res.mean[1]
+    d_exact = exact[2] - exact[1]
+    quad = np.sqrt(res.stderr[1] ** 2 + res.stderr[2] ** 2)
+    assert abs(d_est - d_exact) < max(0.7 * quad, 1e-3), (
+        d_est, d_exact, quad
+    )
+
+
 def test_pseudosection_on_scenario_runs():
     survey, electrodes = geophysical_scenario()
     ps = run_pseudosection(
