@@ -411,6 +411,15 @@ def make_pallas_walk(
     has_source = len(source_fields) > 0
     n_src = max(1, len(source_fields))
     sigma_bar = float(pb.sigma_bar) if use_delta else 0.0
+    importance = pb.source_importance
+    use_mis = has_source and importance is not None
+    if use_mis:
+        # static mixture constants (unrolled component selection / pdf)
+        mis_cx = [float(v) for v in np.asarray(importance.cx)]
+        mis_cy = [float(v) for v in np.asarray(importance.cy)]
+        mis_w = [float(v) for v in np.asarray(importance.width)]
+        mis_a = [float(v) for v in np.asarray(importance.weight)]
+        mis_cum = np.cumsum(mis_a).tolist()
     static_geom = _geometry_size(pb) <= MAX_UNROLL_SEGMENTS
     dir_segs = _static_segments(pb.dirichlet) if static_geom else []
     neu_segs = (_static_segments(pb.neumann)
@@ -584,7 +593,7 @@ def make_pallas_walk(
                 a_p = alpha_c(px, py)
                 a_s = alpha_c(sx, sy)
 
-            if has_source:
+            if has_source and not use_mis:
                 if use_delta:
                     w_src = (_screened_norm(r, sigma_bar)
                              / jnp.sqrt(a_s * a_p) * atten)
@@ -594,6 +603,74 @@ def make_pallas_walk(
                 w_eff = jnp.where(stepping & ~beyond, w_src, 0.0)
                 for i in range(n_src):
                     accs[i] = accs[i] + sources[i](sx, sy) * w_eff
+            elif use_mis:
+                # source-directed MIS NEE (see solver/wost.py): sample from
+                # 0.5 * ball-Green's + 0.5 * static Gaussian mixture
+                um = _uniform((4,) + px.shape)
+                take_src = um[0] < 0.5
+                # unrolled component pick + Box-Muller offset
+                mx = jnp.full_like(px, mis_cx[-1])
+                my = jnp.full_like(px, mis_cy[-1])
+                mw = jnp.full_like(px, mis_w[-1])
+                for ci in range(len(mis_cx) - 2, -1, -1):
+                    pick_c = um[1] < mis_cum[ci]
+                    mx = jnp.where(pick_c, mis_cx[ci], mx)
+                    my = jnp.where(pick_c, mis_cy[ci], my)
+                    mw = jnp.where(pick_c, mis_w[ci], mw)
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(um[2], 1e-12)))
+                ang = float(_TWO_PI) * um[3]
+                mx = mx + mw * rad * jnp.cos(ang)
+                my = my + mw * rad * jnp.sin(ang)
+                gx = px + r_s * dx
+                gy = py + r_s * dy
+                yx = jnp.where(take_src, mx, gx)
+                yy = jnp.where(take_src, my, gy)
+                d_y = jnp.sqrt((yx - px) ** 2 + (yy - py) ** 2)
+                d_safe = jnp.maximum(d_y, 1e-12)
+                if use_delta:
+                    sq = float(np.sqrt(sigma_bar))
+                    a_arg = d_safe * sq
+                    z_arg = r * sq
+                    # G = [K0(a) - (K0(z)/I0(z)) I0(a)] / 2pi, scaled-stable
+                    g_val = (
+                        _k0e(a_arg) * jnp.exp(-a_arg)
+                        - (_k0e(z_arg) / _i0e(z_arg)) * _i0e(a_arg)
+                        * jnp.exp(a_arg - 2.0 * z_arg)
+                    ) / float(_TWO_PI)
+                    norm = _screened_norm(r, sigma_bar)
+                else:
+                    g_val = jnp.log(jnp.maximum(r / d_safe, 1e-12)) \
+                        / float(_TWO_PI)
+                    norm = r * r * 0.25
+                g_val = jnp.maximum(g_val, 0.0)
+                in_ball = d_y < r
+                if has_neumann:
+                    ydx = (yx - px) / d_safe
+                    ydy = (yy - py) / d_safe
+                    _, _, _, _, t_y, hit_y = first_hit(px, py, ydx, ydy, d_y)
+                    in_star = in_ball & ~(hit_y & (t_y < d_y))
+                else:
+                    in_star = in_ball
+                # static-mixture pdf
+                q = jnp.zeros_like(px)
+                for ci in range(len(mis_cx)):
+                    w2 = mis_w[ci] * mis_w[ci]
+                    q = q + mis_a[ci] * jnp.exp(
+                        -((yx - mis_cx[ci]) ** 2 + (yy - mis_cy[ci]) ** 2)
+                        / (2.0 * w2)
+                    ) / (float(_TWO_PI) * w2)
+                p_ball = jnp.where(in_ball, g_val / norm, 0.0)
+                p_mix = 0.5 * p_ball + 0.5 * q
+                w_mis = jnp.where(
+                    in_star & (p_mix > 1e-30),
+                    g_val / jnp.maximum(p_mix, 1e-30), 0.0,
+                )
+                if use_delta:
+                    a_y = alpha_c(yx, yy)
+                    w_mis = w_mis / jnp.sqrt(a_y * a_p) * atten
+                w_mis = jnp.where(stepping, w_mis, 0.0)
+                for i in range(n_src):
+                    accs[i] = accs[i] + sources[i](yx, yy) * w_mis
 
             if use_delta:
                 p_int = _screened_interior_prob(r, sigma_bar)

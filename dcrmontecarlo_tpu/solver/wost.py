@@ -445,8 +445,7 @@ class WoStSolver:
         from ..ops.pallas_walk import pallas_supported
 
         ok = pallas_supported(self.problem)
-        # source-directed MIS NEE and CRN not yet in the kernel
-        ok = ok and self.problem.source_importance is None
+        # CRN needs lane-indexed streams, not yet in the kernel PRNG
         ok = ok and not self.options.common_random_numbers
         if mode == "pallas":
             if not ok:
