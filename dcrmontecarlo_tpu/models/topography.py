@@ -12,7 +12,6 @@ draped on the terrain and nudged inward along the local downhill normal.
 from typing import Callable, Tuple
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..geometry.polyline import Polyline, func_to_polyline
 from ..problems.fields import gaussian_dipole, smooth_circle

@@ -7,8 +7,6 @@ hand-made approximation (``:108-133``) and is also the repo's only timing
 harness (``:230-237``).
 """
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

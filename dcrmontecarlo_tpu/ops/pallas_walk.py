@@ -32,7 +32,6 @@ the XLA path, which handles arbitrary S).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import numpy as np

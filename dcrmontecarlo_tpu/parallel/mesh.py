@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..problems.problem import Problem
 from ..solver.state import init_state
-from ..solver.wost import SolveResult, SolverOptions, WoStSolver
+from ..solver.wost import SolverOptions, WoStSolver
 
 __all__ = ["ShardedWoStSolver", "make_mesh"]
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Callable, NamedTuple, Sequence, Tuple
 
 import jax.numpy as jnp
-from jax import lax
 
 __all__ = ["RadialDistribution", "uniform_radial", "mis_sample"]
 

@@ -11,7 +11,7 @@ plain pytree of numpy arrays that can be checkpointed and resumed.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np

@@ -5,9 +5,9 @@ The reference runs three nested interpreted loops — points x walks x steps
 (``WoStSolver.py:182,187,206``) — at O(1e3-1e4) walker-steps/s on CPU.
 Here ONE ``lax.while_loop`` advances every walker of every evaluation point
 simultaneously: the loop body is a fully branchless SoA step (every
-reference ``if`` becomes ``jnp.where``/mask algebra), RNG is counter-based
-threefry keyed on the global iteration index, and walker slots recycle into
-their next walk the iteration after one terminates.
+reference ``if`` becomes ``jnp.where``/mask algebra), RNG is a counter-based
+hash keyed on the global iteration index (threefry optional), and walker
+slots recycle into their next walk the iteration after one terminates.
 
 Algorithm per step (reference semantics with documented fixes, SURVEY §5):
 
@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import numpy as np
 import jax

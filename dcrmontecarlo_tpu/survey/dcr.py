@@ -27,7 +27,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 from ..geometry.polyline import Polyline
-from ..problems.fields import GaussianMixture, gaussian_dipole, smooth_circle
+from ..problems.fields import GaussianMixture, gaussian_dipole
 from ..problems.problem import Problem
 from ..solver.wost import SolveResult, SolverOptions, WoStSolver
 
