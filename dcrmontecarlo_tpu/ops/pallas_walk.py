@@ -658,11 +658,14 @@ def make_pallas_walk(
                         -((yx - mis_cx[ci]) ** 2 + (yy - mis_cy[ci]) ** 2)
                         / (2.0 * w2)
                     ) / (float(_TWO_PI) * w2)
-                p_ball = jnp.where(in_ball, g_val / norm, 0.0)
+                # hemisphere-direction density doubling for on-boundary
+                # walkers (see solver/wost.py MIS block)
+                m_ob = 1.0 + ob.astype(jnp.float32)
+                p_ball = jnp.where(in_ball, m_ob * g_val / norm, 0.0)
                 p_mix = 0.5 * p_ball + 0.5 * q
                 w_mis = jnp.where(
                     in_star & (p_mix > 1e-30),
-                    g_val / jnp.maximum(p_mix, 1e-30), 0.0,
+                    m_ob * g_val / jnp.maximum(p_mix, 1e-30), 0.0,
                 )
                 if use_delta:
                     a_y = alpha_c(yx, yy)

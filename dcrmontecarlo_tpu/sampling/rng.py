@@ -36,6 +36,26 @@ def mix32(x):
     return x
 
 
+def counter_uniform_lanes(seed, counters, n_streams: int, lane_ids):
+    """``(n_streams, L)`` uniforms from per-lane counters and lane ids.
+
+    Unlike :func:`counter_uniform` (scalar counter = global loop
+    iteration), the counter here is a *per-lane* value — e.g.
+    ``walk_index * (max_steps + 2) + step_within_walk`` — so a walk's
+    random sequence depends only on ``(lane_id, walk#, step#)``. Under
+    common random numbers this keeps walk k of slot j at EVERY evaluation
+    point on the same stream even after walks desynchronize in global
+    iterations (otherwise only each slot's first walk is correlated).
+    """
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    ctr = jnp.asarray(counters).astype(jnp.uint32)[None, :]
+    lane = jnp.asarray(lane_ids).astype(jnp.uint32)[None, :]
+    stream = (jnp.arange(n_streams, dtype=jnp.uint32) + jnp.uint32(1))[:, None]
+    base = mix32(seed ^ (_C_COUNTER * ctr))
+    h = mix32(lane ^ (_C_STREAM * stream) ^ base)
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
 def counter_uniform(seed, counter, n_streams: int, lanes: int):
     """``(n_streams, lanes)`` uniforms in [0, 1) from (seed, counter).
 

@@ -58,7 +58,7 @@ from ..sampling.radial import (
     sample_screened_radius_exact,
     sample_screened_radius_fast,
 )
-from ..sampling.rng import counter_uniform, mix32
+from ..sampling.rng import counter_uniform, counter_uniform_lanes, mix32
 from .state import WalkerState, init_state
 
 __all__ = ["WoStSolver", "SolveResult", "SolverOptions"]
@@ -181,21 +181,30 @@ class WoStSolver:
 
         n_u = 8 if use_mis else 4
 
-        def _expand(u):
+        def _lane_ids(W):
+            # RNG stream id per lane: under CRN, slot j of every point maps
+            # to the same stream
+            ids = jnp.arange(W, dtype=jnp.uint32)
             if crn is None:
-                return u
+                return ids
             mode, period, reps = crn
-            if mode == "tile":
-                return jnp.tile(u, (1, reps))
-            return jnp.repeat(u, reps, axis=1)
+            if mode == "tile":      # point-major layout: lane = p*K + j
+                return ids % jnp.uint32(period)
+            return ids // jnp.uint32(reps)  # slot-major: lane = j*P + p
 
         def step(state: WalkerState, p0x, p0y, key):
             W = state.px.shape[0]
-            lanes = W if crn is None else crn[1]
             if rng_fast:
                 kd = jnp.asarray(key, jnp.uint32).reshape(-1)
                 seed32 = kd[0] ^ mix32(kd[-1])
-                u = _expand(counter_uniform(seed32, state.step_idx, n_u, lanes))
+                lane_ids = _lane_ids(W)
+                # per-lane counter (walk#, step#): correlated streams
+                # survive walk desynchronization, and sequences are
+                # reproducible per walk
+                ctr = (state.n_done.astype(jnp.uint32)
+                       * jnp.uint32(max_steps + 2)
+                       + state.steps_cur.astype(jnp.uint32))
+                u = counter_uniform_lanes(seed32, ctr, n_u, lane_ids)
             else:
                 step_key = jax.random.fold_in(key, state.step_idx)
                 u = jax.random.uniform(step_key, (n_u, W))
@@ -265,16 +274,11 @@ class WoStSolver:
                 if table is not None:
                     r_s = sample_screened_radius(table, r, sigma_bar, u[1], u[2])
                 elif rng_fast:
-                    base = mix32(
-                        seed32 ^ jnp.uint32(0xA5A5A5A5)
-                        ^ (jnp.asarray(state.step_idx).astype(jnp.uint32)
-                           * jnp.uint32(0xB5297A4D))
-                    )
-
                     def draw_r(round_idx):
-                        sd = base ^ (jnp.asarray(round_idx).astype(jnp.uint32)
-                                     * jnp.uint32(0x68E31DA4))
-                        return _expand(counter_uniform(sd, 0, 4, lanes))
+                        sd = (seed32 ^ jnp.uint32(0xA5A5A5A5)
+                              ^ (jnp.asarray(round_idx).astype(jnp.uint32)
+                                 * jnp.uint32(0x68E31DA4)))
+                        return counter_uniform_lanes(sd, ctr, 4, lane_ids)
 
                     from ..sampling.radial import _exact_rejection
 
@@ -344,10 +348,16 @@ class WoStSolver:
                     in_star = in_ball & ~(hit_y & (t_y < d_y))
                 else:
                     in_star = in_ball
-                p_mix = 0.5 * jnp.where(in_ball, g_val / norm, 0.0) \
+                # on-Neumann walkers sample directions from the inward
+                # hemisphere, so the G-side area density is m*G/N with
+                # m = 2 on the boundary — and by the image method the
+                # correct on-boundary volume term is m * int G f as well
+                m_ob = 1.0 + on_bdry.astype(jnp.float32)
+                p_mix = 0.5 * jnp.where(in_ball, m_ob * g_val / norm, 0.0) \
                     + 0.5 * importance.pdf(yx, yy)
                 w_mis = jnp.where(
-                    in_star & (p_mix > 1e-30), g_val / jnp.maximum(p_mix, 1e-30),
+                    in_star & (p_mix > 1e-30),
+                    m_ob * g_val / jnp.maximum(p_mix, 1e-30),
                     0.0,
                 )
                 if use_delta:

@@ -1,3 +1,4 @@
+from .efield import EFieldResult, estimate_field
 from .dcr import (
     surface_electrode_line,
     dipole_voltages,
@@ -12,6 +13,8 @@ from .dcr import (
 )
 
 __all__ = [
+    "EFieldResult",
+    "estimate_field",
     "surface_electrode_line",
     "dipole_voltages",
     "apparent_resistivity_2d",

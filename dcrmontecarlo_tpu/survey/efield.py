@@ -1,0 +1,78 @@
+"""Electric-field (gradient) estimation.
+
+DCR instruments measure potential *differences*; the physical quantity is
+the electric field ``E = -grad u``. The reference has no gradient
+capability. Here the gradient is estimated by central differences over
+CRN-correlated solves: common random numbers make walks from ``x +/- h``
+follow nearly identical paths, so the difference quotient cancels the
+shared MC noise that would otherwise require ``O(1/h^2)`` more walks —
+the classic correlated-finite-difference estimator.
+
+Bias is the usual ``O(h^2)`` central-difference term plus the walk
+decorrelation growing with ``h``; ``h`` around ``1e-2`` of the local
+feature scale works well (see ``tests/test_efield.py``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..solver.wost import SolverOptions, WoStSolver
+
+__all__ = ["EFieldResult", "estimate_field"]
+
+
+class EFieldResult(NamedTuple):
+    ex: np.ndarray        # (N,) E_x = -du/dx
+    ey: np.ndarray        # (N,) E_y = -du/dy
+    ex_stderr: np.ndarray  # conservative (quadrature) bounds
+    ey_stderr: np.ndarray
+    potential: np.ndarray  # (N,) u at the stencil centers
+
+
+def estimate_field(
+    problem,
+    points,
+    h: float,
+    n_walks: int = 4000,
+    max_steps: int = 1000,
+    eps: float = 1e-4,
+    seed: int = 0,
+    options: SolverOptions = None,
+) -> EFieldResult:
+    """Estimate ``E = -grad u`` at ``points`` with step ``h``.
+
+    Builds the 5-point stencil ``{x, x+-h e_x, x+-h e_y}`` for every point
+    and solves all stencil points in ONE CRN-correlated solve (stencil
+    points sit adjacent in the slot layout, so slot-matched RNG streams
+    correlate their walks maximally).
+    """
+    pts = np.asarray(points, np.float32).reshape(-1, 2)
+    n = len(pts)
+    stencil = np.concatenate([
+        pts,
+        pts + [h, 0.0],
+        pts - [h, 0.0],
+        pts + [0.0, h],
+        pts - [0.0, h],
+    ]).astype(np.float32)
+    base = options or SolverOptions()
+    opts = SolverOptions(**{
+        **base.__dict__,
+        "common_random_numbers": True,
+        "rng": "fast",
+        "backend": "xla",  # CRN requires lane-indexed streams
+    })
+    solver = WoStSolver(problem, opts)
+    res = solver.solve(stencil, n_walks=n_walks, max_steps=max_steps,
+                       eps=eps, seed=seed)
+    u = res.mean.reshape(5, n)
+    se = res.stderr.reshape(5, n)
+    ex = -(u[1] - u[2]) / (2 * h)
+    ey = -(u[3] - u[4]) / (2 * h)
+    ex_err = np.sqrt(se[1] ** 2 + se[2] ** 2) / (2 * h)
+    ey_err = np.sqrt(se[3] ** 2 + se[4] ** 2) / (2 * h)
+    return EFieldResult(ex=ex, ey=ey, ex_stderr=ex_err, ey_stderr=ey_err,
+                        potential=u[0])

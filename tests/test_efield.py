@@ -1,0 +1,34 @@
+"""CRN central-difference E-field estimation."""
+
+import numpy as np
+
+from dcrmontecarlo_tpu import Problem, square_loop
+from dcrmontecarlo_tpu.solver import SolverOptions
+from dcrmontecarlo_tpu.survey import estimate_field
+
+
+def test_efield_linear_potential():
+    # u = x + 2y -> E = (-1, -2) everywhere
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x + 2.0 * y)
+    pts = np.array([[0.0, 0.0], [0.3, -0.2]])
+    f = estimate_field(prob, pts, h=0.02, n_walks=4000, max_steps=200,
+                       eps=1e-3, seed=0,
+                       options=SolverOptions(target_slots=8192))
+    # reported stderr is the conservative quadrature bound (~1.0 here);
+    # the CRN-correlated empirical error is ~0.14 (7x tighter) — gate on
+    # a 3x-empirical tolerance
+    assert (np.abs(f.ex + 1.0) < 0.45).all(), (f.ex, f.ex_stderr)
+    assert (np.abs(f.ey + 2.0) < 0.45).all(), (f.ey, f.ey_stderr)
+
+
+def test_efield_saddle():
+    # u = x^2 - y^2 -> E = (-2x, 2y)
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x * x - y * y)
+    pts = np.array([[0.4, 0.1]])
+    f = estimate_field(prob, pts, h=0.02, n_walks=6000, max_steps=200,
+                       eps=1e-3, seed=1,
+                       options=SolverOptions(target_slots=8192))
+    assert abs(f.ex[0] + 0.8) < 0.45, (f.ex, f.ex_stderr)
+    assert abs(f.ey[0] - 0.2) < 0.45, (f.ey, f.ey_stderr)
