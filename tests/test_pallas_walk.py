@@ -115,3 +115,36 @@ def test_pallas_matches_xla_tpu():
     err = np.abs(a.mean - b.mean)
     tol = 4 * np.sqrt(a.stderr**2 + b.stderr**2)
     assert (err < tol).all(), (a.mean, b.mean)
+
+
+@pytest.mark.skipif(not on_tpu, reason="hardware PRNG required")
+def test_pallas_mis_neumann_matches_fdm_tpu():
+    # Regression for the on-Neumann MIS hemisphere-density bias: the
+    # reference values are from the 481^2 finite-volume oracle on the
+    # identical problem (see the 2026-08 bias isolation in git history).
+    from dcrmontecarlo_tpu.geometry import Polyline
+    from dcrmontecarlo_tpu.problems.fields import (
+        GaussianMixture,
+        gaussian_dipole,
+    )
+
+    w = 0.5
+    A, B = (-2.5, -1.0), (2.5, -1.0)
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-30.0, 0.0], [-30.0, -60.0], [30.0, -60.0], [30.0, 0.0]]
+        ),
+        neumann=Polyline.from_points([[-30.0, 0.0], [30.0, 0.0]]),
+        bc_dirichlet=lambda x, y: 0.0 * x,
+        source=gaussian_dipole(A, B, 1.0, w),
+        alpha=lambda x, y: 10.0 + 0.0 * x,
+        source_importance=GaussianMixture.from_components(
+            [(A, w, 0.5), (B, w, 0.5)]
+        ),
+    )
+    pts = np.array([[7.5, -0.1], [12.5, -0.1], [-7.5, -0.1]], np.float32)
+    fdm_ref = np.array([-0.02008, -0.01075, 0.02008])
+    s = WoStSolver(prob, SolverOptions(target_slots=1 << 15, backend="pallas"))
+    r = s.solve(pts, n_walks=40000, max_steps=2000, eps=0.05, seed=0)
+    dev = np.abs(r.mean - fdm_ref) / np.maximum(r.stderr, 1e-12)
+    assert (dev < 4.0).all(), (r.mean, fdm_ref, r.stderr)
