@@ -5,6 +5,7 @@ from .queries import (
     closest_point,
     is_silhouette,
     silhouette_distance,
+    ray_intersection,
     first_hit,
 )
 
@@ -18,5 +19,6 @@ __all__ = [
     "closest_point",
     "is_silhouette",
     "silhouette_distance",
+    "ray_intersection",
     "first_hit",
 ]

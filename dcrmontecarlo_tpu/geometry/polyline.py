@@ -148,6 +148,18 @@ class Polyline(NamedTuple):
         d = queries.silhouette_distance(self, px, py)
         return d[0] if scalar else d
 
+    def ray_intersection(self, point, direction):
+        """Per-segment ray-hit parameters (reference ``rayIntersection``,
+        ``PolylinesSimple.py:281-292``; true ray parameter)."""
+        from . import queries
+
+        px, py, scalar = self._split(point)
+        dx, dy, _ = self._split(direction)
+        n = jnp.sqrt(dx * dx + dy * dy)
+        t = queries.ray_intersection(self, px, py, dx / n, dy / n)
+        t = t[:, : self.num_segments] / n  # times in units of |direction|
+        return t[0] if scalar else t
+
     def intersect(self, point, direction, r):
         """First ray hit within ``r`` (``PolylinesSimple.py:294-307``).
 

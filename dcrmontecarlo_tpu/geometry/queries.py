@@ -29,6 +29,7 @@ __all__ = [
     "closest_point",
     "is_silhouette",
     "silhouette_distance",
+    "ray_intersection",
     "first_hit",
 ]
 
@@ -153,6 +154,29 @@ def silhouette_distance(poly: Polyline, px, py):
     dy = b[:, 1][None, :] - py[:, None]
     d2 = jnp.where(mask, dx * dx + dy * dy, jnp.inf)
     return jnp.sqrt(jnp.min(d2, axis=1))
+
+
+def ray_intersection(poly: Polyline, px, py, dx, dy, t_min=1e-6):
+    """Per-segment ray-hit parameters (``+inf`` for misses).
+
+    Parity with reference ``ray_intersection_jit``
+    (``PolylinesSimple.py:104-132``) but returning the true ray parameter
+    ``t`` (the reference returns the segment parameter ``s`` — SURVEY §3.3).
+
+    Returns:
+        ``(W, S)`` hit distances along the ray.
+    """
+    ax, ay, bx, by, valid = _seg_fields(poly)
+    ux, uy = bx - ax, by - ay
+    wx = px[:, None] - ax
+    wy = py[:, None] - ay
+    dxe, dye = dx[:, None], dy[:, None]
+    den = cross2(dxe, dye, ux, uy)
+    den_safe = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    t = cross2(ux, uy, wx, wy) / den_safe
+    sp = cross2(dxe, dye, wx, wy) / den_safe
+    ok = valid & (sp >= 0.0) & (sp <= 1.0) & (t > t_min) & (jnp.abs(den) > 1e-30)
+    return jnp.where(ok, t, jnp.inf)
 
 
 def first_hit(poly: Polyline, px, py, dx, dy, r, t_min=1e-6):

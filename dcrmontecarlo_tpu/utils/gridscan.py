@@ -20,22 +20,28 @@ def grid_min_max(
     bounds: Sequence[Tuple[float, float]],
     resolution: int = 100,
 ):
-    """Min/max of ``f(x, y)`` over a rectangular grid.
+    """Min/max of a scalar field over a rectangular grid.
+
+    Supports 1D/2D/3D domains like the reference (``utils.py:86-96``):
+    ``f`` takes one coordinate argument per dimension.
 
     Args:
-        f: scalar field ``f(x, y)`` (jnp-traceable).
-        bounds: ``((x_min, x_max), (y_min, y_max))``.
+        f: scalar field ``f(x)``, ``f(x, y)`` or ``f(x, y, z)``
+            (jnp-traceable).
+        bounds: per-dimension ``(min, max)`` pairs.
         resolution: grid points per dimension (reference default 100;
             the solver's sigma-bar scan uses 50, ``WoStSolver.py:130``).
 
     Returns:
         ``(min_val, max_val, min_pt, max_pt)`` as host floats / np arrays.
     """
-    (x0, x1), (y0, y1) = bounds
-    xs = jnp.linspace(x0, x1, resolution)
-    ys = jnp.linspace(y0, y1, resolution)
-    X, Y = jnp.meshgrid(xs, ys, indexing="ij")
-    vals = jax.vmap(f)(X.ravel(), Y.ravel())
+    ndim = len(bounds)
+    if ndim not in (1, 2, 3):
+        raise ValueError(f"grid scan supports 1-3 dimensions, got {ndim}")
+    axes = [jnp.linspace(lo, hi, resolution) for lo, hi in bounds]
+    grids = jnp.meshgrid(*axes, indexing="ij")
+    coords = [g.ravel() for g in grids]
+    vals = jax.vmap(f)(*coords)
     finite = jnp.isfinite(vals)
     if not bool(jnp.any(finite)):
         raise ValueError("field could not be evaluated at any grid point")
@@ -44,7 +50,7 @@ def grid_min_max(
     vmax = jnp.where(finite, vals, -big)
     imin = int(jnp.argmin(vmin))
     imax = int(jnp.argmax(vmax))
-    pts = np.stack([np.asarray(X.ravel()), np.asarray(Y.ravel())], axis=1)
+    pts = np.stack([np.asarray(c) for c in coords], axis=1)
     return (
         float(vals[imin]),
         float(vals[imax]),

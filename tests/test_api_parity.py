@@ -59,3 +59,20 @@ def test_problem_setters():
         np.array([[0.0, 0.0]]), n_walks=32, max_steps=50, eps=1e-3
     )
     np.testing.assert_allclose(res.mean, [1.0], rtol=1e-5)
+
+
+def test_polyline_oo_ray_intersection():
+    # reference test_polyline_ray_intersection (PolylinesSimple.py:336-344):
+    # unit square, ray +x from the center hits segment 1 at t = 0.5
+    poly = Polyline.from_points(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]
+    )
+    t = np.asarray(poly.ray_intersection(np.array([0.5, 0.5]),
+                                         np.array([1.0, 0.0])))
+    assert t.shape == (4,)
+    np.testing.assert_allclose(t[1], 0.5, atol=1e-6)
+    assert np.isinf(t[[0, 2, 3]]).all()
+    # non-unit direction: times scale with |direction| (reference semantics)
+    t2 = np.asarray(poly.ray_intersection(np.array([0.5, 0.5]),
+                                          np.array([2.0, 0.0])))
+    np.testing.assert_allclose(t2[1], 0.25, atol=1e-6)

@@ -65,3 +65,17 @@ def test_grid_min_max_skips_nonfinite():
     assert np.isfinite(mn) and np.isfinite(mx)
     np.testing.assert_allclose(mn, -2.0, atol=1e-6)
     np.testing.assert_allclose(mx, 1.0, atol=1e-6)
+
+
+def test_grid_min_max_1d_and_3d():
+    # reference gridSampleMinMax supports ndim 1-3 (utils.py:86-96)
+    f1 = lambda x: (x - 0.25) ** 2
+    mn, mx, pmin, pmax = grid_min_max(f1, ((-1, 1),), resolution=81)
+    np.testing.assert_allclose(pmin[0], 0.25, atol=0.03)
+    np.testing.assert_allclose(pmax[0], -1.0, atol=1e-6)
+
+    f3 = lambda x, y, z: x * x + y * y + z * z
+    mn, mx, pmin, pmax = grid_min_max(f3, ((-1, 1), (-1, 1), (-1, 1)),
+                                      resolution=11)
+    np.testing.assert_allclose(mn, 0.0, atol=1e-6)
+    np.testing.assert_allclose(mx, 3.0, atol=1e-6)
