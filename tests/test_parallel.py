@@ -71,3 +71,20 @@ def test_mesh_subset_sizes():
         solver = ShardedWoStSolver(prob, make_mesh(n), SolverOptions(target_slots=512))
         res = solver.solve(pts, n_walks=500, max_steps=100, eps=1e-3, seed=0)
         assert np.isfinite(res.mean).all()
+
+
+def test_sharded_multi_source():
+    prob = Problem(
+        dirichlet=square_loop(2.0),
+        bc_dirichlet=lambda x, y: x * x + y * y,
+        source=[lambda x, y: -4.0 + 0.0 * x, lambda x, y: 0.0 * x],
+    )
+    mesh = make_mesh(8)
+    solver = ShardedWoStSolver(prob, mesh, SolverOptions(target_slots=8192))
+    pts = np.array([[0.0, 0.0], [1.0, 0.5]])
+    res = solver.solve(pts, n_walks=4000, max_steps=300, eps=1e-3, seed=0)
+    assert res.mean.shape == (2, 2)
+    exact = pts[:, 0] ** 2 + pts[:, 1] ** 2
+    err = np.abs(res.mean[0] - exact)
+    assert (err < 4.0 * res.stderr[0] + 0.02).all(), (res.mean[0], exact)
+    assert np.isfinite(res.mean[1]).all()
