@@ -269,16 +269,34 @@ def _first_hit_smem(seg_ref, n_seg_pad, px, py, dx, dy, r, t_min):
     return px + t_hit * dx, py + t_hit * dy, nx, ny, t_hit, hit
 
 
+def _pad_chunk(table):
+    """Pad an SMEM table to a multiple of ``_CHUNK`` rows with degenerate
+    1e30 rows (same convention as Polyline's own padding: they lose every
+    min and fail every hit test). The chunk loops iterate ``rows / _CHUNK``
+    times, so a table only padded to Polyline's multiple-of-8 would have
+    its trailing real rows silently skipped.
+    """
+    n = len(table)
+    n_pad = ((n + _CHUNK - 1) // _CHUNK) * _CHUNK
+    if n_pad == n:
+        return table
+    out = np.full((n_pad, table.shape[1]), 1e30, np.float32)
+    out[:n] = table
+    return out
+
+
 def _seg_table(poly):
     """(S_pad, 4) float32 [ax, ay, bx, by] incl. degenerate padding rows."""
     a = np.asarray(poly.seg_a, np.float32)
     b = np.asarray(poly.seg_b, np.float32)
-    return np.concatenate([a, b], axis=1)
+    return _pad_chunk(np.concatenate([a, b], axis=1))
 
 
 def _vert_table(poly):
     """(V_pad, 6) float32 [a, b, c] triples incl. padding rows."""
-    return np.asarray(poly.vert_abc, np.float32).reshape(len(poly.vert_abc), 6)
+    return _pad_chunk(
+        np.asarray(poly.vert_abc, np.float32).reshape(len(poly.vert_abc), 6)
+    )
 
 
 # ---------------------------------------------------------------------- #

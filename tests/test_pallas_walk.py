@@ -148,3 +148,56 @@ def test_pallas_mis_neumann_matches_fdm_tpu():
     r = s.solve(pts, n_walks=40000, max_steps=2000, eps=0.05, seed=0)
     dev = np.abs(r.mean - fdm_ref) / np.maximum(r.stderr, 1e-12)
     assert (dev < 4.0).all(), (r.mean, fdm_ref, r.stderr)
+
+
+def test_smem_tables_padded_to_chunk_multiple():
+    # Regression: the SMEM chunk loops run rows // _CHUNK iterations, so a
+    # table only padded to Polyline's multiple of 8 silently dropped up to
+    # 24 trailing real segments (e.g. 100 segs -> 104 rows -> 96 seen).
+    from dcrmontecarlo_tpu.ops.pallas_walk import _CHUNK, _seg_table, _vert_table
+
+    poly = circle_loop(1.0, n=100)
+    assert _seg_table(poly).shape[0] % _CHUNK == 0
+    prob = Problem(dirichlet=square_loop(30.0),
+                   neumann=circle_loop(1.0, n=100))
+    assert _vert_table(prob.neumann).shape[0] % _CHUNK == 0
+
+
+def _subdivided_square_right_edge_last():
+    # 100-segment unit square with the segment containing (1, 0) at table
+    # index 98 — inside the trailing block the pre-fix SMEM loop dropped.
+    pts = []
+
+    def edge(a, b, n, include_start):
+        for k in range(0 if include_start else 1, n + 1):
+            t = k / n
+            pts.append([a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])])
+
+    edge((1, 1), (-1, 1), 32, True)    # top:    segs 0-31
+    edge((-1, 1), (-1, -1), 32, False)  # left:   segs 32-63
+    edge((-1, -1), (1, -1), 33, False)  # bottom: segs 64-96
+    edge((1, -1), (1, 1), 3, False)     # right:  segs 97-99; (1,0) in seg 98
+    from dcrmontecarlo_tpu.geometry import Polyline
+
+    return Polyline.from_points(pts)
+
+
+def test_pallas_smem_sees_trailing_segments():
+    # Deterministic interpret-mode walk (PRNG zeros -> march along +x) from
+    # the center: must terminate on the right edge at (1, 0) with bc = 1.
+    # Pre-fix, the right edge was invisible to the SMEM kernel, so the
+    # walker escaped the domain and accumulated bc far outside.
+    from jax.experimental.pallas import tpu as pltpu
+
+    poly = _subdivided_square_right_edge_last()
+    assert poly.num_segments == 100
+    prob = Problem(dirichlet=poly, bc_dirichlet=lambda x, y: x + 2 * y)
+    s = WoStSolver(
+        prob,
+        SolverOptions(target_slots=256, backend="pallas",
+                      pallas_inner_steps=16, pallas_block_rows=8),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        res = s.solve(np.array([[0.0, 0.0]]), n_walks=16, max_steps=30,
+                      eps=1e-3, seed=0)
+    np.testing.assert_allclose(res.mean, [1.0], atol=1e-4)
