@@ -136,3 +136,61 @@ def test_dcr_apparent_resistivity_scale(scenario_run):
     assert np.isnan(rho[3]) and np.isnan(rho[4])
     outer = np.abs(np.concatenate([rho[:2], rho[-2:]]))
     assert (outer > rho_bg / 10).all() and (outer < rho_bg * 10).all(), rho
+
+
+def test_survey_run_recovers_homogeneous_resistivity():
+    # Regression for the surface-source current-burial bias: a Gaussian
+    # current electrode centered exactly ON the Neumann surface loses half
+    # its injected current outside the domain, biasing rho_a ~2x low.
+    # build_problem must bury on-surface sources (as run_pseudosection
+    # already did), so a homogeneous half-plane recovers rho = 1/sigma.
+    from dcrmontecarlo_tpu.survey import DCRSurvey
+
+    rho = 0.1
+    survey = DCRSurvey(
+        half_width=300.0, depth=600.0,
+        current_a=(-30.0, 0.0), current_b=(30.0, 0.0),  # ON the surface
+        conductivity=lambda x, y: 10.0 + 0.0 * x,
+        source_width=0.5, source_mis=True,
+    )
+    electrodes = surface_electrode_line((-15.0, 15.0), 5.0)
+    result = survey.run(
+        electrodes, n_walks=5000, max_steps=1500, eps=0.25, seed=0,
+        options=SolverOptions(target_slots=32768,
+                              common_random_numbers=True),
+    )
+    med = float(np.nanmedian(result.apparent_resistivity))
+    assert abs(med - rho) / rho < 0.25, (med, result.apparent_resistivity)
+
+
+def test_build_problem_buries_surface_sources():
+    from dcrmontecarlo_tpu.survey import DCRSurvey
+
+    survey = DCRSurvey(
+        half_width=100.0, depth=200.0,
+        current_a=(-10.0, 0.0), current_b=(10.0, 0.0),
+        conductivity=lambda x, y: 1.0 + 0.0 * x,
+        source_width=0.5, source_mis=True,
+    )
+    prob = survey.build_problem()
+    # the source density must peak at the buried positions (y = -1), with
+    # ~no mass above the surface
+    import jax
+
+    f = prob.source
+    assert float(f(-10.0, -1.0)) > 50.0 * abs(float(f(-10.0, 0.5)))
+    # MIS importance centers follow the buried sources
+    np.testing.assert_allclose(
+        np.sort(np.asarray(prob.source_importance.cy)), [-1.0, -1.0]
+    )
+    # already-buried sources are left alone
+    survey2 = DCRSurvey(
+        half_width=100.0, depth=200.0,
+        current_a=(-10.0, -5.0), current_b=(10.0, -5.0),
+        conductivity=lambda x, y: 1.0 + 0.0 * x,
+        source_width=0.5,
+    )
+    prob2 = survey2.build_problem()
+    assert float(prob2.source(-10.0, -5.0)) > 50.0 * abs(
+        float(prob2.source(-10.0, -1.0))
+    )
