@@ -80,8 +80,16 @@ class ShardedWoStSolver(WoStSolver):
     def _build_solve_fn_xla_sharded(
         self, n_points: int, n_walks: int, max_steps: int, eps: float
     ):
-        step = self._make_step_core(eps, max_steps)
         K, quota_row = self._slot_layout(n_points, n_walks)
+        # the sharded state is slot-major (lane = slot * n_points + point,
+        # from the jnp.tile layout in shard_body), so CRN uses the "repeat"
+        # stream map; every shard holds all points, so per-shard key folds
+        # keep streams slot-matched across points within each shard
+        crn = (
+            ("repeat", K, n_points)
+            if self.options.common_random_numbers else None
+        )
+        step = self._make_step_core(eps, max_steps, crn=crn)
         max_quota = int(quota_row.max())
         step_cap = max_quota * (max_steps + 1) + 2
         axis = self.axis

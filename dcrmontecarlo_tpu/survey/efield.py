@@ -25,8 +25,8 @@ __all__ = ["EFieldResult", "estimate_field"]
 
 
 class EFieldResult(NamedTuple):
-    ex: np.ndarray        # (N,) E_x = -du/dx
-    ey: np.ndarray        # (N,) E_y = -du/dy
+    ex: np.ndarray        # (N,) E_x = -du/dx; (n_src, N) for multi-source
+    ey: np.ndarray        # (N,) E_y = -du/dy; (n_src, N) for multi-source
     ex_stderr: np.ndarray  # conservative (quadrature) bounds
     ey_stderr: np.ndarray
     potential: np.ndarray  # (N,) u at the stencil centers
@@ -68,11 +68,19 @@ def estimate_field(
     solver = WoStSolver(problem, opts)
     res = solver.solve(stencil, n_walks=n_walks, max_steps=max_steps,
                        eps=eps, seed=seed)
-    u = res.mean.reshape(5, n)
-    se = res.stderr.reshape(5, n)
-    ex = -(u[1] - u[2]) / (2 * h)
-    ey = -(u[3] - u[4]) / (2 * h)
-    ex_err = np.sqrt(se[1] ** 2 + se[2] ** 2) / (2 * h)
-    ey_err = np.sqrt(se[3] ** 2 + se[4] ** 2) / (2 * h)
+    # single-source solves return (5n,); multi-source (n_src, 5n) — the
+    # stencil axis is always the trailing one
+    multi = res.mean.ndim == 2
+    u = res.mean.reshape(-1, 5, n)
+    se = res.stderr.reshape(-1, 5, n)
+    ex = -(u[:, 1] - u[:, 2]) / (2 * h)
+    ey = -(u[:, 3] - u[:, 4]) / (2 * h)
+    ex_err = np.sqrt(se[:, 1] ** 2 + se[:, 2] ** 2) / (2 * h)
+    ey_err = np.sqrt(se[:, 3] ** 2 + se[:, 4] ** 2) / (2 * h)
+    pot = u[:, 0]
+    if not multi:
+        ex, ey, ex_err, ey_err, pot = (
+            a[0] for a in (ex, ey, ex_err, ey_err, pot)
+        )
     return EFieldResult(ex=ex, ey=ey, ex_stderr=ex_err, ey_stderr=ey_err,
-                        potential=u[0])
+                        potential=pot)

@@ -32,3 +32,22 @@ def test_efield_saddle():
                        options=SolverOptions(target_slots=8192))
     assert abs(f.ex[0] + 0.8) < 0.45, (f.ex, f.ex_stderr)
     assert abs(f.ey[0] - 0.2) < 0.45, (f.ey, f.ey_stderr)
+
+
+def test_efield_multi_source():
+    # Multi-source problems return per-source (n_src, N) field components.
+    # Source f = -4 with matching BC has u = x^2 + y^2 -> E = (-2x, -2y);
+    # source 2 is zero -> its u is the harmonic continuation of the BC.
+    prob = Problem(
+        dirichlet=square_loop(2.0),
+        bc_dirichlet=lambda x, y: x * x + y * y,
+        source=[lambda x, y: -4.0 + 0.0 * x, lambda x, y: 0.0 * x],
+    )
+    pts = np.array([[0.5, 0.0], [0.0, 0.5]])
+    f = estimate_field(prob, pts, h=0.02, n_walks=4000, max_steps=300,
+                       eps=1e-3, seed=0,
+                       options=SolverOptions(target_slots=8192))
+    assert f.ex.shape == (2, 2) and f.potential.shape == (2, 2)
+    assert abs(f.ex[0, 0] + 1.0) < 0.5, f.ex
+    assert abs(f.ey[0, 1] + 1.0) < 0.5, f.ey
+    assert np.isfinite(f.ex).all() and np.isfinite(f.ey).all()

@@ -88,3 +88,26 @@ def test_sharded_multi_source():
     err = np.abs(res.mean[0] - exact)
     assert (err < 4.0 * res.stderr[0] + 0.02).all(), (res.mean[0], exact)
     assert np.isfinite(res.mean[1]).all()
+
+
+def test_sharded_crn_tightens_differences():
+    # Regression: CRN used to be silently ignored on the sharded XLA path.
+    # With slot-matched streams, nearby points' estimates move together so
+    # their difference beats the independent-walk quadrature error.
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x + 2.0 * y)
+    pts = np.array([[0.3, 0.2], [0.31, 0.2]])
+    mesh = make_mesh(8)
+    solver = ShardedWoStSolver(
+        prob, mesh,
+        SolverOptions(target_slots=4096, common_random_numbers=True),
+    )
+    res = solver.solve(pts, n_walks=4000, max_steps=200, eps=1e-3, seed=0)
+    exact = pts[:, 0] + 2 * pts[:, 1]
+    assert (np.abs(res.mean - exact) < 4 * res.stderr + 5e-3).all()
+    d_est = res.mean[1] - res.mean[0]
+    d_exact = exact[1] - exact[0]
+    quad = np.sqrt(res.stderr[0] ** 2 + res.stderr[1] ** 2)
+    assert abs(d_est - d_exact) < max(0.7 * quad, 1e-3), (
+        d_est, d_exact, quad
+    )
