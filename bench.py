@@ -59,7 +59,7 @@ def main():
     steps_total = 0.0
     t0 = time.perf_counter()
     for rep in range(args.repeats):
-        mean, stderr, total_steps, iters = fn(pts, jax.random.PRNGKey(rep + 1))
+        mean, stderr, _, _, total_steps, iters = fn(pts, jax.random.PRNGKey(rep + 1))
         jax.block_until_ready(total_steps)
         steps_total += float(total_steps)
     dt = time.perf_counter() - t0

@@ -70,7 +70,10 @@ class ShardedWoStSolver(WoStSolver):
         return K, quota_row
 
     @functools.lru_cache(maxsize=32)
-    def _build_solve_fn(self, n_points: int, n_walks: int, max_steps: int, eps: float):
+    def _build_solve_fn_versioned(
+        self, n_points: int, n_walks: int, max_steps: int, eps: float,
+        _version: int,
+    ):
         if self._use_pallas():
             return self._build_solve_fn_pallas_sharded(
                 n_points, n_walks, max_steps, eps
@@ -157,7 +160,7 @@ class ShardedWoStSolver(WoStSolver):
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            return mean, stderr, steps, iters
+            return mean, stderr, sums, sumsq, steps, iters
 
         return run
 
@@ -292,6 +295,6 @@ class ShardedWoStSolver(WoStSolver):
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            return mean, stderr, steps, iters
+            return mean, stderr, sums, sumsq, steps, iters
 
         return run

@@ -66,6 +66,9 @@ class Problem:
     sigma_bar_override: Optional[float] = None    # skip the grid scan
 
     # derived (filled in __post_init__)
+    version: int = field(init=False, default=0)  # bumped by setters; keys
+                                                 # the solver's compiled-fn
+                                                 # cache so mutations retrace
     use_delta_tracking: bool = field(init=False, default=False)
     alpha_c: Optional[Callable] = field(init=False, default=None)
     sigma_prime: Optional[Callable] = field(init=False, default=None)
@@ -171,9 +174,21 @@ class Problem:
         return float(jnp.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2))
 
     def set_boundary_conditions(self, bc: Callable) -> None:
-        """Reference ``setBoundaryConditions`` (``WoStSolver.py:141-148``)."""
+        """Reference ``setBoundaryConditions`` (``WoStSolver.py:141-148``).
+
+        Solvers close over the problem at trace time; the version bump
+        invalidates their compiled-step caches so the next solve retraces
+        with the new physics (unlike the reference, nothing is recompiled
+        if no field actually changed)."""
         self.bc_dirichlet = bc
+        self.version += 1
 
     def set_source_term(self, source: Callable) -> None:
         """Reference ``setSourceTerm`` (``WoStSolver.py:150-157``)."""
         self.source = source
+        self.version += 1
+
+    def set_source_importance(self, importance) -> None:
+        """Replace the MIS importance mixture (cache-safe mutation)."""
+        self.source_importance = importance
+        self.version += 1

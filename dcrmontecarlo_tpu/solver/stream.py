@@ -76,8 +76,9 @@ def solve_stream(
             pts, n_walks=n, max_steps=max_steps, eps=eps,
             seed=seed + 1000003 * batch_idx,
         )
-        b_sum = res.mean * n
-        b_sumsq = (res.stderr**2 * n + res.mean**2) * n
+        # exact raw moments from the solve (no stderr round-trip)
+        b_sum = np.asarray(res.walk_sum)
+        b_sumsq = np.asarray(res.walk_sumsq)
         if state is None:
             state = StreamState(sum=b_sum, sumsq=b_sumsq)
         else:

@@ -110,6 +110,9 @@ class SolveResult(NamedTuple):
     n_walks: int
     total_steps: float      # active walker-steps executed
     iterations: int         # while-loop iterations executed
+    walk_sum: np.ndarray = None    # (N,) raw sum of walk totals — exact
+    walk_sumsq: np.ndarray = None  # (N,) raw sum of squares; lets
+                                   # solve_stream combine batches exactly
 
 
 class WoStSolver:
@@ -467,8 +470,18 @@ class WoStSolver:
         # auto: pallas on TPU only (interpret-mode CPU pallas is slow)
         return ok and jax.default_backend() == "tpu"
 
-    @functools.lru_cache(maxsize=32)
     def _build_solve_fn(self, n_points: int, n_walks: int, max_steps: int, eps: float):
+        # keyed on the problem version so Problem setters (set_source_term,
+        # set_boundary_conditions) invalidate the compiled physics
+        return self._build_solve_fn_versioned(
+            n_points, n_walks, max_steps, eps, self.problem.version
+        )
+
+    @functools.lru_cache(maxsize=32)
+    def _build_solve_fn_versioned(
+        self, n_points: int, n_walks: int, max_steps: int, eps: float,
+        _version: int,
+    ):
         if self._use_pallas():
             return self._build_solve_fn_pallas(n_points, n_walks, max_steps, eps)
         return self._build_solve_fn_xla(n_points, n_walks, max_steps, eps)
@@ -501,7 +514,7 @@ class WoStSolver:
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            return mean, stderr, final.total_steps, final.step_idx
+            return mean, stderr, sums, sumsq, final.total_steps, final.step_idx
 
         return jax.jit(run)
 
@@ -600,7 +613,7 @@ class WoStSolver:
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            return mean, stderr, total_steps, launches * n_inner
+            return mean, stderr, sums, sumsq, total_steps, launches * n_inner
 
         return jax.jit(run)
 
@@ -641,20 +654,26 @@ class WoStSolver:
         n_points = int(pts.shape[0])
         fn = self._build_solve_fn(n_points, int(n_walks), int(max_steps), float(eps))
         key = jax.random.PRNGKey(seed)
-        mean, stderr, total_steps, iters = fn(pts, key)
+        mean, stderr, sums, sumsq, total_steps, iters = fn(pts, key)
         mean = np.asarray(mean)
         stderr = np.asarray(stderr)
+        sums = np.asarray(sums)
+        sumsq = np.asarray(sumsq)
         # single-source problems keep the reference's flat (N,) shape;
         # multi-source problems return (n_src, N)
         if len(self.problem.source_fields) <= 1:
             mean = mean[0]
             stderr = stderr[0]
+            sums = sums[0]
+            sumsq = sumsq[0]
         result = SolveResult(
             mean=mean,
             stderr=stderr,
             n_walks=int(n_walks),
             total_steps=float(total_steps),
             iterations=int(iters),
+            walk_sum=sums,
+            walk_sumsq=sumsq,
         )
         if not return_history:
             return result

@@ -76,3 +76,31 @@ def test_polyline_oo_ray_intersection():
     t2 = np.asarray(poly.ray_intersection(np.array([0.5, 0.5]),
                                           np.array([2.0, 0.0])))
     np.testing.assert_allclose(t2[1], 0.25, atol=1e-6)
+
+
+def test_setters_invalidate_compiled_solve():
+    # Regression: the compiled solve fn used to be cached only on the solve
+    # shape, so a second solve after set_boundary_conditions /
+    # set_source_term silently reused the old physics (the reference's
+    # setters DO take effect, WoStSolver.py:141-157).
+    import numpy as np
+
+    from dcrmontecarlo_tpu import Problem, WoStSolver, square_loop
+    from dcrmontecarlo_tpu.solver import SolverOptions
+
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: 0.0 * x)
+    s = WoStSolver(prob, SolverOptions(target_slots=1024))
+    pts = np.array([[0.0, 0.0]])
+    r0 = s.solve(pts, n_walks=500, max_steps=100, eps=1e-3, seed=0)
+    np.testing.assert_allclose(r0.mean, [0.0], atol=1e-6)
+
+    prob.set_boundary_conditions(lambda x, y: 2.0 + 0.0 * x)
+    r1 = s.solve(pts, n_walks=500, max_steps=100, eps=1e-3, seed=0)
+    np.testing.assert_allclose(r1.mean, [2.0], atol=1e-4)
+
+    # source setter: u = x^2 + y^2 needs BOTH the BC and f = -4
+    prob.set_boundary_conditions(lambda x, y: x * x + y * y)
+    prob.set_source_term(lambda x, y: -4.0 + 0.0 * x)
+    r2 = s.solve(pts, n_walks=2000, max_steps=200, eps=1e-3, seed=0)
+    assert abs(float(r2.mean[0]) - 0.0) < 4 * float(r2.stderr[0]) + 0.02

@@ -51,3 +51,22 @@ def test_stream_resume():
     assert full.iterations == 4  # 2 resumed + 2 new batches
     exact = 0.2 + 2 * (-0.1)
     assert abs(full.mean[0] - exact) < 4 * full.stderr[0] + 5e-3
+
+
+def test_stream_single_batch_exactly_matches_direct_solve():
+    # With raw (sum, sumsq) moments carried on SolveResult, a one-batch
+    # stream is bit-identical to the direct solve (pre-fix it round-tripped
+    # through stderr and only matched to ~1e-6).
+    solver = _solver()
+    pts = np.array([[0.0, 0.0], [0.4, -0.2]])
+    direct = solver.solve(pts, n_walks=1000, max_steps=200, eps=1e-3, seed=0)
+    stream = solve_stream(solver, pts, n_walks_total=1000, batch_walks=1000,
+                          max_steps=200, eps=1e-3, seed=0)
+    # the carried raw moments are bit-identical ...
+    np.testing.assert_array_equal(solver._stream_state.sum, direct.walk_sum)
+    np.testing.assert_array_equal(solver._stream_state.sumsq,
+                                  direct.walk_sumsq)
+    # ... and mean/stderr agree to the final-division ulp (device f32 vs
+    # numpy f32 division)
+    np.testing.assert_allclose(stream.mean, direct.mean, rtol=2e-7)
+    np.testing.assert_allclose(stream.stderr, direct.stderr, rtol=2e-6)
