@@ -10,8 +10,12 @@ minutes of compile time. This kernel instead:
   once per launch instead of once per step;
 * tiles walkers over the Pallas grid ``(W / block, )`` with double-buffered
   DMA between blocks;
-* uses the on-core ``pltpu.prng_random_bits`` generator (one seed per
-  block x launch) instead of threefry;
+* draws randomness from the SAME per-lane counter hash as the XLA step
+  (``sampling/rng.py``): uniforms depend only on ``(stream id, walk#,
+  step#, seed)``, so kernel walks are reproducible across launch
+  partitionings, common random numbers work (stream id = slot id), and
+  interpret-mode runs are deterministic and host-checkable against the
+  XLA backend;
 * **unrolls the polyline geometry statically**: segment endpoints and
   interior-vertex triples are baked into the kernel as scalar constants
   (the boundary is static problem data), so the per-step closest-point /
@@ -84,12 +88,44 @@ def _false_like(x):
     return x > jnp.float32(3.0e38)
 
 
-def _uniform(shape):
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # keep 24 mantissa bits; bitcast to int32 (positive) because Mosaic has
-    # no uint32->f32 cast
-    mant = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+def _to_unit_f32(h):
+    """u32 hash -> [0, 1) float, identical numerics to
+    ``rng.counter_uniform_lanes``'s ``(h >> 8) * 2^-24`` (the mantissa is
+    < 2^24 so the int32 bitcast is value-preserving; Mosaic has no
+    uint32->f32 cast)."""
+    mant = pltpu.bitcast(h >> 8, jnp.int32)
     return mant.astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
+def _mix32_u32(x):
+    """``sampling.rng.mix32`` with inline python-int literals: Pallas
+    kernels cannot capture that module's pre-created jnp.uint32 constants
+    (weak-typed int literals adopt the u32 operand dtype, so the
+    arithmetic is bit-identical mod 2^32)."""
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * np.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _counter_uniform_2d(seed_u32, ctr_u32, sid_u32, streams):
+    """Per-lane counter-hash uniforms on ``(rows, 128)`` register arrays.
+
+    Bit-identical to ``sampling.rng.counter_uniform_lanes(seed, ctr,
+    n, lane_ids)[k]`` for stream index ``k`` in ``streams`` (1-based like
+    the XLA step's ``u`` rows): value = ``mix32(lane ^ C_STREAM*stream ^
+    mix32(seed ^ C_COUNTER*ctr))``. Sharing the hash (and its constants)
+    with the XLA backend is what makes kernel walks host-reproducible.
+    """
+    base = _mix32_u32(seed_u32 ^ (np.uint32(0x85EBCA6B) * ctr_u32))  # C_COUNTER
+    return [
+        _to_unit_f32(_mix32_u32(
+            sid_u32 ^ np.uint32((0x9E3779B9 * k) & 0xFFFFFFFF) ^ base  # C_STREAM*k
+        ))
+        for k in streams
+    ]
 
 
 def _closest_point_unrolled(segs, px, py):
@@ -183,10 +219,13 @@ def _closest_point_smem(seg_ref, n_seg_pad, px, py):
             ay = seg_ref[i, 1]
             ux = seg_ref[i, 2] - ax
             uy = seg_ref[i, 3] - ay
-            uu = jnp.maximum(ux * ux + uy * uy, 1e-30)
             vx = px - ax
             vy = py - ay
-            t = jnp.clip((vx * ux + vy * uy) * (1.0 / uu), 0.0, 1.0)
+            # division (not reciprocal-multiply), matching
+            # queries.closest_point bit-for-bit so interpret-mode kernel
+            # walks equal the XLA backend's
+            t = jnp.clip((vx * ux + vy * uy)
+                         / jnp.maximum(ux * ux + uy * uy, 1e-30), 0.0, 1.0)
             cx = ax + t * ux
             cy = ay + t * uy
             d2 = (cx - px) ** 2 + (cy - py) ** 2
@@ -246,9 +285,9 @@ def _first_hit_smem(seg_ref, n_seg_pad, px, py, dx, dy, r, t_min):
             wy = py - ay
             den = dx * uy - dy * ux
             den_safe = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
-            inv_den = 1.0 / den_safe
-            t = (ux * wy - uy * wx) * inv_den
-            sp = (dx * wy - dy * wx) * inv_den
+            # divisions to match queries.first_hit bit-for-bit
+            t = (ux * wy - uy * wx) / den_safe
+            sp = (dx * wy - dy * wx) / den_safe
             ok = (sp >= 0.0) & (sp <= 1.0) & (t > t_min) & (jnp.abs(den) > 1e-30)
             t = jnp.where(ok, t, big)
             pick = t < t_best
@@ -299,107 +338,11 @@ def _vert_table(poly):
     )
 
 
-# ---------------------------------------------------------------------- #
-# Bessel + screened sampling (same math as ops/bessel.py and              #
-# sampling/radial.py, restated on register arrays)                        #
-# ---------------------------------------------------------------------- #
-
-def _i0e(x):
-    from .bessel import i0e
-
-    return i0e(x)
-
-
-def _k0e(x):
-    from .bessel import k0e
-
-    return k0e(x)
-
-
-def _one_minus_inv_i0(z):
-    # cancellation-safe 1 - 1/I0(z); see ops/greens.py::_one_minus_inv_i0
-    t = z * z * 0.25
-    s = t * (1.0 + t * (0.25 + t / 36.0))
-    small = s / (1.0 + s)
-    large = 1.0 - jnp.exp(-z) / _i0e(jnp.maximum(z, 0.25))
-    return jnp.where(z < 0.25, small, large)
-
-
-def _screened_interior_prob(r, sigma_bar):
-    z = r * float(np.sqrt(sigma_bar))
-    return _one_minus_inv_i0(z)
-
-
-def _screened_norm(r, sigma_bar):
-    z = r * float(np.sqrt(sigma_bar))
-    return _one_minus_inv_i0(z) / float(sigma_bar)
-
-
-def _sample_screened_exact(r, sigma_bar, n_rounds):
-    """Two-regime rejection (see sample_screened_radius_exact) as an
-    in-kernel while-loop with early exit: redraw rounds stop as soon as
-    every lane has accepted (acceptance is >=0.56 worst-case and >0.9 in
-    the deep-screening regime, so typical kernels run 2-6 rounds instead
-    of a fixed unroll). ``n_rounds`` caps the loop; lanes still rejected
-    at the cap keep their last envelope candidate (< 0.44^n_rounds of
-    draws).
-    """
-    sq = float(np.sqrt(sigma_bar))
-    z = jnp.maximum(r * sq, 1e-12)
-    small = z < 2.0
-    tiny = z < 1e-3
-    k0e_z = _k0e(z)
-    i0e_z = _i0e(z)
-
-    def draw_round():
-        u = _uniform((4,) + z.shape)
-        u0 = jnp.maximum(u[0], 1e-7)
-        u1 = jnp.maximum(u[1], 1e-7)
-        u2 = jnp.maximum(u[2], 1e-7)
-        s_small = jnp.sqrt(u0 * u1)
-        x_small = z * s_small
-        x_large = -jnp.log(u1 * u2) * jnp.sqrt(
-            jnp.maximum(1.0 - u0 * u0, 1e-12))
-        x = jnp.where(small, x_small, x_large)
-        sc = jnp.where(small, s_small, x_large / z)
-        ratio = (k0e_z * _i0e(x)) / (i0e_z * _k0e(x)) * jnp.exp(
-            -2.0 * jnp.maximum(z - x, 0.0)
-        )
-        k0x = _k0e(x) * jnp.exp(-x)
-        ln_s = -jnp.log(jnp.clip(sc, 1e-12, 1.0 - 1e-7))
-        p_small = jnp.clip(k0x * (1.0 - ratio) / jnp.maximum(ln_s, 1e-12),
-                           0.0, 1.0)
-        p_large = jnp.where(x <= z, jnp.clip(1.0 - ratio, 0.0, 1.0), 0.0)
-        p = jnp.where(small, p_small, p_large)
-        return sc, u[3] < p
-
-    s0, ok0 = draw_round()
-
-    def cond(carry):
-        i, s_cur, acc_i = carry
-        return (i < n_rounds) & jnp.any(acc_i == 0)
-
-    def body(carry):
-        i, s_cur, acc_i = carry
-        sc, ok = draw_round()
-        accepted = acc_i != 0
-        take = (~accepted) & ok
-        s_cur = jnp.where(take | (~accepted), sc, s_cur)
-        acc_i = (accepted | take).astype(jnp.int32)
-        return i + 1, s_cur, acc_i
-
-    _, s_cur, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), s0, ok0.astype(jnp.int32))
-    )
-    # unscreened shortcut for tiny z
-    u = _uniform((2,) + z.shape)
-    s_tiny = jnp.sqrt(jnp.maximum(u[0], 1e-12) * jnp.maximum(u[1], 1e-12))
-    s_cur = jnp.where(tiny, s_tiny, s_cur)
-    return jnp.clip(s_cur, 0.0, 1.0) * r
-
-
 class PallasWalkPlan(NamedTuple):
-    run: callable      # (points_state..., seeds) -> new state
+    run: callable      # (state_dict, seed) -> new state; ``seed`` is the
+                       # int32 bit pattern of the XLA-path stream seed and
+                       # is FIXED across launches (per-lane walk/step
+                       # counters advance, not the seed)
     block_rows: int
     n_inner: int
 
@@ -413,30 +356,57 @@ def make_pallas_walk(
     project: bool,
     n_inner: int = 256,
     block_rows: int = 128,
-    rejection_rounds: int = 24,
+    rejection_rounds: int = 64,
+    crn=None,
 ):
     """Build the fused multi-step kernel.
 
     Returns a jittable ``launch(state_dict, seed) -> state_dict`` advancing
     every walker by ``n_inner`` steps. State arrays are ``(rows, 128)``
     float32/int32 with rows a multiple of ``block_rows``.
+
+    Randomness mirrors the XLA step (``solver/wost.py::_make_step_core``
+    with ``rng='fast'``) draw-for-draw: uniform ``u[i]`` of the XLA path is
+    hash stream ``i + 1`` keyed on the per-lane counter
+    ``n_done * (max_steps + 2) + steps``, and the screened-radius rejection
+    uses the same round-seeded streams through the shared
+    ``sampling.radial._exact_rejection``. Consequences: kernel walks are
+    reproducible regardless of how steps are partitioned into launches, and
+    ``crn`` — the same ``(mode, period, reps)`` stream layout as the XLA
+    path — enables common random numbers on the fast path (stream id =
+    slot id instead of lane id).
     """
+    from ..sampling.radial import _exact_rejection, sample_greens_radius
+    from .greens import (
+        greens_2d,
+        greens_norm_2d,
+        screened_greens_2d,
+        screened_greens_norm_2d,
+        screened_interior_prob,
+    )
+
     pb = problem
     use_delta = pb.use_delta_tracking
     has_neumann = pb.neumann is not None
     source_fields = pb.source_fields
     has_source = len(source_fields) > 0
     n_src = max(1, len(source_fields))
-    sigma_bar = float(pb.sigma_bar) if use_delta else 0.0
+    # python float, NOT jnp.float32: pallas kernels cannot capture
+    # pre-created array constants; in-trace f32 conversion is identical
+    sigma_bar_f = float(pb.sigma_bar) if use_delta else None
     importance = pb.source_importance
     use_mis = has_source and importance is not None
     if use_mis:
-        # static mixture constants (unrolled component selection / pdf)
+        # static mixture constants (unrolled component selection / pdf);
+        # cumsum in float32 to match GaussianMixture.sample's jnp.cumsum
         mis_cx = [float(v) for v in np.asarray(importance.cx)]
         mis_cy = [float(v) for v in np.asarray(importance.cy)]
         mis_w = [float(v) for v in np.asarray(importance.width)]
         mis_a = [float(v) for v in np.asarray(importance.weight)]
-        mis_cum = np.cumsum(mis_a).tolist()
+        mis_cum = [
+            float(v)
+            for v in np.cumsum(np.asarray(importance.weight, np.float32))
+        ]
     static_geom = _geometry_size(pb) <= MAX_UNROLL_SEGMENTS
     dir_segs = _static_segments(pb.dirichlet) if static_geom else []
     neu_segs = (_static_segments(pb.neumann)
@@ -474,6 +444,16 @@ def make_pallas_walk(
     rmin_f = float(rmin)
     t_min_f = float(t_min)
 
+    # stream indices mirroring the XLA path's u[i] <-> stream i+1 layout
+    need_greens_radius = (not use_delta) and (has_source or use_mis)
+    main_streams = [1]
+    if need_greens_radius:
+        main_streams += [2, 3]
+    if use_delta:
+        main_streams += [4]
+    if use_mis:
+        main_streams += [5, 6, 7, 8]
+
     def kernel(*refs):
         seed_ref = refs[0]
         gi = 1
@@ -486,10 +466,10 @@ def make_pallas_walk(
             if has_verts:
                 neu_vert_ref = refs[gi]
                 gi += 1
-        p0x_ref, p0y_ref = refs[gi], refs[gi + 1]
+        p0x_ref, p0y_ref, sid_ref = refs[gi], refs[gi + 1], refs[gi + 2]
         n_state = 5 + 3 * n_src + 5
-        sin = refs[gi + 2: gi + 2 + n_state]
-        sout = refs[gi + 2 + n_state: gi + 2 + 2 * n_state]
+        sin = refs[gi + 3: gi + 3 + n_state]
+        sout = refs[gi + 3 + n_state: gi + 3 + 2 * n_state]
         (px_ref, py_ref, nx_ref, ny_ref, atten_ref) = sin[:5]
         acc_refs = sin[5: 5 + n_src]
         asum_refs = sin[5 + n_src: 5 + 2 * n_src]
@@ -522,12 +502,10 @@ def make_pallas_walk(
                 first_hit = lambda px, py, dx, dy, r: _first_hit_smem(
                     neu_seg_ref, n_neu, px, py, dx, dy, r, t_min_f)
 
-        # scramble (seed, block) so sequential launch seeds and block ids
-        # land in well-separated PRNG streams
-        pltpu.prng_seed(
-            seed_ref[0] * jnp.int32(-1640531527)  # golden-ratio odd const
-            + pl.program_id(0) * jnp.int32(0x68E31DA4)
-        )
+        # int32 -> uint32 is modular, so the seed's bit pattern survives the
+        # SMEM round trip even when the high bit is set
+        seed_u32 = seed_ref[0].astype(jnp.uint32)
+        sid_u32 = pltpu.bitcast(sid_ref[:], jnp.uint32)
         p0x = p0x_ref[:]
         p0y = p0y_ref[:]
 
@@ -539,6 +517,15 @@ def make_pallas_walk(
             # vectors through loop carries (trunci i8->i1 unsupported)
             ob = obi != 0
             act = quota > 0
+
+            # per-lane (walk#, step#) counter from the INCOMING state — the
+            # same formula as the XLA fast path, so random sequences are
+            # reproducible per walk and identical across backends
+            ctr = (pltpu.bitcast(ndone, jnp.uint32)
+                   * np.uint32(max_steps + 2)
+                   + pltpu.bitcast(steps, jnp.uint32))
+            u_list = _counter_uniform_2d(seed_u32, ctr, sid_u32, main_streams)
+            u = dict(zip(main_streams, u_list))
 
             dD, cx, cy = closest_point(px, py)
             done_eps = dD <= eps_f
@@ -572,16 +559,15 @@ def make_pallas_walk(
             else:
                 r = jnp.maximum(rmin_f, dD)
 
-            u = _uniform((2,) + px.shape)
-            theta = float(_TWO_PI) * u[0]
+            theta = (2.0 * jnp.pi) * u[1]
             dx = jnp.cos(theta)
             dy = jnp.sin(theta)
             if has_neumann:
                 # inward-normal-centered hemisphere without atan2: rotate
                 # the normal by beta = pi (u - 1/2); cos(beta) = sin(pi u),
                 # sin(beta) = -cos(pi u)
-                cb = jnp.sin(float(np.pi) * u[0])
-                sb = -jnp.cos(float(np.pi) * u[0])
+                cb = jnp.sin(jnp.pi * u[1])
+                sb = -jnp.cos(jnp.pi * u[1])
                 hdx = nxv * cb - nyv * sb
                 hdy = nyv * cb + nxv * sb
                 dx = jnp.where(ob, hdx, dx)
@@ -598,10 +584,22 @@ def make_pallas_walk(
                 hit = _false_like(px)
 
             if use_delta:
-                r_s = _sample_screened_exact(r, sigma_bar, rejection_rounds)
+                # same round-seeded streams as the XLA fast path's draw_r,
+                # through the SHARED two-regime rejection sampler
+                def draw_r(round_idx):
+                    sd = (seed_u32 ^ np.uint32(0xA5A5A5A5)
+                          ^ (jnp.asarray(round_idx).astype(jnp.uint32)
+                             * np.uint32(0x68E31DA4)))
+                    return jnp.stack(
+                        _counter_uniform_2d(sd, ctr, sid_u32, [1, 2, 3, 4])
+                    )
+
+                r_s = _exact_rejection(draw_r, r, sigma_bar_f,
+                                       rejection_rounds)
+            elif need_greens_radius:
+                r_s = sample_greens_radius(r, u[2], u[3])
             else:
-                r_s = r * jnp.sqrt(jnp.maximum(u[1], 1e-12)
-                                   * jnp.maximum(_uniform(px.shape), 1e-12))
+                r_s = r
             beyond = r_s > t_hit
             sx = jnp.where(beyond, hx, px + r_s * dx)
             sy = jnp.where(beyond, hy, py + r_s * dy)
@@ -612,10 +610,10 @@ def make_pallas_walk(
 
             if has_source and not use_mis:
                 if use_delta:
-                    w_src = (_screened_norm(r, sigma_bar)
+                    w_src = (screened_greens_norm_2d(r, sigma_bar_f)
                              / jnp.sqrt(a_s * a_p) * atten)
                 else:
-                    w_src = r * r * 0.25
+                    w_src = greens_norm_2d(r)
                 # one shared NEE sample, one field eval per source
                 w_eff = jnp.where(stepping & ~beyond, w_src, 0.0)
                 for i in range(n_src):
@@ -623,19 +621,19 @@ def make_pallas_walk(
             elif use_mis:
                 # source-directed MIS NEE (see solver/wost.py): sample from
                 # 0.5 * ball-Green's + 0.5 * static Gaussian mixture
-                um = _uniform((4,) + px.shape)
-                take_src = um[0] < 0.5
-                # unrolled component pick + Box-Muller offset
-                mx = jnp.full_like(px, mis_cx[-1])
-                my = jnp.full_like(px, mis_cy[-1])
-                mw = jnp.full_like(px, mis_w[-1])
-                for ci in range(len(mis_cx) - 2, -1, -1):
-                    pick_c = um[1] < mis_cum[ci]
-                    mx = jnp.where(pick_c, mis_cx[ci], mx)
-                    my = jnp.where(pick_c, mis_cy[ci], my)
-                    mw = jnp.where(pick_c, mis_w[ci], mw)
-                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(um[2], 1e-12)))
-                ang = float(_TWO_PI) * um[3]
+                take_src = u[5] < 0.5
+                # unrolled component pick: idx = #{i: u > cum_i}, the exact
+                # selection rule of GaussianMixture.sample
+                mx = jnp.full_like(px, mis_cx[0])
+                my = jnp.full_like(px, mis_cy[0])
+                mw = jnp.full_like(px, mis_w[0])
+                for ci in range(1, len(mis_cx)):
+                    passed = u[6] > mis_cum[ci - 1]
+                    mx = jnp.where(passed, mis_cx[ci], mx)
+                    my = jnp.where(passed, mis_cy[ci], my)
+                    mw = jnp.where(passed, mis_w[ci], mw)
+                rad = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[7], 1e-12)))
+                ang = (2.0 * jnp.pi) * u[8]
                 mx = mx + mw * rad * jnp.cos(ang)
                 my = my + mw * rad * jnp.sin(ang)
                 gx = px + r_s * dx
@@ -645,20 +643,11 @@ def make_pallas_walk(
                 d_y = jnp.sqrt((yx - px) ** 2 + (yy - py) ** 2)
                 d_safe = jnp.maximum(d_y, 1e-12)
                 if use_delta:
-                    sq = float(np.sqrt(sigma_bar))
-                    a_arg = d_safe * sq
-                    z_arg = r * sq
-                    # G = [K0(a) - (K0(z)/I0(z)) I0(a)] / 2pi, scaled-stable
-                    g_val = (
-                        _k0e(a_arg) * jnp.exp(-a_arg)
-                        - (_k0e(z_arg) / _i0e(z_arg)) * _i0e(a_arg)
-                        * jnp.exp(a_arg - 2.0 * z_arg)
-                    ) / float(_TWO_PI)
-                    norm = _screened_norm(r, sigma_bar)
+                    g_val = screened_greens_2d(d_safe, r, sigma_bar_f)
+                    norm = screened_greens_norm_2d(r, sigma_bar_f)
                 else:
-                    g_val = jnp.log(jnp.maximum(r / d_safe, 1e-12)) \
-                        / float(_TWO_PI)
-                    norm = r * r * 0.25
+                    g_val = greens_2d(d_safe, r)
+                    norm = greens_norm_2d(r)
                 g_val = jnp.maximum(g_val, 0.0)
                 in_ball = d_y < r
                 if has_neumann:
@@ -668,7 +657,7 @@ def make_pallas_walk(
                     in_star = in_ball & ~(hit_y & (t_y < d_y))
                 else:
                     in_star = in_ball
-                # static-mixture pdf
+                # static-mixture pdf (GaussianMixture.pdf unrolled)
                 q = jnp.zeros_like(px)
                 for ci in range(len(mis_cx)):
                     w2 = mis_w[ci] * mis_w[ci]
@@ -693,12 +682,12 @@ def make_pallas_walk(
                     accs[i] = accs[i] + sources[i](yx, yy) * w_mis
 
             if use_delta:
-                p_int = _screened_interior_prob(r, sigma_bar)
-                interior = _uniform(px.shape) < p_int
+                p_int = screened_interior_prob(r, sigma_bar_f)
+                interior = u[4] < p_int
                 a_h = alpha_c(hx, hy)
                 sp_s = sigma_prime(sx, sy)
                 scale_int = jnp.sqrt(a_s / a_p) * jnp.maximum(
-                    1.0 - sp_s / float(sigma_bar), 0.0
+                    1.0 - sp_s / sigma_bar_f, 0.0
                 )
                 scale_edge = jnp.sqrt(a_h / a_p)
                 atten = jnp.where(
@@ -757,11 +746,24 @@ def make_pallas_walk(
     f32 = jnp.float32
     i32 = jnp.int32
 
+    def _stream_ids(rows):
+        """Per-lane RNG stream ids, mirroring the XLA path's _lane_ids:
+        the lane index itself, or the slot-matched CRN mapping."""
+        ids = np.arange(rows * _LANES, dtype=np.uint32)
+        if crn is not None:
+            mode, period, reps = crn
+            if mode == "tile":      # point-major layout: lane = p*K + j
+                ids = ids % np.uint32(period)
+            else:                   # slot-major: lane = j*P + p
+                ids = ids // np.uint32(reps)
+        return jnp.asarray(ids.astype(np.int32).reshape(rows, _LANES))
+
     def launch(state, seed):
         """Advance all walkers by ``n_inner`` steps.
 
         state: dict with keys p0x,p0y (f32), px,py,nx,ny,atten,acc,asum,asq
-        (f32), quota,steps,ndone,ob (i32) — all (rows, 128).
+        (f32), quota,steps,ndone,ob (i32) — all (rows, 128). ``seed`` is
+        the int32-bit-pattern stream seed, constant across launches.
         """
         rows = state["px"].shape[0]
         grid = (rows // block_rows,)
@@ -780,8 +782,8 @@ def make_pallas_walk(
             jax.ShapeDtypeStruct((rows, _LANES), dt) for dt in dtypes
         ]
         out_specs = [bspec() for _ in order]
-        # alias state inputs (after seed, geometry, p0x, p0y) to outputs
-        aliases = {1 + n_geom + 2 + k: k for k in range(len(order))}
+        # alias state inputs (after seed, geometry, p0x, p0y, sid) to outputs
+        aliases = {1 + n_geom + 3 + k: k for k in range(len(order))}
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -793,14 +795,15 @@ def make_pallas_walk(
             ] + [
                 bspec(),  # p0x
                 bspec(),  # p0y
+                bspec(),  # sid
             ] + [bspec() for _ in order],
             out_shape=out_shape,
             out_specs=out_specs,
             input_output_aliases=aliases,
         )(
-            jnp.asarray([seed], i32),
+            jnp.asarray(jnp.reshape(seed, (1,)), i32),
             *geom_inputs,
-            state["p0x"], state["p0y"],
+            state["p0x"], state["p0y"], _stream_ids(rows),
             *[state[k] for k in order],
         )
         new_state = dict(state)

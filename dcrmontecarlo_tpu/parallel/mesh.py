@@ -187,6 +187,12 @@ class ShardedWoStSolver(WoStSolver):
         )
         w_pad = rows_local * 128
         n_inner = opts.pallas_inner_steps
+        # slot-major shard layout (lane = slot * n_points + point): CRN
+        # streams via the "repeat" map, like the sharded XLA path
+        crn = (
+            ("repeat", K, n_points)
+            if opts.common_random_numbers else None
+        )
         plan = make_pallas_walk(
             pb,
             eps=eps,
@@ -196,6 +202,7 @@ class ShardedWoStSolver(WoStSolver):
             project=opts.project_to_boundary,
             n_inner=n_inner,
             block_rows=opts.pallas_block_rows,
+            crn=crn,
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
@@ -214,9 +221,15 @@ class ShardedWoStSolver(WoStSolver):
 
         def shard_body(points, quotas_shard, key):
             dev = jax.lax.axis_index(axis)
-            seed0 = (
-                jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-                ^ (dev * jnp.int32(0x3504F333))
+            # per-shard stream seed, derived exactly like the sharded XLA
+            # path (fold the device index into the key); fixed across
+            # launches — the kernel's per-lane counters advance the streams
+            from ..sampling.rng import mix32
+
+            shard_key = jax.random.fold_in(key, dev)
+            kd = jnp.asarray(shard_key, jnp.uint32).reshape(-1)
+            seed_i = jax.lax.bitcast_convert_type(
+                kd[0] ^ mix32(kd[-1]), jnp.int32
             )
             pv = lambda a: jax.lax.pcast(a, (axis,), to="varying")
             # slot-major layout matching pid_local: slot j of point i at
@@ -254,7 +267,7 @@ class ShardedWoStSolver(WoStSolver):
 
             def body(c):
                 state, launches = c
-                new_state = plan.run(state, seed0 + launches * 1000003)
+                new_state = plan.run(state, seed_i)
                 return new_state, launches + 1
 
             state, launches = jax.lax.while_loop(

@@ -191,18 +191,24 @@ def _exact_rejection(draw, R, sigma_bar, max_rounds: int):
     x0, s0, ua0 = candidates(draw(jnp.int32(0)))
     acc0 = ua0 < accept_prob(x0, s0)
 
+    # the accepted mask rides the loop carry as int32: this function also
+    # runs inside the Pallas kernel, where Mosaic cannot round-trip i1
+    # vectors through loop carries
     def cond(carry):
-        i, s_cur, accepted = carry
-        return (i < max_rounds) & jnp.any(~accepted)
+        i, s_cur, acc_i = carry
+        return (i < max_rounds) & jnp.any(acc_i == 0)
 
     def body(carry):
-        i, s_cur, accepted = carry
+        i, s_cur, acc_i = carry
+        accepted = acc_i != 0
         x, s, ua = candidates(draw(i + 1))
         take = (~accepted) & (ua < accept_prob(x, s))
         s_cur = jnp.where(take, s, s_cur)
-        return i + 1, s_cur, accepted | take
+        return i + 1, s_cur, (accepted | take).astype(jnp.int32)
 
-    _, s_fin, _ = jax.lax.while_loop(cond, body, (jnp.int32(1), s0, acc0))
+    _, s_fin, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), s0, acc0.astype(jnp.int32))
+    )
     # z below any meaningful screening: unscreened closed form
     tiny = z < 1e-3
     u = draw(jnp.int32(-997))

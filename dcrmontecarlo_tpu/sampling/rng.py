@@ -17,12 +17,17 @@ finalizers. ``jax.random`` remains available via ``SolverOptions
 
 import jax.numpy as jnp
 
-__all__ = ["mix32", "counter_uniform"]
+__all__ = ["mix32", "counter_uniform", "counter_uniform_lanes",
+           "C_STREAM", "C_COUNTER"]
 
 _M1 = jnp.uint32(0x7FEB352D)
 _M2 = jnp.uint32(0x846CA68B)
 _C_STREAM = jnp.uint32(0x9E3779B9)   # golden-ratio odd constant
 _C_COUNTER = jnp.uint32(0x85EBCA6B)
+# public aliases: the Pallas kernel restates the stream/counter hash on
+# register arrays and must use the identical constants
+C_STREAM = _C_STREAM
+C_COUNTER = _C_COUNTER
 
 
 def mix32(x):

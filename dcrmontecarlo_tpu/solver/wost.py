@@ -90,7 +90,7 @@ class SolverOptions:
                                        # from different points so voltage
                                        # DIFFERENCES (dipole receivers)
                                        # cancel most MC noise; requires
-                                       # rng='fast'; XLA backend only
+                                       # rng='fast'; works on both backends
     rng: str = "fast"                  # "fast" (counter-hash; compiles in
                                        # seconds) or "threefry" (jax.random;
                                        # minutes of XLA compile in while-loops
@@ -458,8 +458,6 @@ class WoStSolver:
         from ..ops.pallas_walk import pallas_supported
 
         ok = pallas_supported(self.problem)
-        # CRN needs lane-indexed streams, not yet in the kernel PRNG
-        ok = ok and not self.options.common_random_numbers
         if mode == "pallas":
             if not ok:
                 raise ValueError(
@@ -535,6 +533,8 @@ class WoStSolver:
                    ((W + lane_block - 1) // lane_block) * opts.pallas_block_rows)
         W_pad = rows * 128
         n_inner = opts.pallas_inner_steps
+        # same point-major CRN stream layout as the XLA path
+        crn = ("tile", K, n_points) if opts.common_random_numbers else None
         plan = make_pallas_walk(
             pb,
             eps=eps,
@@ -544,6 +544,7 @@ class WoStSolver:
             project=opts.project_to_boundary,
             n_inner=n_inner,
             block_rows=opts.pallas_block_rows,
+            crn=crn,
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
@@ -581,7 +582,14 @@ class WoStSolver:
                 state[f"acc{i}"] = f0
                 state[f"asum{i}"] = f0
                 state[f"asq{i}"] = f0
-            seed0 = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            # the stream seed is derived exactly like the XLA fast path's
+            # and stays FIXED across launches — per-lane (walk#, step#)
+            # counters advance the randomness, making walks independent of
+            # the launch partitioning
+            kd = jnp.asarray(key, jnp.uint32).reshape(-1)
+            seed_i = jax.lax.bitcast_convert_type(
+                kd[0] ^ mix32(kd[-1]), jnp.int32
+            )
 
             def cond(c):
                 state, launches = c
@@ -589,7 +597,7 @@ class WoStSolver:
 
             def body(c):
                 state, launches = c
-                new_state = plan.run(state, seed0 + launches * 1000003)
+                new_state = plan.run(state, seed_i)
                 return new_state, launches + 1
 
             state, launches = jax.lax.while_loop(

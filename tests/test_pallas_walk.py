@@ -1,10 +1,13 @@
 """Pallas fused-kernel tests.
 
-Statistical checks require the hardware PRNG (``pltpu.prng_random_bits``
-returns zeros in interpreter mode), so they run only on a real TPU —
-CI covers the XLA path; the driver's TPU bench exercises this one.
-Structural checks (kernel traces, deterministic semantics match the XLA
-step) run everywhere via interpreter mode.
+The kernel draws randomness from the same per-lane counter hash as the XLA
+step (``sampling/rng.py``), so interpret-mode runs are deterministic and
+comparable against the XLA backend with matched seeds — every kernel code
+path (plain harmonic, source NEE, delta tracking, MIS, Neumann, SMEM
+geometry) gets CI coverage on CPU. Static-geometry cases agree with XLA to
+float-rounding level; SMEM/circle cases accumulate 1-ulp FMA differences
+that occasionally flip a trajectory, so those compare statistically.
+Full-walk-count statistical gates still run on real TPU.
 """
 
 import numpy as np
@@ -12,13 +15,41 @@ import jax
 import pytest
 
 from dcrmontecarlo_tpu import Problem, WoStSolver, square_loop, circle_loop
+from dcrmontecarlo_tpu.geometry import Polyline
 from dcrmontecarlo_tpu.solver import SolverOptions
-from dcrmontecarlo_tpu.ops.pallas_walk import pallas_supported
 
 on_tpu = jax.default_backend() == "tpu"
 
+_SMALL = dict(target_slots=256, pallas_inner_steps=16, pallas_block_rows=8)
+
+
+def _pair(prob, pts, n_walks=64, max_steps=60, eps=1e-2, seed=5, crn=False,
+          opts=_SMALL):
+    """Solve with pallas (interpret mode) and XLA using the same seed."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sp = WoStSolver(prob, SolverOptions(backend="pallas",
+                                        common_random_numbers=crn, **opts))
+    with pltpu.force_tpu_interpret_mode():
+        rp = sp.solve(pts, n_walks=n_walks, max_steps=max_steps, eps=eps,
+                      seed=seed)
+    sx = WoStSolver(prob, SolverOptions(backend="xla",
+                                        common_random_numbers=crn, **opts))
+    rx = sx.solve(pts, n_walks=n_walks, max_steps=max_steps, eps=eps,
+                  seed=seed)
+    return rp, rx
+
+
+def _assert_close(rp, rx, rel=1e-4):
+    sp = np.asarray(rp.walk_sum, np.float64)
+    sx = np.asarray(rx.walk_sum, np.float64)
+    scale = max(1e-9, np.max(np.abs(sx)))
+    assert np.max(np.abs(sp - sx)) < rel * scale, (rp.mean, rx.mean)
+
 
 def test_pallas_supported_detection():
+    from dcrmontecarlo_tpu.ops.pallas_walk import pallas_supported
+
     prob = Problem(dirichlet=square_loop(1.0))
     assert pallas_supported(prob)
     # medium geometry: SMEM-table mode
@@ -44,24 +75,6 @@ def test_backend_pallas_rejects_oversized_geometry():
         s._use_pallas()
 
 
-def test_pallas_dynamic_geometry_traces_in_interpret_mode():
-    # >96 segments -> SMEM-table kernel path; deterministic interpret-mode
-    # walk along +x from the disk center terminates at bc(1, 0) = 1
-    from jax.experimental.pallas import tpu as pltpu
-
-    prob = Problem(dirichlet=circle_loop(1.0, n=256),
-                   bc_dirichlet=lambda x, y: x + 2 * y)
-    s = WoStSolver(
-        prob,
-        SolverOptions(target_slots=256, backend="pallas",
-                      pallas_inner_steps=16, pallas_block_rows=8),
-    )
-    with pltpu.force_tpu_interpret_mode():
-        res = s.solve(np.array([[0.0, 0.0]]), n_walks=16, max_steps=30,
-                      eps=1e-3, seed=0)
-    np.testing.assert_allclose(res.mean, [1.0], atol=1e-4)
-
-
 def test_auto_backend_on_cpu_is_xla():
     prob = Problem(dirichlet=square_loop(1.0))
     s = WoStSolver(prob, SolverOptions(backend="auto"))
@@ -69,26 +82,200 @@ def test_auto_backend_on_cpu_is_xla():
         assert not s._use_pallas()
 
 
-def test_pallas_kernel_traces_in_interpret_mode():
-    # semantic smoke: kernel compiles & runs (PRNG is zeros in interpret
-    # mode, so walks march deterministically along +x; the estimate is then
-    # exactly bc(p0 + dD * x_hat))
+# --------------------------------------------------------------------- #
+# kernel-vs-XLA matched-seed comparisons (interpret mode, deterministic) #
+# --------------------------------------------------------------------- #
+
+def test_pallas_matches_xla_harmonic():
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x + 2 * y)
+    rp, rx = _pair(prob, np.array([[0.0, 0.0], [0.5, 0.3]]), eps=1e-3)
+    _assert_close(rp, rx)
+    assert rp.total_steps == rx.total_steps
+
+
+def test_pallas_matches_xla_source_nee():
+    prob = Problem(dirichlet=square_loop(2.0),
+                   bc_dirichlet=lambda x, y: x * x + y * y,
+                   source=lambda x, y: -4.0 + 0.0 * x)
+    rp, rx = _pair(prob, np.array([[0.0, 0.0], [0.5, 0.3]]), eps=1e-3)
+    _assert_close(rp, rx)
+
+
+def test_pallas_matches_xla_delta_tracking():
+    import jax.numpy as jnp
+
+    alpha = lambda x, y: 2.0 + jnp.sin(0.5 * x) * 0.3 + 0.2 * y
+    prob = Problem(dirichlet=square_loop(2.0),
+                   bc_dirichlet=lambda x, y: x + y, alpha=alpha)
+    rp, rx = _pair(prob, np.array([[0.0, 0.0], [0.5, 0.3]]))
+    _assert_close(rp, rx)
+    assert rp.total_steps == rx.total_steps
+
+
+def test_pallas_matches_xla_neumann():
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-2.0, 0.0], [-2.0, -4.0], [2.0, -4.0], [2.0, 0.0]]
+        ),
+        neumann=Polyline.from_points([[-2.0, 0.0], [2.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x + y,
+    )
+    rp, rx = _pair(prob, np.array([[0.0, -1.0], [0.5, -0.5]]))
+    _assert_close(rp, rx)
+
+
+def test_pallas_matches_xla_mis_delta_neumann():
+    # the full DCR step: delta tracking + Neumann reflection + MIS NEE
+    from dcrmontecarlo_tpu.problems.fields import (
+        GaussianMixture,
+        gaussian_dipole,
+    )
+
+    w = 0.3
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-5.0, 0.0], [-5.0, -10.0], [5.0, -10.0], [5.0, 0.0]]
+        ),
+        neumann=Polyline.from_points([[-5.0, 0.0], [5.0, 0.0]]),
+        bc_dirichlet=lambda x, y: 0.0 * x,
+        source=gaussian_dipole((-1.0, -0.6), (1.0, -0.6), 1.0, w),
+        alpha=lambda x, y: 10.0 + 0.0 * x,
+        source_importance=GaussianMixture.from_components(
+            [((-1.0, -0.6), w, 0.5), ((1.0, -0.6), w, 0.5)]
+        ),
+    )
+    rp, rx = _pair(prob, np.array([[0.0, -1.0], [2.0, -0.5]]),
+                   max_steps=100, eps=0.05)
+    _assert_close(rp, rx)
+
+
+def test_pallas_matches_xla_smem_statistical():
+    # >96 segments -> SMEM-table kernel; inexact circle coordinates pick up
+    # 1-ulp FMA differences that occasionally flip a trajectory, so SMEM
+    # cases compare as two estimators of the same quantity, not
+    # walk-for-walk
+    prob = Problem(dirichlet=circle_loop(1.0, n=100),
+                   bc_dirichlet=lambda x, y: x + 2 * y)
+    pts = np.array([[0.0, 0.0], [0.15, 0.09]])
+    rp, rx = _pair(prob, pts, n_walks=512, eps=1e-3,
+                   opts=dict(target_slots=1024, pallas_inner_steps=32,
+                             pallas_block_rows=8))
+    exact = pts[:, 0] + 2 * pts[:, 1]
+    assert (np.abs(rp.mean - exact) < 4 * rp.stderr + 5e-3).all(), (
+        rp.mean, exact
+    )
+    tol = 4 * np.sqrt(rp.stderr**2 + rx.stderr**2) + 1e-3
+    assert (np.abs(rp.mean - rx.mean) < tol).all()
+
+
+def test_pallas_smem_sees_trailing_segments():
+    # Regression: the SMEM chunk loops iterate rows // _CHUNK times, so a
+    # table only padded to Polyline's multiple of 8 silently dropped up to
+    # 24 trailing real segments. With the right edge of this 100-segment
+    # square at table index 98, walkers would escape the domain through it
+    # and accumulate far-field BC values.
+    from dcrmontecarlo_tpu.ops.pallas_walk import _CHUNK, _seg_table, _vert_table
     from jax.experimental.pallas import tpu as pltpu
 
-    prob = Problem(dirichlet=square_loop(1.0), bc_dirichlet=lambda x, y: x + 2 * y)
-    s = WoStSolver(
-        prob,
-        SolverOptions(target_slots=256, backend="pallas",
-                      pallas_inner_steps=16, pallas_block_rows=8),
-    )
+    poly = circle_loop(1.0, n=100)
+    assert _seg_table(poly).shape[0] % _CHUNK == 0
+    nprob = Problem(dirichlet=square_loop(30.0),
+                    neumann=circle_loop(1.0, n=100))
+    assert _vert_table(nprob.neumann).shape[0] % _CHUNK == 0
+
+    pts = []
+
+    def edge(a, b, n, include_start):
+        for k in range(0 if include_start else 1, n + 1):
+            t = k / n
+            pts.append([a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])])
+
+    edge((1, 1), (-1, 1), 32, True)     # top:    segs 0-31
+    edge((-1, 1), (-1, -1), 32, False)  # left:   segs 32-63
+    edge((-1, -1), (1, -1), 33, False)  # bottom: segs 64-96
+    edge((1, -1), (1, 1), 3, False)     # right:  segs 97-99
+    poly = Polyline.from_points(pts)
+    assert poly.num_segments == 100
+
+    prob = Problem(dirichlet=poly, bc_dirichlet=lambda x, y: x + 2 * y)
+    s = WoStSolver(prob, SolverOptions(backend="pallas", **_SMALL))
     with pltpu.force_tpu_interpret_mode():
-        res = s.solve(np.array([[0.0, 0.0], [0.5, 0.3]]), n_walks=16,
-                      max_steps=50, eps=1e-3, seed=0)
-    np.testing.assert_allclose(res.mean, [1.0, 1.6], atol=1e-5)
-    np.testing.assert_allclose(res.stderr, 0.0, atol=1e-6)
+        res = s.solve(np.array([[0.0, 0.0]]), n_walks=128, max_steps=60,
+                      eps=1e-3, seed=0)
+    # harmonic continuation of x + 2y at the center is 0; escaped walkers
+    # would contribute |bc| >> 1
+    assert abs(float(res.mean[0])) < 4 * float(res.stderr[0]) + 0.05
 
 
-@pytest.mark.skipif(not on_tpu, reason="hardware PRNG required")
+def test_pallas_crn_tightens_differences():
+    # CRN on the fast path: slot-matched hash streams correlate walks from
+    # nearby points, so their difference beats the quadrature error
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x + 2.0 * y)
+    pts = np.array([[0.3, 0.2], [0.31, 0.2]], np.float32)
+    rp, rx = _pair(prob, pts, n_walks=512, max_steps=100, eps=1e-3,
+                   seed=0, crn=True,
+                   opts=dict(target_slots=1024, pallas_inner_steps=32,
+                             pallas_block_rows=8))
+    exact = pts[:, 0] + 2 * pts[:, 1]
+    assert (np.abs(rp.mean - exact) < 4 * rp.stderr + 5e-3).all()
+    d_est = rp.mean[1] - rp.mean[0]
+    d_exact = exact[1] - exact[0]
+    quad = np.sqrt(rp.stderr[0] ** 2 + rp.stderr[1] ** 2)
+    assert abs(d_est - d_exact) < max(0.25 * quad, 1e-3), (
+        d_est, d_exact, quad
+    )
+    # and the pallas CRN streams are the XLA CRN streams
+    _assert_close(rp, rx, rel=1e-3)
+
+
+def test_pallas_reproducible_across_launch_partitioning():
+    # uniforms are keyed on (stream, walk#, step#), so chopping the walk
+    # into different launch sizes must not change the result
+    from jax.experimental.pallas import tpu as pltpu
+
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x * x - y * y)
+    pts = np.array([[0.2, 0.1]])
+    results = []
+    for inner in (8, 32):
+        s = WoStSolver(prob, SolverOptions(
+            backend="pallas", target_slots=256,
+            pallas_inner_steps=inner, pallas_block_rows=8))
+        with pltpu.force_tpu_interpret_mode():
+            results.append(s.solve(pts, n_walks=64, max_steps=50,
+                                   eps=1e-3, seed=7))
+    np.testing.assert_array_equal(results[0].walk_sum, results[1].walk_sum)
+
+
+def test_pallas_sharded_interpret():
+    # the sharded Pallas path (shard_map around the kernel launch loop) on
+    # the virtual CPU mesh in interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dcrmontecarlo_tpu.parallel import ShardedWoStSolver, make_mesh
+
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x + 2.0 * y)
+    pts = np.array([[0.0, 0.0], [0.5, 0.3]])
+    s = ShardedWoStSolver(prob, make_mesh(2), SolverOptions(
+        backend="pallas", target_slots=256,
+        pallas_inner_steps=16, pallas_block_rows=8))
+    with pltpu.force_tpu_interpret_mode():
+        res = s.solve(pts, n_walks=256, max_steps=60, eps=1e-3, seed=0)
+    exact = pts[:, 0] + 2 * pts[:, 1]
+    assert (np.abs(res.mean - exact) < 4 * res.stderr + 5e-3).all(), (
+        res.mean, exact, res.stderr
+    )
+    assert res.total_steps > 0
+
+
+# --------------------------------------------------------------------- #
+# full-walk-count statistical gates (real TPU)                          #
+# --------------------------------------------------------------------- #
+
+@pytest.mark.skipif(not on_tpu, reason="full-scale gates run on TPU")
 def test_pallas_harmonic_tpu():
     prob = Problem(dirichlet=square_loop(1.0), bc_dirichlet=lambda x, y: x + 2 * y)
     s = WoStSolver(prob, SolverOptions(target_slots=1 << 15, backend="pallas"))
@@ -98,7 +285,7 @@ def test_pallas_harmonic_tpu():
     assert (np.abs(res.mean - exact) < 4 * res.stderr + 5e-3).all()
 
 
-@pytest.mark.skipif(not on_tpu, reason="hardware PRNG required")
+@pytest.mark.skipif(not on_tpu, reason="full-scale gates run on TPU")
 def test_pallas_matches_xla_tpu():
     prob = Problem(
         dirichlet=square_loop(2.0),
@@ -117,12 +304,11 @@ def test_pallas_matches_xla_tpu():
     assert (err < tol).all(), (a.mean, b.mean)
 
 
-@pytest.mark.skipif(not on_tpu, reason="hardware PRNG required")
+@pytest.mark.skipif(not on_tpu, reason="full-scale gates run on TPU")
 def test_pallas_mis_neumann_matches_fdm_tpu():
     # Regression for the on-Neumann MIS hemisphere-density bias: the
     # reference values are from the 481^2 finite-volume oracle on the
     # identical problem (see the 2026-08 bias isolation in git history).
-    from dcrmontecarlo_tpu.geometry import Polyline
     from dcrmontecarlo_tpu.problems.fields import (
         GaussianMixture,
         gaussian_dipole,
@@ -148,56 +334,3 @@ def test_pallas_mis_neumann_matches_fdm_tpu():
     r = s.solve(pts, n_walks=40000, max_steps=2000, eps=0.05, seed=0)
     dev = np.abs(r.mean - fdm_ref) / np.maximum(r.stderr, 1e-12)
     assert (dev < 4.0).all(), (r.mean, fdm_ref, r.stderr)
-
-
-def test_smem_tables_padded_to_chunk_multiple():
-    # Regression: the SMEM chunk loops run rows // _CHUNK iterations, so a
-    # table only padded to Polyline's multiple of 8 silently dropped up to
-    # 24 trailing real segments (e.g. 100 segs -> 104 rows -> 96 seen).
-    from dcrmontecarlo_tpu.ops.pallas_walk import _CHUNK, _seg_table, _vert_table
-
-    poly = circle_loop(1.0, n=100)
-    assert _seg_table(poly).shape[0] % _CHUNK == 0
-    prob = Problem(dirichlet=square_loop(30.0),
-                   neumann=circle_loop(1.0, n=100))
-    assert _vert_table(prob.neumann).shape[0] % _CHUNK == 0
-
-
-def _subdivided_square_right_edge_last():
-    # 100-segment unit square with the segment containing (1, 0) at table
-    # index 98 — inside the trailing block the pre-fix SMEM loop dropped.
-    pts = []
-
-    def edge(a, b, n, include_start):
-        for k in range(0 if include_start else 1, n + 1):
-            t = k / n
-            pts.append([a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])])
-
-    edge((1, 1), (-1, 1), 32, True)    # top:    segs 0-31
-    edge((-1, 1), (-1, -1), 32, False)  # left:   segs 32-63
-    edge((-1, -1), (1, -1), 33, False)  # bottom: segs 64-96
-    edge((1, -1), (1, 1), 3, False)     # right:  segs 97-99; (1,0) in seg 98
-    from dcrmontecarlo_tpu.geometry import Polyline
-
-    return Polyline.from_points(pts)
-
-
-def test_pallas_smem_sees_trailing_segments():
-    # Deterministic interpret-mode walk (PRNG zeros -> march along +x) from
-    # the center: must terminate on the right edge at (1, 0) with bc = 1.
-    # Pre-fix, the right edge was invisible to the SMEM kernel, so the
-    # walker escaped the domain and accumulated bc far outside.
-    from jax.experimental.pallas import tpu as pltpu
-
-    poly = _subdivided_square_right_edge_last()
-    assert poly.num_segments == 100
-    prob = Problem(dirichlet=poly, bc_dirichlet=lambda x, y: x + 2 * y)
-    s = WoStSolver(
-        prob,
-        SolverOptions(target_slots=256, backend="pallas",
-                      pallas_inner_steps=16, pallas_block_rows=8),
-    )
-    with pltpu.force_tpu_interpret_mode():
-        res = s.solve(np.array([[0.0, 0.0]]), n_walks=16, max_steps=30,
-                      eps=1e-3, seed=0)
-    np.testing.assert_allclose(res.mean, [1.0], atol=1e-4)
