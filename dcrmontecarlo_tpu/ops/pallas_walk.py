@@ -358,6 +358,7 @@ def make_pallas_walk(
     block_rows: int = 128,
     rejection_rounds: int = 64,
     crn=None,
+    max_attenuation=None,
 ):
     """Build the fused multi-step kernel.
 
@@ -439,6 +440,9 @@ def make_pallas_walk(
     sources = [_lift2d(f) for f in source_fields]
     alpha_c = _lift2d(pb.alpha_c) if use_delta else None
     sigma_prime = _lift2d(pb.sigma_prime) if use_delta else None
+    if use_delta and has_neumann:
+        grad_log_alpha_x = _lift2d(lambda x, y: pb.grad_log_alpha(x, y)[0])
+        grad_log_alpha_y = _lift2d(lambda x, y: pb.grad_log_alpha(x, y)[1])
     # python-float constants (pallas kernels may not capture array consts)
     eps_f = float(eps)
     rmin_f = float(rmin)
@@ -684,10 +688,29 @@ def make_pallas_walk(
             if use_delta:
                 p_int = screened_interior_prob(r, sigma_bar_f)
                 interior = u[4] < p_int
+                # image-method reflection + Robin weight at the Neumann
+                # boundary, mirroring solver/wost.py::_make_step_core (see
+                # the rationale there); identical draw-free math keeps the
+                # matched-seed backend comparisons exact
+                w_robin = 1.0
+                mvx, mvy = sx, sy
+                if has_neumann:
+                    exx = px + r_s * dx
+                    exy = py + r_s * dy
+                    pen = -((exx - hx) * hnx + (exy - hy) * hny)
+                    mirror_ev = hit & beyond & (pen > t_min_f)
+                    pen = jnp.where(mirror_ev, pen, 0.0)
+                    mvx = jnp.where(mirror_ev, exx + 2.0 * pen * hnx, sx)
+                    mvy = jnp.where(mirror_ev, exy + 2.0 * pen * hny, sy)
+                    glx = grad_log_alpha_x(hx, hy)
+                    gly = grad_log_alpha_y(hx, hy)
+                    gamma = -0.5 * (hnx * glx + hny * gly)
+                    w_robin = jnp.exp(2.0 * gamma * pen)
+                a_mv = alpha_c(mvx, mvy)
                 a_h = alpha_c(hx, hy)
-                sp_s = sigma_prime(sx, sy)
-                scale_int = jnp.sqrt(a_s / a_p) * jnp.maximum(
-                    1.0 - sp_s / sigma_bar_f, 0.0
+                sp_mv = sigma_prime(mvx, mvy)
+                scale_int = w_robin * jnp.sqrt(a_mv / a_p) * jnp.maximum(
+                    1.0 - sp_mv / sigma_bar_f, 0.0
                 )
                 scale_edge = jnp.sqrt(a_h / a_p)
                 atten = jnp.where(
@@ -695,9 +718,13 @@ def make_pallas_walk(
                     atten * jnp.where(interior, scale_int, scale_edge),
                     atten,
                 )
-                newx = jnp.where(interior, sx, hx)
-                newy = jnp.where(interior, sy, hy)
-                new_ob = hit & ~interior
+                newx = jnp.where(interior, mvx, hx)
+                newy = jnp.where(interior, mvy, hy)
+                if has_neumann:
+                    snapped = hit & (r_s >= t_hit - t_min_f) & ~mirror_ev
+                else:
+                    snapped = hit & (r_s >= t_hit - t_min_f)
+                new_ob = hit & (~interior | snapped)
             else:
                 newx, newy = hx, hy
                 new_ob = hit

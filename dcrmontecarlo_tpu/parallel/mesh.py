@@ -203,6 +203,7 @@ class ShardedWoStSolver(WoStSolver):
             n_inner=n_inner,
             block_rows=opts.pallas_block_rows,
             crn=crn,
+            max_attenuation=opts.max_attenuation,
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2

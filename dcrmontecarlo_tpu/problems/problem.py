@@ -72,6 +72,7 @@ class Problem:
     use_delta_tracking: bool = field(init=False, default=False)
     alpha_c: Optional[Callable] = field(init=False, default=None)
     sigma_prime: Optional[Callable] = field(init=False, default=None)
+    grad_log_alpha: Optional[Callable] = field(init=False, default=None)
     sigma_bar: Optional[float] = field(init=False, default=None)
     domain_bounds: tuple = field(init=False, default=None)
 
@@ -110,6 +111,10 @@ class Problem:
 
             lap_alpha = laplacian(alpha_c)
             grad_log_alpha = gradient(log_alpha)
+            # exposed for the solver's Robin correction at Neumann
+            # boundaries: the sqrt-alpha transform turns zero-flux u into
+            # d(u~)/dn_out = gamma u~ with gamma = d(ln sqrt alpha)/dn_out
+            self.grad_log_alpha = grad_log_alpha
 
             def sigma_prime(x, y):
                 a = alpha_c(x, y)

@@ -29,9 +29,14 @@ Algorithm per step (reference semantics with documented fixes, SURVEY §5):
    sampling (fixes the biased caches of ``solvers/utils.py:138-195``),
    clamped to the star region like ``WoStSolver.py:248-250``.
 6. delta-tracking move (``WoStSolver.py:271-284``): interior event with
-   probability ``sigma_bar * |G_s|``, branchless attenuation update; a
-   walker that takes an interior move is NOT marked on-boundary (the
-   reference leaves a stale flag, ``WoStSolver.py:236``).
+   probability ``sigma_bar * |G_s|``, branchless attenuation update. An
+   interior-sampled radius that reaches the Neumann hit is a WALL ARRIVAL
+   (the collision would have been outside the domain): it moves to the hit
+   point with the edge weight and the on-boundary flag — the
+   star-restricted Green's identity. The reference instead lets such
+   walkers tunnel through the surface and random-walk the unbounded
+   exterior (its notebook's "walk appears to be escaping" TODO), which
+   biases 1000 m-scale DCR potentials 2-4x low.
 """
 
 from __future__ import annotations
@@ -91,6 +96,19 @@ class SolverOptions:
                                        # DIFFERENCES (dipole receivers)
                                        # cancel most MC noise; requires
                                        # rng='fast'; works on both backends
+    max_attenuation: float = None      # optional walker-weight cap. Delta
+                                       # tracking multiplies (1 - sigma'/
+                                       # sigma_bar) per collision; where
+                                       # sigma' is strongly NEGATIVE (e.g.
+                                       # sharp diffusion bumps: sigma' =
+                                       # sigma/a + (lap a/a - |grad ln a|^2
+                                       # /2)/2 dips below -2) the weight
+                                       # exceeds 1 and rare walks compound
+                                       # it exponentially — finite mean,
+                                       # heavy tail. The cap bounds the
+                                       # estimator's variance at the cost
+                                       # of a small controlled bias; None
+                                       # (default) keeps it unbiased.
     rng: str = "fast"                  # "fast" (counter-hash; compiles in
                                        # seconds) or "threefry" (jax.random;
                                        # minutes of XLA compile in while-loops
@@ -374,22 +392,39 @@ class WoStSolver:
             if use_delta:
                 p_int = screened_interior_prob(r, sigma_bar)
                 interior = u[3] < p_int
-                if use_mis or not has_source:
-                    a_s = alpha_c(sx, sy)
+                # An interior-sampled radius that reaches the Neumann hit
+                # means the collision would have happened OUTSIDE the
+                # domain: along that ray the event is really "survived to
+                # the boundary" — a wall arrival that must carry the edge
+                # weight sqrt(a_h/a_p) (NO null-collision factor) and the
+                # on-boundary flag, exactly like an edge event. This is the
+                # star-restricted Green's identity: the beyond-the-wall
+                # interior mass IS the wall-arrival kernel. Two defects it
+                # fixes vs the reference (whose walkers instead tunnel
+                # through the surface and random-walk the unbounded
+                # exterior — the notebook's "walk appears to be escaping"
+                # TODO, cell 19): walker escape, and the spurious
+                # (1 - sigma'/sigma_bar) reweighting of clamped moves,
+                # which together biased 1000 m-scale potentials 2-4x low.
+                collide = interior & ~(hit & (r_s >= t_hit - t_min))
+                a_s_mv = alpha_c(sx, sy)
                 a_h = alpha_c(hx, hy)
                 sp_s = sigma_prime(sx, sy)
-                scale_int = jnp.sqrt(a_s / a_p) * jnp.maximum(
+                scale_int = jnp.sqrt(a_s_mv / a_p) * jnp.maximum(
                     1.0 - sp_s / sigma_bar, 0.0
                 )
                 scale_edge = jnp.sqrt(a_h / a_p)
                 atten = jnp.where(
                     stepping,
-                    atten * jnp.where(interior, scale_int, scale_edge),
+                    atten * jnp.where(collide, scale_int, scale_edge),
                     atten,
                 )
-                newx = jnp.where(interior, sx, hx)
-                newy = jnp.where(interior, sy, hy)
-                new_on_bdry = hit & ~interior
+                if opts.max_attenuation is not None:
+                    atten = jnp.minimum(atten,
+                                        jnp.float32(opts.max_attenuation))
+                newx = jnp.where(collide, sx, hx)
+                newy = jnp.where(collide, sy, hy)
+                new_on_bdry = hit & ~collide
             else:
                 newx, newy = hx, hy
                 new_on_bdry = hit
@@ -545,6 +580,7 @@ class WoStSolver:
             n_inner=n_inner,
             block_rows=opts.pallas_block_rows,
             crn=crn,
+            max_attenuation=opts.max_attenuation,
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
