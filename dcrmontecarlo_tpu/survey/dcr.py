@@ -217,8 +217,15 @@ class DCRSurvey:
         max_steps: int = 500,
         eps: float = 0.9,
         seed: int = 0,
-        options: SolverOptions = SolverOptions(),
+        options: SolverOptions = SolverOptions(common_random_numbers=True),
     ) -> SurveyResult:
+        """Solve the survey at ``electrodes``.
+
+        Common random numbers default ON: the survey's observables are
+        dipole voltage DIFFERENCES, and slot-matched streams cancel most
+        of the shared MC noise between adjacent electrodes (works on both
+        the XLA and Pallas backends). Pass explicit ``options`` to opt out.
+        """
         problem = self.build_problem()
         solver = WoStSolver(problem, options)
         # Electrodes sitting exactly on the Neumann surface start their
@@ -308,7 +315,7 @@ def run_pseudosection(
     max_steps: int = 500,
     eps: float = 0.9,
     seed: int = 0,
-    options: SolverOptions = SolverOptions(),
+    options: SolverOptions = SolverOptions(common_random_numbers=True),
 ) -> Pseudosection:
     """Full dipole-dipole sweep from ONE walker ensemble.
 

@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["plot_walk_history", "plot_multiple_walks", "plot_walk_statistics"]
+__all__ = ["plot_walk_history", "plot_multiple_walks", "plot_walk_statistics",
+           "plot_voltage_profile", "plot_pseudosection"]
 
 
 def _mpl():
@@ -122,4 +123,102 @@ def plot_walk_statistics(history, save_path=None):
     fig.tight_layout()
     if save_path:
         fig.savefig(save_path, dpi=150, bbox_inches="tight")
+    return fig
+
+
+def plot_voltage_profile(result, survey=None, conductivity=None,
+                         bounds=None, save_path=None):
+    """Surface voltage profile + conductivity section for a DCR survey.
+
+    Reproduces the reference's scenario figure
+    (``tests/testGeophysicalScenario.py:156-223``,
+    ``dcr_survey_results.png``): top panel — electrode potentials with MC
+    error bars and adjacent dipole voltages; bottom panel — the
+    conductivity model with electrode/current-source markers.
+
+    Args:
+        result: :class:`~dcrmontecarlo_tpu.survey.SurveyResult`.
+        survey: optional :class:`DCRSurvey` (draws sources + domain).
+        conductivity: optional ``alpha(x, y)`` override for the section.
+        bounds: ``((x0, x1), (y0, y1))`` section extent (defaults to the
+            survey's half-space box).
+    """
+    plt = _mpl()
+    fig, (ax1, ax2) = plt.subplots(
+        2, 1, figsize=(10, 8), height_ratios=[1, 1.2]
+    )
+    x = np.asarray(result.electrodes)[:, 0]
+    ax1.errorbar(x, result.potentials, yerr=result.potentials_stderr,
+                 fmt="o-", capsize=3, label="potential $u$ [V]")
+    xm = 0.5 * (x[:-1] + x[1:])
+    ax1.errorbar(xm, result.voltages, yerr=result.voltages_stderr,
+                 fmt="s--", capsize=3, label="dipole voltage $\\Delta V$")
+    ax1.axhline(0.0, color="0.7", lw=0.8)
+    ax1.set_xlabel("x [m]")
+    ax1.set_ylabel("voltage [V]")
+    ax1.legend()
+    ax1.set_title("DCR survey: surface potentials and dipole voltages")
+
+    cond = conductivity
+    if cond is None and survey is not None:
+        cond = survey.conductivity
+    if cond is not None:
+        if bounds is None and survey is not None:
+            bounds = ((-survey.half_width, survey.half_width),
+                      (survey.surface_y - survey.depth, survey.surface_y))
+        (x0, x1), (y0, y1) = bounds
+        import jax
+
+        gx = np.linspace(x0, x1, 241)
+        gy = np.linspace(y0, y1, 241)
+        X, Y = np.meshgrid(gx, gy, indexing="ij")
+        f = jax.vmap(lambda a, b: cond(a, b))
+        A = np.asarray(f(X.ravel(), Y.ravel())).reshape(X.shape)
+        pc = ax2.pcolormesh(X, Y, A, shading="auto", cmap="viridis")
+        fig.colorbar(pc, ax=ax2, label="conductivity [S/m]")
+        ax2.plot(x, np.asarray(result.electrodes)[:, 1], "wv",
+                 markersize=6, label="electrodes")
+        if survey is not None:
+            ax2.plot(*survey.current_a, "r+", markersize=14, mew=3,
+                     label="+I")
+            ax2.plot(*survey.current_b, "b_", markersize=14, mew=3,
+                     label="-I")
+        ax2.legend(loc="lower right")
+        ax2.set_xlabel("x [m]")
+        ax2.set_ylabel("y [m]")
+        ax2.set_title("conductivity model")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+    return fig
+
+
+def plot_pseudosection(ps, value="apparent_resistivity", log_abs=True,
+                       save_path=None):
+    """Dipole-dipole pseudosection scatter (SimPEG ``plot_pseudosection``
+    convention, ``testNotebook.ipynb`` cell 15): measurements placed at the
+    source/receiver midpoint with half their separation as pseudo-depth.
+
+    Args:
+        ps: :class:`~dcrmontecarlo_tpu.survey.Pseudosection`.
+        value: ``"apparent_resistivity"`` or ``"voltage"``.
+        log_abs: color by ``log10 |value|`` (standard for resistivities).
+    """
+    plt = _mpl()
+    v = np.asarray(getattr(ps, value), np.float64)
+    c = np.log10(np.maximum(np.abs(v), 1e-30)) if log_abs else v
+    fig, ax = plt.subplots(figsize=(10, 5))
+    sc = ax.scatter(ps.pseudo_x, ps.pseudo_z, c=c, s=120, marker="s",
+                    cmap="viridis", edgecolors="k", linewidths=0.3)
+    label = value.replace("_", " ")
+    fig.colorbar(
+        sc, ax=ax,
+        label=(f"log10 |{label}|" if log_abs else label),
+    )
+    ax.set_xlabel("midpoint x [m]")
+    ax.set_ylabel("pseudo-depth [m]")
+    ax.set_title(f"dipole-dipole pseudosection: {label}")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
     return fig

@@ -71,3 +71,30 @@ def test_plotting_smoke(tmp_path):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_survey_figures_build(tmp_path):
+    # plot_voltage_profile + plot_pseudosection render the reference's
+    # figure scenes (dcr_survey_results.png, notebook pseudosection)
+    from dcrmontecarlo_tpu.models import geophysical_scenario
+    from dcrmontecarlo_tpu.solver import SolverOptions
+    from dcrmontecarlo_tpu.survey import run_pseudosection
+    from dcrmontecarlo_tpu.utils.plotting import (
+        plot_pseudosection,
+        plot_voltage_profile,
+    )
+
+    survey, electrodes = geophysical_scenario()
+    opts = SolverOptions(target_slots=2048)
+    result = survey.run(electrodes, n_walks=100, max_steps=300, eps=0.9,
+                        seed=0, options=opts)
+    f1 = tmp_path / "profile.png"
+    plot_voltage_profile(result, survey=survey, save_path=str(f1))
+    assert f1.stat().st_size > 10_000
+
+    ps = run_pseudosection(survey, electrodes, num_rx_per_src=3,
+                           n_walks=100, max_steps=300, eps=0.9, seed=0,
+                           options=opts)
+    f2 = tmp_path / "pseudo.png"
+    plot_pseudosection(ps, save_path=str(f2))
+    assert f2.stat().st_size > 10_000
