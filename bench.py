@@ -17,11 +17,66 @@ import time
 import numpy as np
 
 
+def accuracy_preset():
+    """Time-to-accuracy on the flagship C18 workload (1000 m notebook
+    survey): dipole-voltage error x sqrt(wall-clock), variance-reduced
+    (source-MIS + CRN) vs plain. The figure of merit sigma * sqrt(t) is
+    walk-count invariant, so the reported ratio is the square root of the
+    wall-clock speedup of the variance tools at matched accuracy. Errors
+    are measured EMPIRICALLY across seeds (under CRN the per-point
+    quadrature stderr is a conservative bound that hides the correlation
+    cancellation in differences)."""
+    import jax
+
+    from dcrmontecarlo_tpu.models import notebook_survey
+    from dcrmontecarlo_tpu.solver import SolverOptions
+
+    n_rep = 8
+    results = {}
+    for label, mis, crn in (("plain", False, False),
+                            ("mis_crn", True, True)):
+        survey, electrodes = notebook_survey()
+        survey.source_mis = mis
+        opts = SolverOptions(target_slots=1 << 17,
+                             common_random_numbers=crn)
+        # warm/compile with the measured shape
+        survey.run(electrodes, n_walks=4096, max_steps=6000, eps=1.0,
+                   seed=999, options=opts)
+        dvs = []
+        t0 = time.perf_counter()
+        for seed in range(n_rep):
+            res = survey.run(electrodes, n_walks=4096, max_steps=6000,
+                             eps=1.0, seed=seed, options=opts)
+            dvs.append(res.voltages)
+        dt = (time.perf_counter() - t0) / n_rep
+        sig = float(np.median(np.std(np.stack(dvs), axis=0)))
+        results[label] = sig * np.sqrt(dt)
+        print(f"{label}: median empirical dV std={sig:.3g} time={dt:.2f}s "
+              f"sigma*sqrt(t)={results[label]:.3g}",
+              file=sys.stderr)
+    ratio = results["plain"] / results["mis_crn"]
+    print(
+        json.dumps(
+            {
+                "metric": "dcr_voltage_stderr_sqrt_time_reduction",
+                "value": ratio,
+                "unit": "x (plain / MIS+CRN, matched accuracy)",
+                "vs_baseline": ratio,
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", choices=["smoke", "full"], default="full")
+    ap.add_argument("--preset", choices=["smoke", "full", "accuracy"],
+                    default="full")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
+
+    if args.preset == "accuracy":
+        accuracy_preset()
+        return
 
     import jax
 
