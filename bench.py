@@ -86,8 +86,11 @@ def main():
     if args.preset == "smoke":
         target_slots, n_walks, max_steps, min_quota = 4096, 64, 200, 4
     else:
-        # tuned on v5e: ~590k walker slots at quota 8 saturate the chip
-        target_slots, n_walks, max_steps, min_quota = 1 << 21, 1 << 19, 500, 8
+        # tuned on v5e: ~590k walker slots at quota 32 saturate the chip
+        # (larger per-slot quotas amortize the walk-length straggler tail,
+        # which grew relatively once the Neumann escape fix made walks
+        # terminate properly)
+        target_slots, n_walks, max_steps, min_quota = 1 << 21, 1 << 19, 500, 32
 
     survey, electrodes = geophysical_scenario(sharpness=0.5)
     problem = survey.build_problem()
