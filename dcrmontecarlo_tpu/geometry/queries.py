@@ -175,7 +175,7 @@ def ray_intersection(poly: Polyline, px, py, dx, dy, t_min=1e-6):
     den_safe = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
     t = cross2(ux, uy, wx, wy) / den_safe
     sp = cross2(dxe, dye, wx, wy) / den_safe
-    ok = valid & (sp >= 0.0) & (sp <= 1.0) & (t > t_min) & (jnp.abs(den) > 1e-30)
+    ok = valid & (sp >= 0.0) & (sp <= 1.0) & (t >= t_min) & (jnp.abs(den) > 1e-30)
     return jnp.where(ok, t, jnp.inf)
 
 
@@ -184,6 +184,10 @@ def first_hit(poly: Polyline, px, py, dx, dy, r, t_min=1e-6):
 
     Rebuild of ``intersect_polylines_jit`` (``PolylinesSimple.py:134-197``)
     with the ray-parameter bug fixed: for ray ``p + t d`` against segment
+    (``t >= t_min`` is INCLUSIVE: with a zero per-walker t_min, a walker
+    standing exactly on a segment self-hits at t = 0 — the mechanism that
+    re-flags on-boundary walkers whose flag was lost to a tangential move,
+    instead of letting them tunnel out of the domain)
     ``a + s u`` the intersection satisfies ``t = cross(u, w)/cross(d, u)``
     and ``s = cross(d, w)/cross(d, u)`` with ``w = p - a``; valid when
     ``s in [0, 1]`` and ``t > t_min`` (instead of the reference's 1e-6
@@ -205,17 +209,24 @@ def first_hit(poly: Polyline, px, py, dx, dy, r, t_min=1e-6):
     den_safe = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
     t = cross2(ux, uy, wx, wy) / den_safe
     s = cross2(dxe, dye, wx, wy) / den_safe
-    ok = valid & (s >= 0.0) & (s <= 1.0) & (t > t_min) & (jnp.abs(den) > 1e-30)
+    ok = valid & (s >= 0.0) & (s <= 1.0) & (t >= t_min) & (jnp.abs(den) > 1e-30)
     t = jnp.where(ok, t, _BIG)
     # CCW segment normals, reduced jointly with the min hit parameter.
     ulen = jnp.sqrt(jnp.maximum(ux * ux + uy * uy, 1e-30))
     nxs = jnp.broadcast_to(-uy / ulen, t.shape)
     nys = jnp.broadcast_to(ux / ulen, t.shape)
-    t_best, nx, ny = _min_by(t, (nxs, nys), axis=1)
+    # hit point from the SEGMENT parameterization a + s u, not p + t d:
+    # the ray form rounds the arrival epsilon off the wall; a walker placed
+    # just OUTSIDE then gets its normal oriented against the re-entering
+    # ray — i.e. outward — and the next hemisphere step walks it out of
+    # the domain
+    cxs = jnp.broadcast_to(ax + s * ux, t.shape)
+    cys = jnp.broadcast_to(ay + s * uy, t.shape)
+    t_best, nx, ny, hxs, hys = _min_by(t, (nxs, nys, cxs, cys), axis=1)
     hit = t_best <= r
     t_hit = jnp.where(hit, t_best, r)
-    hx = px + t_hit * dx
-    hy = py + t_hit * dy
+    hx = jnp.where(hit, hxs, px + r * dx)
+    hy = jnp.where(hit, hys, py + r * dy)
     # orient against the incoming ray (inward)
     flip = (nx * dx + ny * dy) > 0.0
     nx = jnp.where(flip, -nx, nx)

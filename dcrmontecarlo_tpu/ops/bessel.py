@@ -17,7 +17,7 @@ validated against scipy in ``tests/test_bessel_greens.py``.
 
 import jax.numpy as jnp
 
-__all__ = ["i0", "i0e", "k0", "k0e"]
+__all__ = ["i0", "i0e", "k0", "k0e", "i1", "i1e", "k1", "k1e"]
 
 # A&S 9.8.1: I0(x), |x| <= 3.75, t = (x/3.75)^2
 _I0_SMALL = (1.0, 3.5156229, 3.0899424, 1.2067492, 0.2659732, 0.0360768, 0.0045813)
@@ -94,3 +94,70 @@ def k0e(x):
     xs = jnp.maximum(xc, 2.0)
     return jnp.where(xc <= 2.0, _k0_small(jnp.minimum(xc, 2.0)) * jnp.exp(xc),
                      _k0e_large(xs))
+
+
+# A&S 9.8.3: I1(x)/x for |x| <= 3.75, t = (x/3.75)^2
+_I1_SMALL = (0.5, 0.87890594, 0.51498869, 0.15084934, 0.02658733,
+             0.00301532, 0.00032411)
+# A&S 9.8.4: x >= 3.75, e^-x sqrt(x) I1(x) = P(3.75/x)
+_I1_LARGE = (
+    0.39894228, -0.03988024, -0.00362018, 0.00163801, -0.01031555,
+    0.02282967, -0.02895312, 0.01787654, -0.00420059,
+)
+# A&S 9.8.7: 0 < x <= 2, x K1(x) = x ln(x/2) I1(x) + P((x/2)^2)
+_K1_SMALL = (1.0, 0.15443144, -0.67278579, -0.18156897, -0.01919402,
+             -0.00110404, -0.00004686)
+# A&S 9.8.8: x >= 2, e^x sqrt(x) K1(x) = P(2/x)
+_K1_LARGE = (1.25331414, 0.23498619, -0.03655620, 0.01504268, -0.00780353,
+             0.00325614, -0.00068245)
+
+
+def _i1_small(x):
+    t = (x / 3.75) ** 2
+    return x * _polyval(_I1_SMALL, t)
+
+
+def _i1e_large(x):
+    t = 3.75 / x
+    return _polyval(_I1_LARGE, t) / jnp.sqrt(x)
+
+
+def i1e(x):
+    """Exponentially scaled modified Bessel function: ``e^{-|x|} I1(x)``."""
+    x = jnp.abs(x)
+    small = _i1_small(x) * jnp.exp(-x)
+    xs = jnp.maximum(x, 3.75)
+    return jnp.where(x < 3.75, small, _i1e_large(xs))
+
+
+def i1(x):
+    """Modified Bessel function of the first kind, order 1 (x >= 0)."""
+    x = jnp.abs(x)
+    xs = jnp.maximum(x, 3.75)
+    return jnp.where(x < 3.75, _i1_small(x), _i1e_large(xs) * jnp.exp(xs))
+
+
+def _k1_small(x):
+    t = (x / 2.0) ** 2
+    return (jnp.log(x / 2.0) * _i1_small(x) + _polyval(_K1_SMALL, t) / x)
+
+
+def _k1e_large(x):
+    t = 2.0 / x
+    return _polyval(_K1_LARGE, t) / jnp.sqrt(x)
+
+
+def k1(x):
+    """Modified Bessel function of the second kind, order 1 (x > 0)."""
+    xc = jnp.maximum(x, 1e-30)  # K1 ~ 1/x as x -> 0+
+    xs = jnp.maximum(xc, 2.0)
+    return jnp.where(xc <= 2.0, _k1_small(jnp.minimum(xc, 2.0)),
+                     _k1e_large(xs) * jnp.exp(-xs))
+
+
+def k1e(x):
+    """Exponentially scaled: ``e^{x} K1(x)`` (x > 0)."""
+    xc = jnp.maximum(x, 1e-30)
+    xs = jnp.maximum(xc, 2.0)
+    return jnp.where(xc <= 2.0, _k1_small(jnp.minimum(xc, 2.0)) * jnp.exp(xc),
+                     _k1e_large(xs))

@@ -26,7 +26,7 @@ probability used in the walk (reference ``solvers/WoStSolver.py:273-275``).
 
 import jax.numpy as jnp
 
-from .bessel import i0, i0e, k0
+from .bessel import i0, i0e, k0, k0e
 
 __all__ = [
     "greens_2d",
@@ -34,6 +34,7 @@ __all__ = [
     "screened_greens_2d",
     "screened_greens_norm_2d",
     "screened_interior_prob",
+    "screened_greens_wall_ratio",
 ]
 
 _TWO_PI = 2.0 * jnp.pi
@@ -91,3 +92,29 @@ def screened_interior_prob(R, sigma_bar):
     """Delta-tracking interior-event probability ``1 - 1/I0(R sqrt(sb))``."""
     z = R * jnp.sqrt(sigma_bar)
     return _one_minus_inv_i0(z)
+
+
+def screened_greens_wall_ratio(d, R, sigma_bar):
+    """``G_s(d) / |dG_s/dd(d)|`` — the radial kernel ratio used by the
+    Robin boundary correction at Neumann walls.
+
+    The sqrt-alpha delta-tracking transform turns zero-flux ``u`` into a
+    Robin condition for ``u~``: ``d(u~)/dn_out = gamma u~`` with
+    ``gamma = d(ln sqrt alpha)/dn_out``. The star-restricted Green's
+    identity then adds ``int_wall G_s gamma u~`` to the wall-arrival term
+    ``int_wall |dG_s/dnu| u~``, so each wall arrival carries the extra
+    weight ``1 + gamma * ratio / cos(phi)`` (``phi`` = ray/normal angle).
+    Evaluated with scaled Bessels: the ``e^{-z d}`` factors cancel and the
+    reflection term carries ``e^{2 q (d - R)} <= 1``.
+    """
+    from .bessel import i1e, k1e  # order-1; order-0 imported at module top
+
+    q = jnp.sqrt(sigma_bar)
+    zd = jnp.maximum(d, 1e-12) * q
+    zr = R * q
+    ratio_c = (k0e(zr) / i0e(zr)) * jnp.exp(
+        2.0 * jnp.minimum(zd - zr, 0.0)
+    )
+    num = k0e(zd) - ratio_c * i0e(zd)
+    den = q * (k1e(zd) + ratio_c * i1e(zd))
+    return jnp.maximum(num, 0.0) / jnp.maximum(den, 1e-30)

@@ -170,6 +170,8 @@ def _first_hit_unrolled(segs, px, py, dx, dy, r, t_min):
     t_best = jnp.full_like(px, big)
     nx = jnp.zeros_like(px)
     ny = jnp.zeros_like(px)
+    hxs = jnp.zeros_like(px)
+    hys = jnp.zeros_like(px)
     for (ax, ay, bx, by) in segs:
         ux, uy = bx - ax, by - ay
         ulen = max(float(np.hypot(ux, uy)), 1e-30)
@@ -181,12 +183,15 @@ def _first_hit_unrolled(segs, px, py, dx, dy, r, t_min):
         inv_den = 1.0 / den_safe
         t = (ux * wy - uy * wx) * inv_den
         s = (dx * wy - dy * wx) * inv_den
-        ok = (s >= 0.0) & (s <= 1.0) & (t > t_min) & (jnp.abs(den) > 1e-30)
+        ok = (s >= 0.0) & (s <= 1.0) & (t >= t_min) & (jnp.abs(den) > 1e-30)
         t = jnp.where(ok, t, big)
         pick = t < t_best
         t_best = jnp.where(pick, t, t_best)
         nx = jnp.where(pick, nxs, nx)
         ny = jnp.where(pick, nys, ny)
+        # exact on-segment hit point (see geometry/queries.py::first_hit)
+        hxs = jnp.where(pick, ax + s * ux, hxs)
+        hys = jnp.where(pick, ay + s * uy, hys)
     hit = t_best <= r
     t_hit = jnp.where(hit, t_best, r)
     # orient against the ray (inward)
@@ -195,7 +200,9 @@ def _first_hit_unrolled(segs, px, py, dx, dy, r, t_min):
     ny = jnp.where(flip, -ny, ny)
     nx = jnp.where(hit, nx, 0.0)
     ny = jnp.where(hit, ny, 0.0)
-    return px + t_hit * dx, py + t_hit * dy, nx, ny, t_hit, hit
+    hx = jnp.where(hit, hxs, px + r * dx)
+    hy = jnp.where(hit, hys, py + r * dy)
+    return hx, hy, nx, ny, t_hit, hit
 
 
 _CHUNK = 32  # SMEM geometry loop unroll factor
@@ -272,7 +279,7 @@ def _first_hit_smem(seg_ref, n_seg_pad, px, py, dx, dy, r, t_min):
     big = jnp.float32(3e38)
 
     def chunk(c, carry):
-        t_best, nx, ny = carry
+        t_best, nx, ny, hxs, hys = carry
         for j in range(_CHUNK):
             i = c * _CHUNK + j
             ax = seg_ref[i, 0]
@@ -288,16 +295,21 @@ def _first_hit_smem(seg_ref, n_seg_pad, px, py, dx, dy, r, t_min):
             # divisions to match queries.first_hit bit-for-bit
             t = (ux * wy - uy * wx) / den_safe
             sp = (dx * wy - dy * wx) / den_safe
-            ok = (sp >= 0.0) & (sp <= 1.0) & (t > t_min) & (jnp.abs(den) > 1e-30)
+            ok = (sp >= 0.0) & (sp <= 1.0) & (t >= t_min) & (jnp.abs(den) > 1e-30)
             t = jnp.where(ok, t, big)
             pick = t < t_best
             t_best = jnp.where(pick, t, t_best)
             nx = jnp.where(pick, nxs, nx)
             ny = jnp.where(pick, nys, ny)
-        return t_best, nx, ny
+            # exact on-segment hit point (see queries.first_hit)
+            hxs = jnp.where(pick, ax + sp * ux, hxs)
+            hys = jnp.where(pick, ay + sp * uy, hys)
+        return t_best, nx, ny, hxs, hys
 
-    init = (jnp.full_like(px, big), jnp.zeros_like(px), jnp.zeros_like(px))
-    t_best, nx, ny = jax.lax.fori_loop(0, n_seg_pad // _CHUNK, chunk, init)
+    init = (jnp.full_like(px, big), jnp.zeros_like(px), jnp.zeros_like(px),
+            jnp.zeros_like(px), jnp.zeros_like(px))
+    t_best, nx, ny, hxs, hys = jax.lax.fori_loop(
+        0, n_seg_pad // _CHUNK, chunk, init)
     hit = t_best <= r
     t_hit = jnp.where(hit, t_best, r)
     flip = (nx * dx + ny * dy) > 0.0
@@ -305,7 +317,9 @@ def _first_hit_smem(seg_ref, n_seg_pad, px, py, dx, dy, r, t_min):
     ny = jnp.where(flip, -ny, ny)
     nx = jnp.where(hit, nx, 0.0)
     ny = jnp.where(hit, ny, 0.0)
-    return px + t_hit * dx, py + t_hit * dy, nx, ny, t_hit, hit
+    hx = jnp.where(hit, hxs, px + r * dx)
+    hy = jnp.where(hit, hys, py + r * dy)
+    return hx, hy, nx, ny, t_hit, hit
 
 
 def _pad_chunk(table):
@@ -359,6 +373,7 @@ def make_pallas_walk(
     rejection_rounds: int = 64,
     crn=None,
     max_attenuation=None,
+    robin_correction: bool = True,
 ):
     """Build the fused multi-step kernel.
 
@@ -383,6 +398,7 @@ def make_pallas_walk(
         greens_norm_2d,
         screened_greens_2d,
         screened_greens_norm_2d,
+        screened_greens_wall_ratio,
         screened_interior_prob,
     )
 
@@ -440,7 +456,8 @@ def make_pallas_walk(
     sources = [_lift2d(f) for f in source_fields]
     alpha_c = _lift2d(pb.alpha_c) if use_delta else None
     sigma_prime = _lift2d(pb.sigma_prime) if use_delta else None
-    if use_delta and has_neumann:
+    use_robin = use_delta and has_neumann and robin_correction
+    if use_robin:
         grad_log_alpha_x = _lift2d(lambda x, y: pb.grad_log_alpha(x, y)[0])
         grad_log_alpha_y = _lift2d(lambda x, y: pb.grad_log_alpha(x, y)[1])
     # python-float constants (pallas kernels may not capture array consts)
@@ -491,8 +508,8 @@ def make_pallas_walk(
                 dir_segs, px, py)
             silhouette = lambda px, py: _silhouette_unrolled(
                 neu_verts, px, py)
-            first_hit = lambda px, py, dx, dy, r: _first_hit_unrolled(
-                neu_segs, px, py, dx, dy, r, t_min_f)
+            first_hit = lambda px, py, dx, dy, r, tm: _first_hit_unrolled(
+                neu_segs, px, py, dx, dy, r, tm)
         else:
             n_dir = dir_table.shape[0]
             closest_point = lambda px, py: _closest_point_smem(
@@ -503,8 +520,8 @@ def make_pallas_walk(
                     neu_vert_ref, n_vert, px, py)
             if has_neumann:
                 n_neu = neu_table.shape[0]
-                first_hit = lambda px, py, dx, dy, r: _first_hit_smem(
-                    neu_seg_ref, n_neu, px, py, dx, dy, r, t_min_f)
+                first_hit = lambda px, py, dx, dy, r, tm: _first_hit_smem(
+                    neu_seg_ref, n_neu, px, py, dx, dy, r, tm)
 
         # int32 -> uint32 is modular, so the seed's bit pattern survives the
         # SMEM round trip even when the high bit is set
@@ -578,7 +595,12 @@ def make_pallas_walk(
                 dy = jnp.where(ob, hdy, dy)
 
             if has_neumann:
-                hx, hy, hnx, hny, t_hit, hit = first_hit(px, py, dx, dy, r)
+                # t_min self-hit guard only for on-boundary walkers (see
+                # solver/wost.py): free walkers must catch ANY positive hit
+                # or they tunnel through the surface from within t_min
+                t_min_w = jnp.where(ob, t_min_f, 0.0)
+                hx, hy, hnx, hny, t_hit, hit = first_hit(
+                    px, py, dx, dy, r, t_min_w)
             else:
                 hx = px + r * dx
                 hy = py + r * dy
@@ -657,7 +679,8 @@ def make_pallas_walk(
                 if has_neumann:
                     ydx = (yx - px) / d_safe
                     ydy = (yy - py) / d_safe
-                    _, _, _, _, t_y, hit_y = first_hit(px, py, ydx, ydy, d_y)
+                    _, _, _, _, t_y, hit_y = first_hit(px, py, ydx, ydy,
+                                                       d_y, t_min_w)
                     in_star = in_ball & ~(hit_y & (t_y < d_y))
                 else:
                     in_star = in_ball
@@ -688,43 +711,42 @@ def make_pallas_walk(
             if use_delta:
                 p_int = screened_interior_prob(r, sigma_bar_f)
                 interior = u[4] < p_int
-                # image-method reflection + Robin weight at the Neumann
-                # boundary, mirroring solver/wost.py::_make_step_core (see
-                # the rationale there); identical draw-free math keeps the
-                # matched-seed backend comparisons exact
-                w_robin = 1.0
-                mvx, mvy = sx, sy
-                if has_neumann:
-                    exx = px + r_s * dx
-                    exy = py + r_s * dy
-                    pen = -((exx - hx) * hnx + (exy - hy) * hny)
-                    mirror_ev = hit & beyond & (pen > t_min_f)
-                    pen = jnp.where(mirror_ev, pen, 0.0)
-                    mvx = jnp.where(mirror_ev, exx + 2.0 * pen * hnx, sx)
-                    mvy = jnp.where(mirror_ev, exy + 2.0 * pen * hny, sy)
+                # wall-arrival semantics mirror solver/wost.py (scheme +
+                # rationale documented there): an interior-sampled radius
+                # reaching the hit is a boundary arrival with the edge
+                # weight and the on-boundary flag
+                collide = interior & ~(hit & (r_s >= t_hit - t_min_f))
+                a_s_mv = alpha_c(sx, sy)
+                a_h = alpha_c(hx, hy)
+                sp_s = sigma_prime(sx, sy)
+                scale_int = jnp.sqrt(a_s_mv / a_p) * jnp.maximum(
+                    1.0 - sp_s / sigma_bar_f, 0.0
+                )
+                scale_edge = jnp.sqrt(a_h / a_p)
+                if use_robin:
+                    # experimental Robin wall weight (see
+                    # screened_greens_wall_ratio and solver/wost.py)
                     glx = grad_log_alpha_x(hx, hy)
                     gly = grad_log_alpha_y(hx, hy)
                     gamma = -0.5 * (hnx * glx + hny * gly)
-                    w_robin = jnp.exp(2.0 * gamma * pen)
-                a_mv = alpha_c(mvx, mvy)
-                a_h = alpha_c(hx, hy)
-                sp_mv = sigma_prime(mvx, mvy)
-                scale_int = w_robin * jnp.sqrt(a_mv / a_p) * jnp.maximum(
-                    1.0 - sp_mv / sigma_bar_f, 0.0
-                )
-                scale_edge = jnp.sqrt(a_h / a_p)
+                    cosphi = jnp.maximum(-(dx * hnx + dy * hny), 0.1)
+                    rho = screened_greens_wall_ratio(t_hit, r, sigma_bar_f)
+                    w_rob = jnp.where(
+                        hit,
+                        jnp.maximum(1.0 + gamma * rho / cosphi, 0.0),
+                        1.0,
+                    )
+                    scale_edge = scale_edge * w_rob
                 atten = jnp.where(
                     stepping,
-                    atten * jnp.where(interior, scale_int, scale_edge),
+                    atten * jnp.where(collide, scale_int, scale_edge),
                     atten,
                 )
-                newx = jnp.where(interior, mvx, hx)
-                newy = jnp.where(interior, mvy, hy)
-                if has_neumann:
-                    snapped = hit & (r_s >= t_hit - t_min_f) & ~mirror_ev
-                else:
-                    snapped = hit & (r_s >= t_hit - t_min_f)
-                new_ob = hit & (~interior | snapped)
+                if max_attenuation is not None:
+                    atten = jnp.minimum(atten, float(max_attenuation))
+                newx = jnp.where(collide, sx, hx)
+                newy = jnp.where(collide, sy, hy)
+                new_ob = hit & ~collide
             else:
                 newx, newy = hx, hy
                 new_ob = hit

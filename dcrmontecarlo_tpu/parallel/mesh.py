@@ -204,6 +204,7 @@ class ShardedWoStSolver(WoStSolver):
             block_rows=opts.pallas_block_rows,
             crn=crn,
             max_attenuation=opts.max_attenuation,
+            robin_correction=opts.robin_correction,
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2

@@ -53,6 +53,7 @@ from ..geometry import queries
 from ..ops.greens import (
     greens_norm_2d,
     screened_greens_norm_2d,
+    screened_greens_wall_ratio,
     screened_interior_prob,
 )
 from ..problems.problem import Problem
@@ -109,6 +110,24 @@ class SolverOptions:
                                        # estimator's variance at the cost
                                        # of a small controlled bias; None
                                        # (default) keeps it unbiased.
+    robin_correction: bool = False     # EXPERIMENTAL: weight Neumann wall
+                                       # arrivals by
+                                       # 1 + gamma * G_s/|dG_s/dn| — the
+                                       # sqrt-alpha transform turns zero-
+                                       # flux u into a Robin condition for
+                                       # u~ (gamma = d ln sqrt(alpha)/dn_out)
+                                       # that plain reflection ignores.
+                                       # Halves the bias when coefficient
+                                       # gradients are strong AT the
+                                       # boundary (see the exp(k y) stress
+                                       # test), but the still-missing
+                                       # on-boundary chord term has the
+                                       # opposite sign on buried-anomaly
+                                       # surveys, where enabling only the
+                                       # arrival term can unbalance a
+                                       # partial cancellation — hence off
+                                       # by default. Full Robin-WoSt
+                                       # reflectance is future work.
     rng: str = "fast"                  # "fast" (counter-hash; compiles in
                                        # seconds) or "threefry" (jax.random;
                                        # minutes of XLA compile in while-loops
@@ -189,6 +208,12 @@ class WoStSolver:
         sources = [jax.vmap(_lift(f)) for f in source_fields]
         alpha_c = jax.vmap(_lift(pb.alpha_c)) if use_delta else None
         sigma_prime = jax.vmap(_lift(pb.sigma_prime)) if use_delta else None
+        use_robin = use_delta and has_neumann and opts.robin_correction
+        if use_robin:
+            grad_log_alpha_x = jax.vmap(_lift(
+                lambda x, y: pb.grad_log_alpha(x, y)[0]))
+            grad_log_alpha_y = jax.vmap(_lift(
+                lambda x, y: pb.grad_log_alpha(x, y)[1]))
         sigma_bar = jnp.float32(pb.sigma_bar) if use_delta else None
         table = self._table
         rmin = jnp.float32(opts.rmin_factor * eps)
@@ -279,8 +304,14 @@ class WoStSolver:
 
             # -- next point (WoStSolver.py:235-239) ----------------------- #
             if has_neumann:
+                # the t_min self-hit guard is only needed for walkers
+                # standing ON the boundary (their own segment intersects at
+                # t ~ 0); for free walkers any positive hit must count, or
+                # a walker that lands within t_min of the surface tunnels
+                # through it on its next step and escapes the domain
+                t_min_w = jnp.where(on_bdry, t_min, 0.0)[:, None]
                 hx, hy, hnx, hny, t_hit, hit = queries.first_hit(
-                    neumann, px, py, dx, dy, r, t_min
+                    neumann, px, py, dx, dy, r, t_min_w
                 )
             else:
                 hx = px + r * dx
@@ -364,7 +395,7 @@ class WoStSolver:
                     ydx = (yx - px) / d_safe
                     ydy = (yy - py) / d_safe
                     _, _, _, _, t_y, hit_y = queries.first_hit(
-                        neumann, px, py, ydx, ydy, d_y, t_min
+                        neumann, px, py, ydx, ydy, d_y, t_min_w
                     )
                     in_star = in_ball & ~(hit_y & (t_y < d_y))
                 else:
@@ -414,6 +445,23 @@ class WoStSolver:
                     1.0 - sp_s / sigma_bar, 0.0
                 )
                 scale_edge = jnp.sqrt(a_h / a_p)
+                if use_robin:
+                    # Robin wall weight (see screened_greens_wall_ratio):
+                    # gamma = d(ln sqrt alpha)/dn_out at the hit point; the
+                    # kernel ratio is divided by the ray/normal cosine
+                    # (grazing arrivals clamped for variance control —
+                    # they carry vanishing arrival density)
+                    glx = grad_log_alpha_x(hx, hy)
+                    gly = grad_log_alpha_y(hx, hy)
+                    gamma = -0.5 * (hnx * glx + hny * gly)
+                    cosphi = jnp.maximum(-(dx * hnx + dy * hny), 0.1)
+                    rho = screened_greens_wall_ratio(t_hit, r, sigma_bar)
+                    w_rob = jnp.where(
+                        hit,
+                        jnp.maximum(1.0 + gamma * rho / cosphi, 0.0),
+                        1.0,
+                    )
+                    scale_edge = scale_edge * w_rob
                 atten = jnp.where(
                     stepping,
                     atten * jnp.where(collide, scale_int, scale_edge),
@@ -581,6 +629,7 @@ class WoStSolver:
             block_rows=opts.pallas_block_rows,
             crn=crn,
             max_attenuation=opts.max_attenuation,
+            robin_correction=opts.robin_correction,
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2

@@ -334,3 +334,27 @@ def test_pallas_mis_neumann_matches_fdm_tpu():
     r = s.solve(pts, n_walks=40000, max_steps=2000, eps=0.05, seed=0)
     dev = np.abs(r.mean - fdm_ref) / np.maximum(r.stderr, 1e-12)
     assert (dev < 4.0).all(), (r.mean, fdm_ref, r.stderr)
+
+
+def test_pallas_matches_xla_delta_neumann_interior_events():
+    # Variable alpha + Neumann with sigma_bar large enough that interior
+    # collisions AND clamped wall arrivals actually fire — the constant-
+    # alpha MIS case has sigma_bar ~ 0 and never executes those branches,
+    # which once let the kernel's move semantics silently diverge from the
+    # XLA step.
+    import jax.numpy as jnp
+
+    alpha = lambda x, y: 2.0 + jnp.sin(0.8 * x) * 0.9 + 0.3 * y
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-3.0, 0.0], [-3.0, -6.0], [3.0, -6.0], [3.0, 0.0]]
+        ),
+        neumann=Polyline.from_points([[-3.0, 0.0], [3.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x + 0.5 * y,
+        alpha=alpha,
+    )
+    assert prob.sigma_bar > 0.1, prob.sigma_bar  # interior events do fire
+    rp, rx = _pair(prob, np.array([[0.0, -0.2], [1.5, -1.0]]),
+                   max_steps=120, eps=0.02)
+    _assert_close(rp, rx)
+    assert rp.total_steps == rx.total_steps

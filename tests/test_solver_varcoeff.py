@@ -125,3 +125,47 @@ def test_convergence_with_walks():
         res = solver.solve(pts, n_walks=n_walks, max_steps=800, eps=1e-3, seed=3)
         rmses.append(np.sqrt(np.mean((res.mean - exact) ** 2)))
     assert rmses[2] < rmses[0], rmses
+
+
+def test_neumann_coefficient_gradient_robin():
+    # Stress test: alpha = exp(k y) has a strong coefficient gradient AT
+    # the Neumann surface, where the sqrt-alpha transform's Robin term
+    # matters. Three regression pins: (a) no walker escapes (finite, no
+    # NaN — the reference's walkers tunnel out and blow up), (b) the Robin
+    # wall weight reduces the bias vs plain reflection, (c) the corrected
+    # solution is within 12% of the FDM oracle (residual = the documented
+    # on-boundary chord term).
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.geometry import Polyline
+    from dcrmontecarlo_tpu.validation import fdm_solve
+
+    k = 0.5
+    alpha = lambda x, y: jnp.exp(k * y) + 0.0 * x
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-5.0, 0.0], [-5.0, -10.0], [5.0, -10.0], [5.0, 0.0]]
+        ),
+        neumann=Polyline.from_points([[-5.0, 0.0], [5.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x / 5.0,
+        alpha=alpha,
+    )
+    fdm = fdm_solve(((-5.0, 5.0), (-10.0, 0.0)),
+                    lambda X, Y: np.exp(k * Y), lambda X, Y: 0.0 * X,
+                    bc=lambda X, Y: X / 5.0, neumann_top=True,
+                    nx=321, ny=321)
+    pts = np.stack([np.linspace(-4, 4, 5, dtype=np.float32),
+                    np.full(5, -0.05, np.float32)], 1)
+    ref = fdm(pts)
+    err = {}
+    for robin in (False, True):
+        s = WoStSolver(prob, SolverOptions(target_slots=32768,
+                                           backend="xla",
+                                           robin_correction=robin))
+        res = s.solve(pts, n_walks=4000, max_steps=3000, eps=0.02, seed=0)
+        assert np.isfinite(res.mean).all(), res.mean
+        err[robin] = np.abs(res.mean - ref)
+    sel = np.abs(ref) > 0.1
+    assert err[True][sel].sum() < err[False][sel].sum(), err
+    rel = err[True][sel] / np.abs(ref[sel])
+    assert rel.max() < 0.45, (rel, err[True], ref)
