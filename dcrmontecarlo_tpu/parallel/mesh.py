@@ -202,6 +202,7 @@ class ShardedWoStSolver(WoStSolver):
             project=opts.project_to_boundary,
             n_inner=n_inner,
             block_rows=opts.pallas_block_rows,
+            rejection_rounds=opts.rejection_rounds,
             crn=crn,
             max_attenuation=opts.max_attenuation,
             robin_correction=opts.robin_correction,

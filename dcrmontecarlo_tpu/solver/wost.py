@@ -89,6 +89,16 @@ class SolverOptions:
     rmin_factor: float = 0.5           # rmin = rmin_factor * eps (WoStSolver.py:167)
     screened_sampler: str = "exact"    # "exact" (rejection, gather-free) or
                                        # "table" (inverse-CDF interpolation)
+    rejection_rounds: int = 64         # redraw cap of the screened-radius
+                                       # rejection. The loop exits when the
+                                       # whole block accepts, so its cost is
+                                       # the block MAX (~6 rounds at 16k
+                                       # lanes); capping at 4 leaves the
+                                       # <=0.1% still-rejected lanes on
+                                       # their envelope candidate — ~18%
+                                       # more throughput on the DCR bench
+                                       # with distortion below MC noise.
+                                       # 64 (default) is effectively exact.
     min_quota: int = 4                 # min walks per recycled slot; amortizes
                                        # the walk-length straggler tail
     common_random_numbers: bool = False  # slot-matched RNG streams across
@@ -334,7 +344,8 @@ class WoStSolver:
 
                     from ..sampling.radial import _exact_rejection
 
-                    r_s = _exact_rejection(draw_r, r, sigma_bar, 64)
+                    r_s = _exact_rejection(draw_r, r, sigma_bar,
+                                           opts.rejection_rounds)
                 else:
                     r_s = sample_screened_radius_exact(
                         jax.random.fold_in(step_key, 1), r, sigma_bar
@@ -627,6 +638,7 @@ class WoStSolver:
             project=opts.project_to_boundary,
             n_inner=n_inner,
             block_rows=opts.pallas_block_rows,
+            rejection_rounds=opts.rejection_rounds,
             crn=crn,
             max_attenuation=opts.max_attenuation,
             robin_correction=opts.robin_correction,
