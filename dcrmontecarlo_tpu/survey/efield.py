@@ -62,8 +62,7 @@ def estimate_field(
     opts = SolverOptions(**{
         **base.__dict__,
         "common_random_numbers": True,
-        "rng": "fast",
-        "backend": "xla",  # CRN requires lane-indexed streams
+        "rng": "fast",  # CRN streams work on both backends now
     })
     solver = WoStSolver(problem, opts)
     res = solver.solve(stencil, n_walks=n_walks, max_steps=max_steps,

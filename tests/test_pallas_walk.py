@@ -344,7 +344,7 @@ def test_pallas_matches_xla_delta_neumann_interior_events():
     # XLA step.
     import jax.numpy as jnp
 
-    alpha = lambda x, y: 2.0 + jnp.sin(0.8 * x) * 0.9 + 0.3 * y
+    alpha = lambda x, y: 2.0 + jnp.sin(0.8 * x) * 0.9 + 0.15 * y
     prob = Problem(
         dirichlet=Polyline.from_points(
             [[-3.0, 0.0], [-3.0, -6.0], [3.0, -6.0], [3.0, 0.0]]
@@ -353,7 +353,7 @@ def test_pallas_matches_xla_delta_neumann_interior_events():
         bc_dirichlet=lambda x, y: x + 0.5 * y,
         alpha=alpha,
     )
-    assert prob.sigma_bar > 0.1, prob.sigma_bar  # interior events do fire
+    assert 0.1 < prob.sigma_bar < 50.0, prob.sigma_bar  # interior events fire
     rp, rx = _pair(prob, np.array([[0.0, -0.2], [1.5, -1.0]]),
                    max_steps=120, eps=0.02)
     _assert_close(rp, rx)
