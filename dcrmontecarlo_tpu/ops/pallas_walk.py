@@ -474,6 +474,8 @@ def make_pallas_walk(
         main_streams += [4]
     if use_mis:
         main_streams += [5, 6, 7, 8]
+    if use_robin:
+        main_streams += [9, 10]  # chord branch decision + chord offset
 
     def kernel(*refs):
         seed_ref = refs[0]
@@ -723,6 +725,7 @@ def make_pallas_walk(
                     1.0 - sp_s / sigma_bar_f, 0.0
                 )
                 scale_edge = jnp.sqrt(a_h / a_p)
+                atten_pre = atten  # chord-branch lanes skip the move scale
                 if use_robin:
                     # experimental Robin wall weight (see
                     # screened_greens_wall_ratio and solver/wost.py)
@@ -742,11 +745,44 @@ def make_pallas_walk(
                     atten * jnp.where(collide, scale_int, scale_edge),
                     atten,
                 )
-                if max_attenuation is not None:
-                    atten = jnp.minimum(atten, float(max_attenuation))
                 newx = jnp.where(collide, sx, hx)
                 newy = jnp.where(collide, sy, hy)
                 new_ob = hit & ~collide
+                if use_robin:
+                    # on-boundary chord continuation, mirroring
+                    # solver/wost.py (same streams 9/10, same sampler)
+                    glx0 = grad_log_alpha_x(px, py)
+                    gly0 = grad_log_alpha_y(px, py)
+                    gamma0 = -0.5 * (nxv * glx0 + nyv * gly0)
+                    q_scr = jnp.sqrt(jnp.float32(sigma_bar_f))
+                    q_c = jnp.where(
+                        ob, jnp.minimum(0.5, jnp.abs(gamma0) / q_scr), 0.0)
+                    branch = stepping & (u[9] < q_c) & (q_c > 1e-6)
+                    side = jnp.where(u[10] < 0.5, -1.0, 1.0)
+                    v = jnp.abs(2.0 * u[10] - 1.0)
+                    zeta_a = -jnp.log(
+                        jnp.maximum(1.0 - v * (1.0 - jnp.exp(-q_scr * r)),
+                                    1e-12)) / q_scr
+                    zeta = side * jnp.minimum(zeta_a, r)
+                    pdf = q_scr * jnp.exp(-q_scr * jnp.abs(zeta)) / (
+                        2.0 * jnp.maximum(1.0 - jnp.exp(-q_scr * r), 1e-12))
+                    g_ch = jnp.maximum(
+                        screened_greens_2d(jnp.abs(zeta), r, sigma_bar_f),
+                        0.0)
+                    w_ch = 2.0 * gamma0 * g_ch / jnp.maximum(pdf, 1e-30)
+                    zx = px + zeta * (-nyv)
+                    zy = py + zeta * nxv
+                    newx = jnp.where(branch, zx, newx)
+                    newy = jnp.where(branch, zy, newy)
+                    new_ob = new_ob | branch
+                    atten = jnp.where(
+                        branch,
+                        atten_pre * w_ch / jnp.maximum(q_c, 1e-6),
+                        atten * jnp.where(
+                            stepping & ob & (q_c > 1e-6),
+                            1.0 / (1.0 - q_c), 1.0))
+                if max_attenuation is not None:
+                    atten = jnp.minimum(atten, float(max_attenuation))
             else:
                 newx, newy = hx, hy
                 new_ob = hit
@@ -757,6 +793,8 @@ def make_pallas_walk(
             # selects through an unsupported i8->i1 truncation
             ob = (stepping & new_ob) | (~stepping & ob)
             upd_n = stepping & hit
+            if use_robin:
+                upd_n = upd_n & ~branch  # chord stays on its own wall
             nxv = jnp.where(upd_n, hnx, nxv)
             nyv = jnp.where(upd_n, hny, nyv)
             steps = steps + stepping.astype(jnp.int32)

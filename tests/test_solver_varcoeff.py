@@ -128,17 +128,20 @@ def test_convergence_with_walks():
 
 
 def test_neumann_coefficient_gradient_robin():
-    # Stress test: alpha = exp(k y) has a strong coefficient gradient AT
-    # the Neumann surface, where the sqrt-alpha transform's Robin term
-    # matters. Three regression pins: (a) no walker escapes (finite, no
-    # NaN — the reference's walkers tunnel out and blow up), (b) the Robin
-    # wall weight reduces the bias vs plain reflection, (c) the corrected
-    # solution is within 12% of the FDM oracle (residual = the documented
-    # on-boundary chord term).
+    # alpha = exp(k y) has a strong coefficient gradient AT the Neumann
+    # surface, where the sqrt-alpha transform turns zero-flux u into a
+    # Robin condition for u~. The exact solution is u = x / 5 (separable:
+    # (alpha v')' = 0 with v'(0) = 0 forces v = const). Gates:
+    # (a) walks stay finite (the reference's walkers tunnel out and blow
+    #     up on this field),
+    # (b) the FULL Robin correction (wall-arrival weight + on-boundary
+    #     chord branch, robin_correction=True) is UNBIASED: 4-sigma
+    #     agreement with the analytic solution,
+    # (c) plain reflection (default) has the documented bias, which the
+    #     correction removes.
     import jax.numpy as jnp
 
     from dcrmontecarlo_tpu.geometry import Polyline
-    from dcrmontecarlo_tpu.validation import fdm_solve
 
     k = 0.5
     alpha = lambda x, y: jnp.exp(k * y) + 0.0 * x
@@ -150,22 +153,21 @@ def test_neumann_coefficient_gradient_robin():
         bc_dirichlet=lambda x, y: x / 5.0,
         alpha=alpha,
     )
-    fdm = fdm_solve(((-5.0, 5.0), (-10.0, 0.0)),
-                    lambda X, Y: np.exp(k * Y), lambda X, Y: 0.0 * X,
-                    bc=lambda X, Y: X / 5.0, neumann_top=True,
-                    nx=321, ny=321)
     pts = np.stack([np.linspace(-4, 4, 5, dtype=np.float32),
                     np.full(5, -0.05, np.float32)], 1)
-    ref = fdm(pts)
-    err = {}
+    exact = pts[:, 0] / 5.0
+    res = {}
     for robin in (False, True):
-        s = WoStSolver(prob, SolverOptions(target_slots=32768,
+        s = WoStSolver(prob, SolverOptions(target_slots=65536,
                                            backend="xla",
                                            robin_correction=robin))
-        res = s.solve(pts, n_walks=4000, max_steps=3000, eps=0.02, seed=0)
-        assert np.isfinite(res.mean).all(), res.mean
-        err[robin] = np.abs(res.mean - ref)
-    sel = np.abs(ref) > 0.1
-    assert err[True][sel].sum() < err[False][sel].sum(), err
-    rel = err[True][sel] / np.abs(ref[sel])
-    assert rel.max() < 0.45, (rel, err[True], ref)
+        res[robin] = s.solve(pts, n_walks=12000, max_steps=4000, eps=0.02,
+                             seed=1)
+        assert np.isfinite(res[robin].mean).all(), res[robin].mean
+    r = res[True]
+    dev = np.abs(r.mean - exact) / np.maximum(r.stderr, 1e-12)
+    assert (dev < 4.0).all(), (r.mean, exact, r.stderr, dev)
+    sel = np.abs(exact) > 0.1
+    err_plain = np.abs(res[False].mean - exact)[sel].sum()
+    err_robin = np.abs(r.mean - exact)[sel].sum()
+    assert err_robin < err_plain, (err_robin, err_plain)
