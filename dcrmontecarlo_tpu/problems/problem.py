@@ -124,6 +124,22 @@ class Problem:
 
             self.sigma_prime = sigma_prime
 
+            # a conductivity that dips <= 0 silently clamps at 1e-8 and
+            # sends |grad ln alpha| (hence sigma') to ~1e5-1e16: almost
+            # always a field-definition bug, so say so
+            a_mn, a_mx, _, _ = grid_min_max(
+                alpha_c, bounds, self.sigma_bar_resolution
+            )
+            if a_mn <= 2.0 * _ALPHA_EPS:
+                import warnings
+
+                warnings.warn(
+                    f"alpha reaches {a_mn:.3g} (<= 0 before clamping) on "
+                    "the domain; the sqrt-alpha transform needs a strictly "
+                    "positive coefficient — expect exploding sigma' and "
+                    "meaningless walks. Check the field definition."
+                )
+
             if self.sigma_bar_override is not None:
                 self.sigma_bar = float(self.sigma_bar_override)
             else:

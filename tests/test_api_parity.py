@@ -104,3 +104,19 @@ def test_setters_invalidate_compiled_solve():
     prob.set_source_term(lambda x, y: -4.0 + 0.0 * x)
     r2 = s.solve(pts, n_walks=2000, max_steps=200, eps=1e-3, seed=0)
     assert abs(float(r2.mean[0]) - 0.0) < 4 * float(r2.stderr[0]) + 0.02
+
+
+def test_nonpositive_alpha_warns():
+    import warnings
+
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu import Problem, square_loop
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Problem(dirichlet=square_loop(2.0),
+                alpha=lambda x, y: 0.5 + x)  # dips below 0 on the domain
+    assert any("strictly" in str(x.message) for x in w), [
+        str(x.message) for x in w
+    ]
