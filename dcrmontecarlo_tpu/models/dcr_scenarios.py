@@ -93,11 +93,16 @@ def notebook_survey(sharpness: float = 0.1) -> Tuple[DCRSurvey, np.ndarray]:
         ],
         sharpness=sharpness,
     )
+    # The notebook places the current dipole at y = 0, 1 m under its
+    # Neumann surface at y = 1 — well within the 5 m Gaussian width, so a
+    # large fraction of the regularized current would fall outside the
+    # domain. Place it pre-buried at 2 widths (the relocation
+    # DCRSurvey._bury_source would apply anyway, made explicit here).
     survey = DCRSurvey(
         half_width=500.0,
         depth=1001.0,
-        current_a=(-200.0, 0.0),
-        current_b=(200.0, 0.0),
+        current_a=(-200.0, -9.0),
+        current_b=(200.0, -9.0),
         conductivity=conductivity,
         current=1.0,
         source_width=5.0,

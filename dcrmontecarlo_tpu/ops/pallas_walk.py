@@ -373,7 +373,7 @@ def make_pallas_walk(
     rejection_rounds: int = 64,
     crn=None,
     max_attenuation=None,
-    robin_correction: bool = True,
+    robin_correction: bool = False,
 ):
     """Build the fused multi-step kernel.
 
@@ -782,7 +782,9 @@ def make_pallas_walk(
                             stepping & ob & (q_c > 1e-6),
                             1.0 / (1.0 - q_c), 1.0))
                 if max_attenuation is not None:
-                    atten = jnp.minimum(atten, float(max_attenuation))
+                    # symmetric: chord weights can be negative
+                    atten = jnp.clip(atten, -float(max_attenuation),
+                                     float(max_attenuation))
             else:
                 newx, newy = hx, hy
                 new_ob = hit

@@ -124,25 +124,27 @@ class Problem:
 
             self.sigma_prime = sigma_prime
 
-            # a conductivity that dips <= 0 silently clamps at 1e-8 and
-            # sends |grad ln alpha| (hence sigma') to ~1e5-1e16: almost
-            # always a field-definition bug, so say so
-            a_mn, a_mx, _, _ = grid_min_max(
-                alpha_c, bounds, self.sigma_bar_resolution
-            )
-            if a_mn <= 2.0 * _ALPHA_EPS:
-                import warnings
-
-                warnings.warn(
-                    f"alpha reaches {a_mn:.3g} (<= 0 before clamping) on "
-                    "the domain; the sqrt-alpha transform needs a strictly "
-                    "positive coefficient — expect exploding sigma' and "
-                    "meaningless walks. Check the field definition."
-                )
-
             if self.sigma_bar_override is not None:
+                # the override's purpose is skipping grid scans entirely
                 self.sigma_bar = float(self.sigma_bar_override)
             else:
+                # a conductivity that dips <= 0 silently clamps at 1e-8 and
+                # sends |grad ln alpha| (hence sigma') to ~1e5-1e16: almost
+                # always a field-definition bug, so say so
+                a_mn, _, _, _ = grid_min_max(
+                    alpha_c, bounds, self.sigma_bar_resolution
+                )
+                if a_mn <= 2.0 * _ALPHA_EPS:
+                    import warnings
+
+                    warnings.warn(
+                        f"alpha reaches {a_mn:.3g} (<= 0 before clamping) "
+                        "on the domain; the sqrt-alpha transform needs a "
+                        "strictly positive coefficient — expect exploding "
+                        "sigma' and meaningless walks. Check the field "
+                        "definition."
+                    )
+
                 # Screening majorant from a grid scan of sigma'.
                 # Deliberate fix of the reference policy (WoStSolver.py:
                 # 129-136, sigma_bar = max - min with a 10.0 fallback when

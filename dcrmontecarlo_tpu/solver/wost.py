@@ -241,9 +241,7 @@ class WoStSolver:
 
         n_u = 8 if use_mis else 4
         if use_robin:
-            # two extra streams for the on-boundary chord branch
-            n_u_robin = n_u
-            n_u = 10
+            n_u = 10  # two extra streams for the on-boundary chord branch
 
         def _lane_ids(W):
             # RNG stream id per lane: under CRN, slot j of every point maps
@@ -485,9 +483,6 @@ class WoStSolver:
                     atten * jnp.where(collide, scale_int, scale_edge),
                     atten,
                 )
-                if opts.max_attenuation is not None:
-                    atten = jnp.minimum(atten,
-                                        jnp.float32(opts.max_attenuation))
                 newx = jnp.where(collide, sx, hx)
                 newy = jnp.where(collide, sy, hy)
                 new_on_bdry = hit & ~collide
@@ -535,6 +530,12 @@ class WoStSolver:
                         atten * jnp.where(
                             stepping & on_bdry & (q_c > 1e-6),
                             1.0 / (1.0 - q_c), 1.0))
+                # cap AFTER the chord rewrite (matching the Pallas kernel)
+                # so it actually bounds the signed chord weights; symmetric
+                # clip because chord weights can be negative
+                if opts.max_attenuation is not None:
+                    cap = jnp.float32(opts.max_attenuation)
+                    atten = jnp.clip(atten, -cap, cap)
             else:
                 newx, newy = hx, hy
                 new_on_bdry = hit

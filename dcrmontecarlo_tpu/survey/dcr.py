@@ -176,15 +176,28 @@ class DCRSurvey:
                               # both the XLA and Pallas backends)
 
     def _bury_source(self, pos) -> tuple:
-        """Sink an on-surface current electrode ~2 Gaussian widths below the
-        Neumann surface. Centered exactly on the insulating surface, half
-        the regularized source's mass (current) falls outside the domain,
-        halving the injected current and biasing apparent resistivities ~2x
-        low; a shallow buried source is image-equivalent to a surface source
-        at electrode-spacing scales."""
+        """Sink a current electrode whose Gaussian overlaps the Neumann
+        surface to ~2 widths below it. A regularized source centered on
+        (or within ~2 sigma of) the insulating surface loses part of its
+        mass — its injected current — outside the domain, biasing apparent
+        resistivities low (2x for an exactly-on-surface source); a shallow
+        buried source is image-equivalent to a surface source at
+        electrode-spacing scales. Sources that were deliberately placed
+        below the surface but still overlap it are relocated too — with a
+        warning, since that changes the requested geometry."""
         x, y = float(pos[0]), float(pos[1])
         depth = max(self.electrode_nudge, 2.0 * self.source_width)
         if abs(y - self.surface_y) < depth:
+            if abs(y - self.surface_y) > self.electrode_nudge:
+                import warnings
+
+                warnings.warn(
+                    f"current electrode at y={y:g} is within 2 source "
+                    f"widths of the surface y={self.surface_y:g}; burying "
+                    f"it to y={self.surface_y - depth:g} so the full "
+                    "current enters the half-space. Reduce source_width "
+                    "to keep a deliberately shallow source in place."
+                )
             y = self.surface_y - depth
         return (x, y)
 
@@ -331,16 +344,10 @@ def run_pseudosection(
     electrodes = np.asarray(electrodes, np.float32)
     n_elec = len(electrodes)
     sources, receivers = dipole_dipole_pairs(n_elec, num_rx_per_src)
-    # Current sources are regularized Gaussians; centered exactly on the
-    # insulating surface half their mass (current) falls outside the
-    # domain, halving the injected current and breaking the geometric
-    # factor. Bury them ~2 widths below the surface so the full current
-    # enters the half-space (images make a shallow buried source
-    # equivalent to a surface source at electrode-spacing scales).
-    depth = max(survey.electrode_nudge, 2.0 * survey.source_width)
-    src_pos = electrodes.copy()
-    on_surface = np.abs(src_pos[:, 1] - survey.surface_y) < depth
-    src_pos[on_surface, 1] = survey.surface_y - depth
+    # bury surface-overlapping current electrodes (see _bury_source)
+    src_pos = np.asarray(
+        [survey._bury_source(p) for p in electrodes], np.float32
+    )
     source_fields = [
         gaussian_dipole(src_pos[a], src_pos[b], survey.current,
                         survey.source_width)

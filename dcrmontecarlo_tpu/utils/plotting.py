@@ -162,10 +162,17 @@ def plot_voltage_profile(result, survey=None, conductivity=None,
     cond = conductivity
     if cond is None and survey is not None:
         cond = survey.conductivity
+    if bounds is None and survey is not None:
+        bounds = ((-survey.half_width, survey.half_width),
+                  (survey.surface_y - survey.depth, survey.surface_y))
+    if cond is not None and bounds is None:
+        # a conductivity override without survey/bounds has no extent to
+        # draw; fall back to the electrode line's bounding box
+        x = np.asarray(result.electrodes)
+        span = max(1.0, x[:, 0].ptp())
+        bounds = ((x[:, 0].min() - 0.1 * span, x[:, 0].max() + 0.1 * span),
+                  (x[:, 1].min() - span, x[:, 1].max() + 0.1 * span))
     if cond is not None:
-        if bounds is None and survey is not None:
-            bounds = ((-survey.half_width, survey.half_width),
-                      (survey.surface_y - survey.depth, survey.surface_y))
         (x0, x1), (y0, y1) = bounds
         import jax
 
