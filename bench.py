@@ -31,6 +31,8 @@ def accuracy_preset():
     from dcrmontecarlo_tpu.models import notebook_survey
     from dcrmontecarlo_tpu.solver import SolverOptions
 
+    from dcrmontecarlo_tpu.solver import WoStSolver
+
     n_rep = 8
     results = {}
     for label, mis, crn in (("plain", False, False),
@@ -38,16 +40,21 @@ def accuracy_preset():
         survey, electrodes = notebook_survey()
         survey.source_mis = mis
         opts = SolverOptions(target_slots=1 << 17,
-                             common_random_numbers=crn)
-        # warm/compile with the measured shape
-        survey.run(electrodes, n_walks=4096, max_steps=6000, eps=1.0,
-                   seed=999, options=opts)
+                             common_random_numbers=crn,
+                             compaction=True)
+        # ONE solver per config: rebuilding it per rep (as survey.run does)
+        # would re-trace and re-compile every solve
+        problem = survey.build_problem()
+        solver = WoStSolver(problem, opts)
+        pts = np.asarray(electrodes, np.float32).copy()
+        pts[:, 1] = survey.surface_y - survey.electrode_nudge
+        solver.solve(pts, n_walks=4096, max_steps=6000, eps=1.0, seed=999)
         dvs = []
         t0 = time.perf_counter()
         for seed in range(n_rep):
-            res = survey.run(electrodes, n_walks=4096, max_steps=6000,
-                             eps=1.0, seed=seed, options=opts)
-            dvs.append(res.voltages)
+            res = solver.solve(pts, n_walks=4096, max_steps=6000, eps=1.0,
+                               seed=seed)
+            dvs.append(np.asarray(res.mean[:-1] - res.mean[1:]))
         dt = (time.perf_counter() - t0) / n_rep
         sig = float(np.median(np.std(np.stack(dvs), axis=0)))
         results[label] = sig * np.sqrt(dt)

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_pallas_walk", "pallas_supported", "MAX_UNROLL_SEGMENTS"]
+__all__ = ["make_pallas_walk", "pallas_supported", "stream_ids",
+           "MAX_UNROLL_SEGMENTS"]
 
 MAX_UNROLL_SEGMENTS = 96   # static register unroll above this -> SMEM loop
 MAX_SMEM_SEGMENTS = 8192   # SMEM geometry table budget
@@ -352,6 +353,20 @@ def _vert_table(poly):
     )
 
 
+def stream_ids(rows: int, crn=None):
+    """Per-lane RNG stream ids for a ``(rows, 128)`` state block,
+    mirroring the XLA path's ``_lane_ids``: the lane index itself, or the
+    slot-matched CRN mapping ``(mode, period, reps)``."""
+    ids = np.arange(rows * _LANES, dtype=np.uint32)
+    if crn is not None:
+        mode, period, reps = crn
+        if mode == "tile":      # point-major layout: lane = p*K + j
+            ids = ids % np.uint32(period)
+        else:                   # slot-major: lane = j*P + p
+            ids = ids // np.uint32(reps)
+    return jnp.asarray(ids.astype(np.int32).reshape(rows, _LANES))
+
+
 class PallasWalkPlan(NamedTuple):
     run: callable      # (state_dict, seed) -> new state; ``seed`` is the
                        # int32 bit pattern of the XLA-path stream seed and
@@ -371,7 +386,6 @@ def make_pallas_walk(
     n_inner: int = 256,
     block_rows: int = 128,
     rejection_rounds: int = 64,
-    crn=None,
     max_attenuation=None,
     robin_correction: bool = False,
 ):
@@ -386,11 +400,11 @@ def make_pallas_walk(
     hash stream ``i + 1`` keyed on the per-lane counter
     ``n_done * (max_steps + 2) + steps``, and the screened-radius rejection
     uses the same round-seeded streams through the shared
-    ``sampling.radial._exact_rejection``. Consequences: kernel walks are
-    reproducible regardless of how steps are partitioned into launches, and
-    ``crn`` — the same ``(mode, period, reps)`` stream layout as the XLA
-    path — enables common random numbers on the fast path (stream id =
-    slot id instead of lane id).
+    ``sampling.radial._exact_rejection``. Stream ids are supplied by the
+    caller in ``state['sid']`` (see :func:`stream_ids`): kernel walks are
+    reproducible regardless of how steps are partitioned into launches or
+    how lanes are permuted by compaction, and CRN layouts work on the fast
+    path (stream id = slot id instead of lane id).
     """
     from ..sampling.radial import _exact_rejection, sample_greens_radius
     from .greens import (
@@ -835,22 +849,12 @@ def make_pallas_walk(
     f32 = jnp.float32
     i32 = jnp.int32
 
-    def _stream_ids(rows):
-        """Per-lane RNG stream ids, mirroring the XLA path's _lane_ids:
-        the lane index itself, or the slot-matched CRN mapping."""
-        ids = np.arange(rows * _LANES, dtype=np.uint32)
-        if crn is not None:
-            mode, period, reps = crn
-            if mode == "tile":      # point-major layout: lane = p*K + j
-                ids = ids % np.uint32(period)
-            else:                   # slot-major: lane = j*P + p
-                ids = ids // np.uint32(reps)
-        return jnp.asarray(ids.astype(np.int32).reshape(rows, _LANES))
-
     def launch(state, seed):
         """Advance all walkers by ``n_inner`` steps.
 
-        state: dict with keys p0x,p0y (f32), px,py,nx,ny,atten,acc,asum,asq
+        state: dict with keys p0x,p0y (f32), sid (i32 RNG stream ids —
+        carried IN the state so walker compaction can permute lanes
+        without changing their walks), px,py,nx,ny,atten,acc,asum,asq
         (f32), quota,steps,ndone,ob (i32) — all (rows, 128). ``seed`` is
         the int32-bit-pattern stream seed, constant across launches.
         """
@@ -892,7 +896,7 @@ def make_pallas_walk(
         )(
             jnp.asarray(jnp.reshape(seed, (1,)), i32),
             *geom_inputs,
-            state["p0x"], state["p0y"], _stream_ids(rows),
+            state["p0x"], state["p0y"], state["sid"],
             *[state[k] for k in order],
         )
         new_state = dict(state)

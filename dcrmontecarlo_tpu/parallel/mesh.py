@@ -171,7 +171,7 @@ class ShardedWoStSolver(WoStSolver):
         the multi-step kernel on its walker shard independently; one psum
         combines per-point sums at the end (same collective pattern as the
         XLA sharded path)."""
-        from ..ops.pallas_walk import make_pallas_walk
+        from ..ops.pallas_walk import make_pallas_walk, stream_ids
 
         opts = self.options
         pb = self.problem
@@ -203,10 +203,10 @@ class ShardedWoStSolver(WoStSolver):
             n_inner=n_inner,
             block_rows=opts.pallas_block_rows,
             rejection_rounds=opts.rejection_rounds,
-            crn=crn,
             max_attenuation=opts.max_attenuation,
             robin_correction=opts.robin_correction,
         )
+        sid_local = stream_ids(rows_local, crn)
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
         n_src_p = max(1, len(pb.source_fields))
@@ -252,7 +252,7 @@ class ShardedWoStSolver(WoStSolver):
             f0 = pv(jnp.zeros((rows_local, 128), jnp.float32))
             i0_ = pv(jnp.zeros((rows_local, 128), jnp.int32))
             state = {
-                "p0x": p0x, "p0y": p0y,
+                "p0x": p0x, "p0y": p0y, "sid": sid_local,
                 "px": p0x, "py": p0y,
                 "nx": f0, "ny": f0,
                 "atten": f0 + 1.0,

@@ -153,6 +153,16 @@ class SolverOptions:
                                        # geometry is statically unrollable
     pallas_inner_steps: int = 256      # walk steps per pallas launch
     pallas_block_rows: int = 128       # walker rows (x128 lanes) per block
+    compaction: bool = False           # host-driven launch loop that
+                                       # periodically permutes still-active
+                                       # walker lanes into a smaller grid.
+                                       # Straggler-bound workloads (heavy-
+                                       # tailed walk lengths, e.g. the
+                                       # 1000 m notebook survey at ~15%
+                                       # occupancy) speed up severalfold;
+                                       # saturated workloads are unchanged.
+                                       # The returned solve fn is a python
+                                       # driver (not end-to-end jittable).
 
 
 class SolveResult(NamedTuple):
@@ -670,16 +680,25 @@ class WoStSolver:
     ):
         """Fused-kernel solve: outer launch loop around the multi-step
         Pallas kernel (``ops/pallas_walk.py``), which advances every walker
-        ``pallas_inner_steps`` per launch with state resident in VMEM."""
-        from ..ops.pallas_walk import make_pallas_walk
+        ``pallas_inner_steps`` per launch with state resident in VMEM.
+
+        With ``SolverOptions.compaction`` the launch loop runs on the host
+        and periodically PERMUTES still-active walker lanes into a smaller
+        grid (stream ids ride in the state, so a lane's walk is unchanged
+        by where it lives): straggler-tail phases that would otherwise run
+        the full grid at a few percent occupancy shrink with the active
+        population. Off, the whole loop is one jitted ``lax.while_loop``.
+        """
+        from ..ops.pallas_walk import make_pallas_walk, stream_ids
 
         opts = self.options
         pb = self.problem
         K, quota_row = self._slot_layout(n_points, n_walks)
-        lane_block = opts.pallas_block_rows * 128
+        block_rows = opts.pallas_block_rows
+        lane_block = block_rows * 128
         W = n_points * K
-        rows = max(opts.pallas_block_rows,
-                   ((W + lane_block - 1) // lane_block) * opts.pallas_block_rows)
+        rows = max(block_rows,
+                   ((W + lane_block - 1) // lane_block) * block_rows)
         W_pad = rows * 128
         n_inner = opts.pallas_inner_steps
         # same point-major CRN stream layout as the XLA path
@@ -692,9 +711,8 @@ class WoStSolver:
             rmin=opts.rmin_factor * eps,
             project=opts.project_to_boundary,
             n_inner=n_inner,
-            block_rows=opts.pallas_block_rows,
+            block_rows=block_rows,
             rejection_rounds=opts.rejection_rounds,
-            crn=crn,
             max_attenuation=opts.max_attenuation,
             robin_correction=opts.robin_correction,
         )
@@ -710,8 +728,9 @@ class WoStSolver:
         point_id[W:] = 0  # padded slots have quota 0: contribute nothing
         quotas_j = jnp.asarray(quotas).reshape(rows, 128)
         point_id_j = jnp.asarray(point_id)
+        sid0 = stream_ids(rows, crn)
 
-        def run(points, key):
+        def init_state(points, key):
             p0x = jnp.concatenate(
                 [jnp.repeat(points[:, 0], K),
                  jnp.zeros((W_pad - W,), jnp.float32)]
@@ -723,7 +742,7 @@ class WoStSolver:
             f0 = jnp.zeros((rows, 128), jnp.float32)
             i0_ = jnp.zeros((rows, 128), jnp.int32)
             state = {
-                "p0x": p0x, "p0y": p0y,
+                "p0x": p0x, "p0y": p0y, "sid": sid0,
                 "px": p0x, "py": p0y,
                 "nx": f0, "ny": f0,
                 "atten": f0 + 1.0,
@@ -737,45 +756,126 @@ class WoStSolver:
             # the stream seed is derived exactly like the XLA fast path's
             # and stays FIXED across launches — per-lane (walk#, step#)
             # counters advance the randomness, making walks independent of
-            # the launch partitioning
+            # the launch partitioning and of lane permutations
             kd = jnp.asarray(key, jnp.uint32).reshape(-1)
             seed_i = jax.lax.bitcast_convert_type(
                 kd[0] ^ mix32(kd[-1]), jnp.int32
             )
+            return state, seed_i
 
-            def cond(c):
-                state, launches = c
-                return (launches < launch_cap) & jnp.any(state["quota"] > 0)
-
-            def body(c):
-                state, launches = c
-                new_state = plan.run(state, seed_i)
-                return new_state, launches + 1
-
-            state, launches = jax.lax.while_loop(
-                cond, body, (state, jnp.int32(0))
-            )
-            total_steps = jnp.sum(state["life"].astype(jnp.float32))
+        def _moments(state, pid):
             sums = jnp.stack([
                 jax.ops.segment_sum(
-                    state[f"asum{i}"].reshape(-1), point_id_j,
+                    state[f"asum{i}"].reshape(-1), pid,
                     num_segments=n_points,
                 )
                 for i in range(n_src)
             ])
             sumsq = jnp.stack([
                 jax.ops.segment_sum(
-                    state[f"asq{i}"].reshape(-1), point_id_j,
+                    state[f"asq{i}"].reshape(-1), pid,
                     num_segments=n_points,
                 )
                 for i in range(n_src)
             ])
-            mean = sums / n_walks
-            var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
-            stderr = jnp.sqrt(var / n_walks)
-            return mean, stderr, sums, sumsq, total_steps, launches * n_inner
+            return sums, sumsq, jnp.sum(state["life"].astype(jnp.float32))
 
-        return jax.jit(run)
+        if not opts.compaction:
+            def run(points, key):
+                state, seed_i = init_state(points, key)
+
+                def cond(c):
+                    st, launches = c
+                    return (launches < launch_cap) & jnp.any(st["quota"] > 0)
+
+                def body(c):
+                    st, launches = c
+                    return plan.run(st, seed_i), launches + 1
+
+                state, launches = jax.lax.while_loop(
+                    cond, body, (state, jnp.int32(0))
+                )
+                sums, sumsq, total_steps = _moments(state, point_id_j)
+                mean = sums / n_walks
+                var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
+                stderr = jnp.sqrt(var / n_walks)
+                return (mean, stderr, sums, sumsq, total_steps,
+                        launches * n_inner)
+
+            return jax.jit(run)
+
+        # ---- host-driven launch loop with walker compaction ---- #
+        init_j = jax.jit(init_state)
+        launch_j = jax.jit(plan.run)
+        count_j = jax.jit(lambda st: (st["quota"] > 0).sum())
+        moments_j = jax.jit(_moments)
+
+        @functools.lru_cache(maxsize=None)
+        def compact_j(rows_out: int):
+            def compact(state, pid):
+                flat = {k: v.reshape(-1) for k, v in state.items()}
+                inactive = (flat["quota"] <= 0).astype(jnp.int32)
+                perm = jnp.argsort(inactive, stable=True)  # active first
+                keep = perm[: rows_out * 128]
+                drop = perm[rows_out * 128:]
+                kept = {k: v[keep].reshape(rows_out, 128)
+                        for k, v in flat.items()}
+                pid_kept = pid[keep]
+                # dropped lanes are all inactive, but their accumulators
+                # hold finished-walk statistics — bank them
+                drop_pid = pid[drop]
+                dsum = jnp.stack([
+                    jax.ops.segment_sum(flat[f"asum{i}"][drop], drop_pid,
+                                        num_segments=n_points)
+                    for i in range(n_src)
+                ])
+                dsq = jnp.stack([
+                    jax.ops.segment_sum(flat[f"asq{i}"][drop], drop_pid,
+                                        num_segments=n_points)
+                    for i in range(n_src)
+                ])
+                dlife = jnp.sum(flat["life"][drop].astype(jnp.float32))
+                return kept, pid_kept, dsum, dsq, dlife
+
+            return jax.jit(compact)
+
+        def run(points, key):
+            state, seed_i = init_j(points, key)
+            pid = point_id_j
+            carry_sum = jnp.zeros((n_src, n_points), jnp.float32)
+            carry_sq = jnp.zeros((n_src, n_points), jnp.float32)
+            carry_life = 0.0
+            cur_rows = rows
+            launches = 0
+            while launches < launch_cap:
+                state = launch_j(state, seed_i)
+                launches += 1
+                active = int(count_j(state))
+                if active == 0:
+                    break
+                target = max(
+                    block_rows,
+                    -(-active // lane_block) * block_rows,  # ceil division
+                )
+                if target <= cur_rows // 2:
+                    state, pid, dsum, dsq, dlife = compact_j(target)(
+                        state, pid
+                    )
+                    carry_sum = carry_sum + dsum
+                    carry_sq = carry_sq + dsq
+                    carry_life = carry_life + float(dlife)
+                    cur_rows = target
+            sums, sumsq, life = moments_j(state, pid)
+            sums = np.asarray(sums) + np.asarray(carry_sum)
+            sumsq = np.asarray(sumsq) + np.asarray(carry_sq)
+            total_steps = float(life) + carry_life
+            mean = sums / n_walks
+            var = np.maximum(sumsq / n_walks - mean * mean, 0.0)
+            stderr = np.sqrt(var / n_walks)
+            return (mean, stderr, sums, sumsq, total_steps,
+                    launches * n_inner)
+
+        return run
 
     def solve(
         self,

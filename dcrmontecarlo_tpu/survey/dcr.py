@@ -230,7 +230,8 @@ class DCRSurvey:
         max_steps: int = 500,
         eps: float = 0.9,
         seed: int = 0,
-        options: SolverOptions = SolverOptions(common_random_numbers=True),
+        options: SolverOptions = SolverOptions(
+        common_random_numbers=True, compaction=True),
     ) -> SurveyResult:
         """Solve the survey at ``electrodes``.
 
@@ -328,7 +329,8 @@ def run_pseudosection(
     max_steps: int = 500,
     eps: float = 0.9,
     seed: int = 0,
-    options: SolverOptions = SolverOptions(common_random_numbers=True),
+    options: SolverOptions = SolverOptions(
+    common_random_numbers=True, compaction=True),
 ) -> Pseudosection:
     """Full dipole-dipole sweep from ONE walker ensemble.
 

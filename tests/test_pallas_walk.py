@@ -380,3 +380,26 @@ def test_pallas_matches_xla_robin_chord():
                    max_steps=120, eps=0.02, opts=opts)
     _assert_close(rp, rx, rel=1e-3)
     assert rp.total_steps == rx.total_steps
+
+
+def test_compaction_matches_uncompacted():
+    # Walker compaction permutes active lanes into smaller grids between
+    # launches; stream ids ride in the state, so each walk is identical —
+    # results match the jitted while-loop path up to summation order.
+    from jax.experimental.pallas import tpu as pltpu
+
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x + 2 * y)
+    pts = np.array([[0.0, 0.0], [0.5, 0.3]], np.float32)
+    res = {}
+    for comp in (False, True):
+        s = WoStSolver(prob, SolverOptions(
+            target_slots=2048, backend="pallas", pallas_inner_steps=8,
+            pallas_block_rows=8, compaction=comp))
+        with pltpu.force_tpu_interpret_mode():
+            res[comp] = s.solve(pts, n_walks=512, max_steps=100, eps=1e-3,
+                                seed=3)
+    a, b = res[False], res[True]
+    assert a.total_steps == b.total_steps
+    np.testing.assert_allclose(a.walk_sum, b.walk_sum, rtol=1e-5)
+    np.testing.assert_allclose(a.walk_sumsq, b.walk_sumsq, rtol=1e-5)
