@@ -201,6 +201,20 @@ class DCRSurvey:
             y = self.surface_y - depth
         return (x, y)
 
+    def make_solver(
+        self,
+        options: SolverOptions = SolverOptions(
+            common_random_numbers=True, compaction=True),
+    ) -> WoStSolver:
+        """Build a reusable solver for this survey.
+
+        ``run()`` constructs a fresh Problem + solver per call, which
+        re-traces and re-compiles the walk; loops over seeds or repeated
+        surveys should build ONE solver here and pass it to
+        ``run(..., solver=...)`` (compiled solves are cached per shape).
+        """
+        return WoStSolver(self.build_problem(), options)
+
     def build_problem(self) -> Problem:
         dirichlet, neumann = halfspace_domain(
             self.half_width, self.depth, self.surface_y
@@ -232,6 +246,7 @@ class DCRSurvey:
         seed: int = 0,
         options: SolverOptions = SolverOptions(
         common_random_numbers=True, compaction=True),
+        solver: WoStSolver = None,
     ) -> SurveyResult:
         """Solve the survey at ``electrodes``.
 
@@ -240,8 +255,8 @@ class DCRSurvey:
         of the shared MC noise between adjacent electrodes (works on both
         the XLA and Pallas backends). Pass explicit ``options`` to opt out.
         """
-        problem = self.build_problem()
-        solver = WoStSolver(problem, options)
+        if solver is None:
+            solver = WoStSolver(self.build_problem(), options)
         # Electrodes sitting exactly on the Neumann surface start their
         # first step with a uniform (not hemisphere) direction and can leak
         # out of the half-space; nudge them just inside, as the reference

@@ -228,3 +228,27 @@ def test_build_problem_buries_surface_sources():
     assert float(prob2.source(-10.0, -5.0)) > 50.0 * abs(
         float(prob2.source(-10.0, -1.0))
     )
+
+
+def test_survey_solver_reuse():
+    # make_solver + run(solver=...) reuses the compiled walk across calls
+    from dcrmontecarlo_tpu.survey import DCRSurvey
+
+    survey = DCRSurvey(
+        half_width=100.0, depth=200.0,
+        current_a=(-10.0, 0.0), current_b=(10.0, 0.0),
+        conductivity=lambda x, y: 100.0 + 0.0 * x,
+    )
+    electrodes = surface_electrode_line((-20.0, 20.0), 10.0)
+    solver = survey.make_solver(SolverOptions(target_slots=2048))
+    r1 = survey.run(electrodes, n_walks=200, max_steps=300, eps=0.9,
+                    seed=0, solver=solver)
+    n_compiled = len(getattr(
+        solver._build_solve_fn_versioned, "cache_info", lambda: None
+    )() or [0])
+    r2 = survey.run(electrodes, n_walks=200, max_steps=300, eps=0.9,
+                    seed=1, solver=solver)
+    assert np.isfinite(r1.potentials).all() and np.isfinite(r2.potentials).all()
+    # same shapes -> single cached compiled solve
+    info = solver._build_solve_fn_versioned.cache_info()
+    assert info.misses == 1 and info.hits >= 1, info
