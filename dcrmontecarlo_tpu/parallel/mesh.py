@@ -13,7 +13,6 @@ works through the same mesh via ``jax.distributed`` initialization.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np
@@ -69,10 +68,8 @@ class ShardedWoStSolver(WoStSolver):
         quota_row[:rem] += 1
         return K, quota_row
 
-    @functools.lru_cache(maxsize=32)
-    def _build_solve_fn_versioned(
-        self, n_points: int, n_walks: int, max_steps: int, eps: float,
-        _version: int,
+    def _build_solve_fn_uncached(
+        self, n_points: int, n_walks: int, max_steps: int, eps: float
     ):
         if self._use_pallas():
             return self._build_solve_fn_pallas_sharded(

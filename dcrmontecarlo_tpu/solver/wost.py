@@ -629,15 +629,20 @@ class WoStSolver:
 
     def _build_solve_fn(self, n_points: int, n_walks: int, max_steps: int, eps: float):
         # keyed on the problem version so Problem setters (set_source_term,
-        # set_boundary_conditions) invalidate the compiled physics
-        return self._build_solve_fn_versioned(
-            n_points, n_walks, max_steps, eps, self.problem.version
-        )
+        # set_boundary_conditions) invalidate the compiled physics. The
+        # cache is PER-INSTANCE (a plain dict, not lru_cache on the method:
+        # that would share hit/miss stats across every solver and pin each
+        # solver — and its traced problem closures — alive for the process
+        # lifetime).
+        key = (n_points, n_walks, max_steps, eps, self.problem.version)
+        fn = self._solve_cache.get(key)
+        if fn is None:
+            fn = self._build_solve_fn_uncached(n_points, n_walks, max_steps, eps)
+            self._solve_cache[key] = fn
+        return fn
 
-    @functools.lru_cache(maxsize=32)
-    def _build_solve_fn_versioned(
-        self, n_points: int, n_walks: int, max_steps: int, eps: float,
-        _version: int,
+    def _build_solve_fn_uncached(
+        self, n_points: int, n_walks: int, max_steps: int, eps: float
     ):
         if self._use_pallas():
             return self._build_solve_fn_pallas(n_points, n_walks, max_steps, eps)
