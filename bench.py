@@ -107,10 +107,13 @@ def main():
     solver = WoStSolver(
         problem,
         SolverOptions(target_slots=target_slots, min_quota=min_quota,
-                      # production config: 4 redraw rounds leave <=0.1% of
-                      # screened-radius draws on their envelope candidate —
-                      # validated against the notebook FDM oracle gate at
-                      # 100%, ~18% more throughput than the exact default
+                      # production config: cap screened-radius redraws at 4
+                      # rounds (~18% more throughput than the 64-round
+                      # default); the cap is exactly unbiased — capped
+                      # lanes take their envelope candidate with the
+                      # closed-form importance weight (radial.py) —
+                      # and the config is validated against the notebook
+                      # FDM oracle gate
                       rejection_rounds=4),
     )
 

@@ -489,7 +489,7 @@ def make_pallas_walk(
     if use_mis:
         main_streams += [5, 6, 7, 8]
     if use_robin:
-        main_streams += [9, 10]  # chord branch decision + chord offset
+        main_streams += [9, 10, 11]  # chord branch / side+U1 / technique+U2
 
     def kernel(*refs):
         seed_ref = refs[0]
@@ -596,15 +596,18 @@ def make_pallas_walk(
             else:
                 r = jnp.maximum(rmin_f, dD)
 
-            theta = (2.0 * jnp.pi) * u[1]
-            dx = jnp.cos(theta)
-            dy = jnp.sin(theta)
+            # ONE sin/cos pair at phi = pi u serves both the free direction
+            # (theta = 2 phi via double angle) and the on-boundary
+            # hemisphere rotation (beta = pi (u - 1/2): cos b = sin phi,
+            # sin b = -cos phi)
+            phi = jnp.pi * u[1]
+            cphi = jnp.cos(phi)
+            sphi = jnp.sin(phi)
+            dx = 1.0 - 2.0 * sphi * sphi      # cos(2 phi)
+            dy = 2.0 * sphi * cphi            # sin(2 phi)
             if has_neumann:
-                # inward-normal-centered hemisphere without atan2: rotate
-                # the normal by beta = pi (u - 1/2); cos(beta) = sin(pi u),
-                # sin(beta) = -cos(pi u)
-                cb = jnp.sin(jnp.pi * u[1])
-                sb = -jnp.cos(jnp.pi * u[1])
+                cb = sphi
+                sb = -cphi
                 hdx = nxv * cb - nyv * sb
                 hdy = nyv * cb + nxv * sb
                 dx = jnp.where(ob, hdx, dx)
@@ -627,7 +630,9 @@ def make_pallas_walk(
 
             if use_delta:
                 # same round-seeded streams as the XLA fast path's draw_r,
-                # through the SHARED two-regime rejection sampler
+                # through the SHARED two-regime rejection sampler; the
+                # finite round cap is unbiased via the importance-weighted
+                # final round (see sampling/radial._exact_rejection)
                 def draw_r(round_idx):
                     sd = (seed_u32 ^ np.uint32(0xA5A5A5A5)
                           ^ (jnp.asarray(round_idx).astype(jnp.uint32)
@@ -636,8 +641,10 @@ def make_pallas_walk(
                         _counter_uniform_2d(sd, ctr, sid_u32, [1, 2, 3, 4])
                     )
 
-                r_s = _exact_rejection(draw_r, r, sigma_bar_f,
-                                       rejection_rounds)
+                r_s, w_rej = _exact_rejection(draw_r, r, sigma_bar_f,
+                                              rejection_rounds,
+                                              with_weight=True)
+                atten = jnp.where(stepping, atten * w_rej, atten)
             elif need_greens_radius:
                 r_s = sample_greens_radius(r, u[2], u[3])
             else:
@@ -732,7 +739,7 @@ def make_pallas_walk(
                 # reaching the hit is a boundary arrival with the edge
                 # weight and the on-boundary flag
                 collide = interior & ~(hit & (r_s >= t_hit - t_min_f))
-                a_s_mv = alpha_c(sx, sy)
+                a_s_mv = a_s  # alpha at (sx, sy), computed once above
                 a_h = alpha_c(hx, hy)
                 sp_s = sigma_prime(sx, sy)
                 scale_int = jnp.sqrt(a_s_mv / a_p) * jnp.maximum(
@@ -764,7 +771,8 @@ def make_pallas_walk(
                 new_ob = hit & ~collide
                 if use_robin:
                     # on-boundary chord continuation, mirroring
-                    # solver/wost.py (same streams 9/10, same sampler)
+                    # solver/wost.py (same streams 9/10/11, same balanced
+                    # log/exponential mixture sampler)
                     glx0 = grad_log_alpha_x(px, py)
                     gly0 = grad_log_alpha_y(px, py)
                     gamma0 = -0.5 * (nxv * glx0 + nyv * gly0)
@@ -773,17 +781,22 @@ def make_pallas_walk(
                         ob, jnp.minimum(0.5, jnp.abs(gamma0) / q_scr), 0.0)
                     branch = stepping & (u[9] < q_c) & (q_c > 1e-6)
                     side = jnp.where(u[10] < 0.5, -1.0, 1.0)
-                    v = jnp.abs(2.0 * u[10] - 1.0)
-                    zeta_a = -jnp.log(
-                        jnp.maximum(1.0 - v * (1.0 - jnp.exp(-q_scr * r)),
-                                    1e-12)) / q_scr
-                    zeta = side * jnp.minimum(zeta_a, r)
-                    pdf = q_scr * jnp.exp(-q_scr * jnp.abs(zeta)) / (
-                        2.0 * jnp.maximum(1.0 - jnp.exp(-q_scr * r), 1e-12))
+                    v = jnp.abs(2.0 * u[10] - 1.0)      # U1
+                    tech_log = u[11] < 0.5              # technique selector
+                    u2 = jnp.abs(2.0 * u[11] - 1.0)     # U2
+                    z_log = r * jnp.maximum(v * u2, 1e-12)
+                    trunc = 1.0 - jnp.exp(-q_scr * r)
+                    z_exp = -jnp.log(
+                        jnp.maximum(1.0 - v * trunc, 1e-12)) / q_scr
+                    az = jnp.minimum(jnp.where(tech_log, z_log, z_exp), r)
+                    zeta = side * az
+                    p_log = -jnp.log(jnp.maximum(az / r, 1e-12)) / (2.0 * r)
+                    p_exp = q_scr * jnp.exp(-q_scr * az) / (
+                        2.0 * jnp.maximum(trunc, 1e-12))
+                    p_mix = 0.5 * (p_log + p_exp)
                     g_ch = jnp.maximum(
-                        screened_greens_2d(jnp.abs(zeta), r, sigma_bar_f),
-                        0.0)
-                    w_ch = 2.0 * gamma0 * g_ch / jnp.maximum(pdf, 1e-30)
+                        screened_greens_2d(az, r, sigma_bar_f), 0.0)
+                    w_ch = 2.0 * gamma0 * g_ch / jnp.maximum(p_mix, 1e-30)
                     zx = px + zeta * (-nyv)
                     zy = py + zeta * nxv
                     newx = jnp.where(branch, zx, newx)

@@ -201,7 +201,7 @@ class ShardedWoStSolver(WoStSolver):
             block_rows=opts.pallas_block_rows,
             rejection_rounds=opts.rejection_rounds,
             max_attenuation=opts.max_attenuation,
-            robin_correction=opts.robin_correction,
+            robin_correction=self._robin_enabled(),
         )
         sid_local = stream_ids(rows_local, crn)
         max_quota = int(quota_row.max())

@@ -176,6 +176,42 @@ class Problem:
                     )
                 self.sigma_bar = float(sb)
 
+    def max_boundary_gamma(self, samples_per_segment: int = 8) -> float:
+        """Max |gamma| = |d(ln sqrt alpha)/dn| probed along the Neumann
+        boundary.
+
+        The sqrt-alpha transform turns zero-flux ``u`` into the Robin
+        condition ``d(u~)/dn_out = gamma u~`` (THEORY.md §4); the solver's
+        ``robin_correction='auto'`` uses this probe to decide whether the
+        correction terms are worth their cost for a given problem (buried-
+        anomaly DCR surveys have gamma ~ 0 at the surface; boundary-hugging
+        coefficient gradients do not).
+        """
+        if self.neumann is None or self.grad_log_alpha is None:
+            return 0.0
+        import numpy as np
+        import jax
+
+        valid = np.asarray(self.neumann.seg_valid)
+        a = np.asarray(self.neumann.seg_a)[valid]
+        b = np.asarray(self.neumann.seg_b)[valid]
+        if len(a) == 0:
+            return 0.0
+        t = np.linspace(0.05, 0.95, samples_per_segment)
+        pts = a[:, None, :] + t[None, :, None] * (b - a)[:, None, :]
+        u = b - a
+        ln = np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-30)
+        nrm = np.stack([-u[:, 1], u[:, 0]], axis=1) / ln  # (S, 2), sign-free
+        g = jax.vmap(self.grad_log_alpha)(
+            jnp.asarray(pts[..., 0].ravel(), jnp.float32),
+            jnp.asarray(pts[..., 1].ravel(), jnp.float32),
+        )
+        gx = np.asarray(g[0]).reshape(len(a), -1)
+        gy = np.asarray(g[1]).reshape(len(a), -1)
+        gamma = 0.5 * np.abs(nrm[:, 0:1] * gx + nrm[:, 1:2] * gy)
+        gamma = gamma[np.isfinite(gamma)]
+        return float(gamma.max()) if gamma.size else 0.0
+
     @property
     def source_fields(self) -> list:
         """Normalized list of source fields.

@@ -148,10 +148,24 @@ def sample_screened_radius(tab: ScreenedRadialTable, R, sigma_bar, u1, u2):
     return R * jnp.where(below, s_unscreened, s)
 
 
-def _exact_rejection(draw, R, sigma_bar, max_rounds: int):
+def _exact_rejection(draw, R, sigma_bar, max_rounds: int,
+                     with_weight: bool = False):
     """Core two-regime rejection loop; ``draw(round) -> (4, W) uniforms``.
 
     See :func:`sample_screened_radius_exact` for the math.
+
+    ``with_weight``: return ``(r, w)`` where ``w`` is an exact importance
+    weight making a FINITE round cap unbiased. Rounds ``0..max_rounds-2``
+    are ordinary rejection (``w = 1`` on acceptance); a lane still
+    unaccepted entering round ``max_rounds-1`` takes that round's envelope
+    candidate UNCONDITIONALLY with ``w = A(x) / a(z)``, where ``A`` is the
+    acceptance probability and ``a(z) = E_env[A]`` the closed-form
+    acceptance rate. Since the target density is ``p_env A / a`` (the
+    Wronskian identity ``int_0^z x (K0 - c I0) dx = 1 - 1/I0(z)`` gives
+    ``a`` in both regimes: ``4 (1 - 1/I0(z)) / z^2`` small-z,
+    ``1 - 1/I0(z)`` large-z), ``E_env[w f(x)] = E_target[f]`` exactly —
+    the old behavior (keep the candidate at weight 1) distorted the
+    distribution toward the envelope instead.
     """
     R = jnp.asarray(R, jnp.float32)
     sb = jnp.asarray(sigma_bar, jnp.float32)
@@ -175,6 +189,21 @@ def _exact_rejection(draw, R, sigma_bar, max_rounds: int):
         p_large = jnp.where(x <= z, jnp.clip(1.0 - ratio, 0.0, 1.0), 0.0)
         return jnp.where(small, p_small, p_large)
 
+    if with_weight:
+        # closed-form acceptance rate a(z) = E_env[accept_prob]; series
+        # branch of 1 - 1/I0(z) (see ops.greens._one_minus_inv_i0) reusing
+        # the i0e(z) already computed for the acceptance test
+        t = z * z * 0.25
+        ser = t * (1.0 + t * (0.25 + t / 36.0))
+        p_ii = jnp.where(
+            z < 0.25,
+            ser / (1.0 + ser),
+            1.0 - jnp.exp(-z) / i0e_z,
+        )
+        a_rate = jnp.maximum(
+            jnp.where(small, 4.0 * p_ii / (z * z), p_ii), 1e-12
+        )
+
     def candidates(u):
         u0 = jnp.maximum(u[0], 1e-7)
         u1 = jnp.maximum(u[1], 1e-7)
@@ -189,25 +218,39 @@ def _exact_rejection(draw, R, sigma_bar, max_rounds: int):
         return x, s, u[3]
 
     x0, s0, ua0 = candidates(draw(jnp.int32(0)))
-    acc0 = ua0 < accept_prob(x0, s0)
+    A0 = accept_prob(x0, s0)
+    if with_weight and max_rounds == 1:
+        acc0 = jnp.ones_like(s0) > 0.0  # pure IS: take round-0 candidate
+        w0 = A0 / a_rate
+    else:
+        acc0 = ua0 < A0
+        w0 = jnp.ones_like(s0)
 
     # the accepted mask rides the loop carry as int32: this function also
     # runs inside the Pallas kernel, where Mosaic cannot round-trip i1
     # vectors through loop carries
     def cond(carry):
-        i, s_cur, acc_i = carry
+        i, s_cur, w_cur, acc_i = carry
         return (i < max_rounds) & jnp.any(acc_i == 0)
 
     def body(carry):
-        i, s_cur, acc_i = carry
+        i, s_cur, w_cur, acc_i = carry
         accepted = acc_i != 0
         x, s, ua = candidates(draw(i + 1))
-        take = (~accepted) & (ua < accept_prob(x, s))
+        A = accept_prob(x, s)
+        if with_weight:
+            is_final = i >= max_rounds - 1
+            take = (~accepted) & ((ua < A) | is_final)
+            w_new = jnp.where(is_final, A / a_rate, 1.0)
+        else:
+            take = (~accepted) & (ua < A)
+            w_new = 1.0
         s_cur = jnp.where(take, s, s_cur)
-        return i + 1, s_cur, (accepted | take).astype(jnp.int32)
+        w_cur = jnp.where(take, w_new, w_cur)
+        return i + 1, s_cur, w_cur, (accepted | take).astype(jnp.int32)
 
-    _, s_fin, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), s0, acc0.astype(jnp.int32))
+    _, s_fin, w_fin, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), s0, w0, acc0.astype(jnp.int32))
     )
     # z below any meaningful screening: unscreened closed form
     tiny = z < 1e-3
@@ -217,7 +260,11 @@ def _exact_rejection(draw, R, sigma_bar, max_rounds: int):
         jnp.sqrt(jnp.maximum(u[0], 1e-12) * jnp.maximum(u[1], 1e-12)),
         s_fin,
     )
-    return jnp.clip(s_fin, 0.0, 1.0) * R
+    r_fin = jnp.clip(s_fin, 0.0, 1.0) * R
+    if not with_weight:
+        return r_fin
+    w_fin = jnp.where(tiny, 1.0, w_fin)
+    return r_fin, w_fin
 
 
 def sample_screened_radius_fast(seed, counter, R, sigma_bar,

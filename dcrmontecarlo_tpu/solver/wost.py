@@ -95,12 +95,18 @@ class SolverOptions:
                                        # rejection. The loop exits when the
                                        # whole block accepts, so its cost is
                                        # the block MAX (~6 rounds at 16k
-                                       # lanes); capping at 4 leaves the
-                                       # <=0.1% still-rejected lanes on
-                                       # their envelope candidate — ~18%
-                                       # more throughput on the DCR bench
-                                       # with distortion below MC noise.
-                                       # 64 (default) is effectively exact.
+                                       # lanes). ANY cap is exactly
+                                       # UNBIASED: a lane that exhausts its
+                                       # rounds takes the final envelope
+                                       # candidate with the closed-form
+                                       # importance weight A(x)/a(z) folded
+                                       # into the walker weight (see
+                                       # sampling/radial._exact_rejection).
+                                       # Small caps trade a little weight
+                                       # variance on the few fallback lanes
+                                       # for throughput (cap 4: ~18% faster
+                                       # on the DCR bench, <=4% of draws
+                                       # weighted at the worst-case z~2).
     min_quota: int = 4                 # min walks per recycled slot; amortizes
                                        # the walk-length straggler tail
     common_random_numbers: bool = False  # slot-matched RNG streams across
@@ -122,7 +128,7 @@ class SolverOptions:
                                        # estimator's variance at the cost
                                        # of a small controlled bias; None
                                        # (default) keeps it unbiased.
-    robin_correction: bool = False     # FULL Robin boundary correction:
+    robin_correction: object = "auto"  # FULL Robin boundary correction:
                                        # the sqrt-alpha transform turns
                                        # zero-flux u into a Robin condition
                                        # for u~ (gamma = d ln sqrt(alpha)/
@@ -132,16 +138,26 @@ class SolverOptions:
                                        # wall arrivals by
                                        # 1 + gamma G_s/|dG_s/dn| and (b) a
                                        # signed on-boundary CHORD branch
-                                       # for the flat-boundary term —
+                                       # for the flat-boundary term,
+                                       # sampled from a balanced log/
+                                       # exponential mixture that bounds
+                                       # the chord weights (THEORY.md §4) —
                                        # unbiased on the exp(k y) analytic
                                        # stress test even at
                                        # gamma/sqrt(sigma_bar) ~ 1, where
                                        # plain reflection is ~40% off and
-                                       # the reference diverges. Costs
-                                       # variance (signed branch weights),
-                                       # and buried-anomaly surveys have
-                                       # negligible surface gamma — hence
-                                       # off by default.
+                                       # the reference diverges.
+                                       # "auto" (default): enabled iff the
+                                       # probed correction scale
+                                       # max_boundary_gamma * min(diameter,
+                                       # 1/sqrt(sigma_bar)) exceeds 0.3 —
+                                       # the same dimensionless number is
+                                       # the bias of plain reflection AND
+                                       # the chord chain's per-visit
+                                       # variance load, so below it the
+                                       # correction costs more stderr than
+                                       # the bias it removes (see
+                                       # _robin_enabled). True/False force.
     rng: str = "fast"                  # "fast" (counter-hash; compiles in
                                        # seconds) or "threefry" (jax.random;
                                        # minutes of XLA compile in while-loops
@@ -197,6 +213,38 @@ class WoStSolver:
             z_max = max(10.0, 4.0 * problem.diameter * np.sqrt(problem.sigma_bar))
             self._table = build_screened_radial_table(z_max=z_max)
         self._solve_cache = {}
+        self._robin_cache = None  # (problem.version, resolved bool)
+
+    def _robin_enabled(self) -> bool:
+        """Resolve ``SolverOptions.robin_correction`` (True/False/"auto").
+
+        Auto probes max |gamma| along the Neumann boundary and evaluates
+        the dimensionless scale ``s = gamma * min(diameter,
+        1/sqrt(sigma_bar))``. ``s`` is BOTH the relative bias of plain
+        reflection on boundary-dominated observables AND the per-boundary-
+        visit load of the chord-branch realization, whose weight spread
+        compounds like exp(visits * s) (measured: the 1000 m notebook
+        survey at s = 0.12 pays ~14x stderr for a sub-noise bias fix,
+        while the exp(k y) stress test at s = 1.0 is ~40% biased without
+        the correction). Auto therefore enables the correction only above
+        s = 0.3, where the bias it removes outweighs the variance it
+        costs; force ``True`` for strict unbiasedness regardless.
+        """
+        pb = self.problem
+        mode = self.options.robin_correction
+        if mode is not True and mode != "auto":
+            return False
+        if not (pb.use_delta_tracking and pb.neumann is not None):
+            return False
+        if mode is True:
+            return True
+        if self._robin_cache is not None and self._robin_cache[0] == pb.version:
+            return self._robin_cache[1]
+        gmax = pb.max_boundary_gamma()
+        scale = gmax * min(pb.diameter, 1.0 / np.sqrt(max(pb.sigma_bar, 1e-30)))
+        enabled = bool(scale > 0.3)
+        self._robin_cache = (pb.version, enabled)
+        return enabled
 
     # ------------------------------------------------------------------ #
     # step function                                                      #
@@ -232,7 +280,7 @@ class WoStSolver:
         sources = [jax.vmap(_lift(f)) for f in source_fields]
         alpha_c = jax.vmap(_lift(pb.alpha_c)) if use_delta else None
         sigma_prime = jax.vmap(_lift(pb.sigma_prime)) if use_delta else None
-        use_robin = use_delta and has_neumann and opts.robin_correction
+        use_robin = self._robin_enabled()
         if use_robin:
             grad_log_alpha_x = jax.vmap(_lift(
                 lambda x, y: pb.grad_log_alpha(x, y)[0]))
@@ -251,7 +299,7 @@ class WoStSolver:
 
         n_u = 8 if use_mis else 4
         if use_robin:
-            n_u = 10  # two extra streams for the on-boundary chord branch
+            n_u = 11  # three extra streams for the on-boundary chord branch
 
         def _lane_ids(W):
             # RNG stream id per lane: under CRN, slot j of every point maps
@@ -315,14 +363,17 @@ class WoStSolver:
                 r = jnp.maximum(rmin, dD)
 
             # -- direction (WoStSolver.py:226-232; normal-centered fix) --- #
-            theta = (2.0 * jnp.pi) * u[0]
-            dx = jnp.cos(theta)
-            dy = jnp.sin(theta)
+            # ONE sin/cos pair at phi = pi u serves both the free direction
+            # (theta = 2 phi, double-angle) and the hemisphere rotation
+            # (beta = pi (u - 1/2)) — same numerics as the Pallas kernel
+            phi = jnp.pi * u[0]
+            cphi = jnp.cos(phi)
+            sphi = jnp.sin(phi)
+            dx = 1.0 - 2.0 * sphi * sphi      # cos(2 phi)
+            dy = 2.0 * sphi * cphi            # sin(2 phi)
             if has_neumann:
-                # hemisphere around the inward normal via rotation (no
-                # atan2): beta = pi (u - 1/2)
-                cb = jnp.sin(jnp.pi * u[0])
-                sb = -jnp.cos(jnp.pi * u[0])
+                cb = sphi
+                sb = -cphi
                 hdx = state.nx * cb - state.ny * sb
                 hdy = state.ny * cb + state.nx * sb
                 dx = jnp.where(on_bdry, hdx, dx)
@@ -360,8 +411,14 @@ class WoStSolver:
 
                     from ..sampling.radial import _exact_rejection
 
-                    r_s = _exact_rejection(draw_r, r, sigma_bar,
-                                           opts.rejection_rounds)
+                    # finite redraw cap made exactly unbiased: lanes that
+                    # exhaust rejection_rounds take their final envelope
+                    # candidate with the importance weight A(x)/a(z),
+                    # folded into the walker weight below
+                    r_s, w_rej = _exact_rejection(draw_r, r, sigma_bar,
+                                                  opts.rejection_rounds,
+                                                  with_weight=True)
+                    atten = jnp.where(stepping, atten * w_rej, atten)
                 else:
                     r_s = sample_screened_radius_exact(
                         jax.random.fold_in(step_key, 1), r, sigma_bar
@@ -500,10 +557,17 @@ class WoStSolver:
                     # On-boundary CHORD continuation: for a walker standing
                     # ON the wall the Robin term int_flat gamma G_refl u~
                     # (G_refl = 2 G_s on the wall) is realized by branching
-                    # with probability q_c to a chord point z = x + zeta t^
-                    # sampled from a two-sided truncated exponential, with
+                    # with probability q_c to a chord point z = x + zeta t^,
                     # importance weight 2 gamma G_s(|zeta|)/p(zeta)/q_c;
                     # the non-branch continuation upweights by 1/(1 - q_c).
+                    # zeta is sampled from the BALANCED MIXTURE of a log
+                    # sampler (|zeta| = r U1 U2, density -ln(|z|/r)/(2r),
+                    # matching G_s's K0 log-divergence at 0) and a two-
+                    # sided truncated exponential at rate sqrt(sigma_bar)
+                    # (matching K0's decay tail), so the weight's kernel
+                    # ratio G_s/p_mix is bounded at BOTH ends — the single-
+                    # exponential realization left the log spike unmatched
+                    # and its chord weights heavy-tailed near zeta ~ 0.
                     # (Wall ARRIVALS of interior walkers carry their gamma
                     # term via w_rob above; on-boundary walkers have no
                     # self-wall arrivals, so this branch is the only
@@ -516,18 +580,23 @@ class WoStSolver:
                         on_bdry,
                         jnp.minimum(0.5, jnp.abs(gamma0) / q_scr), 0.0)
                     branch = stepping & (u[8] < q_c) & (q_c > 1e-6)
-                    # two-sided truncated-exponential zeta on (-r, r)
                     side = jnp.where(u[9] < 0.5, -1.0, 1.0)
-                    v = jnp.abs(2.0 * u[9] - 1.0)
-                    zeta_a = -jnp.log(
-                        jnp.maximum(1.0 - v * (1.0 - jnp.exp(-q_scr * r)),
-                                    1e-12)) / q_scr
-                    zeta = side * jnp.minimum(zeta_a, r)
-                    pdf = q_scr * jnp.exp(-q_scr * jnp.abs(zeta)) / (
-                        2.0 * jnp.maximum(1.0 - jnp.exp(-q_scr * r), 1e-12))
+                    v = jnp.abs(2.0 * u[9] - 1.0)      # U1
+                    tech_log = u[10] < 0.5             # technique selector
+                    u2 = jnp.abs(2.0 * u[10] - 1.0)    # U2 (independent bit)
+                    z_log = r * jnp.maximum(v * u2, 1e-12)
+                    trunc = 1.0 - jnp.exp(-q_scr * r)
+                    z_exp = -jnp.log(
+                        jnp.maximum(1.0 - v * trunc, 1e-12)) / q_scr
+                    az = jnp.minimum(jnp.where(tech_log, z_log, z_exp), r)
+                    zeta = side * az
+                    p_log = -jnp.log(jnp.maximum(az / r, 1e-12)) / (2.0 * r)
+                    p_exp = q_scr * jnp.exp(-q_scr * az) / (
+                        2.0 * jnp.maximum(trunc, 1e-12))
+                    p_mix = 0.5 * (p_log + p_exp)
                     g_ch = jnp.maximum(
-                        screened_greens_2d(jnp.abs(zeta), r, sigma_bar), 0.0)
-                    w_ch = 2.0 * gamma0 * g_ch / jnp.maximum(pdf, 1e-30)
+                        screened_greens_2d(az, r, sigma_bar), 0.0)
+                    w_ch = 2.0 * gamma0 * g_ch / jnp.maximum(p_mix, 1e-30)
                     # chord point along the wall tangent
                     zx = px + zeta * (-state.ny)
                     zy = py + zeta * state.nx
@@ -719,7 +788,7 @@ class WoStSolver:
             block_rows=block_rows,
             rejection_rounds=opts.rejection_rounds,
             max_attenuation=opts.max_attenuation,
-            robin_correction=opts.robin_correction,
+            robin_correction=self._robin_enabled(),
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2

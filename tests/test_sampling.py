@@ -103,6 +103,53 @@ def test_screened_radius_exact_mixed_lanes():
     assert np.isfinite(r).all()
 
 
+def test_weighted_round_cap_is_unbiased():
+    # A 2-round cap leaves ~19% of draws on their envelope candidate at the
+    # crossover z ~ 2 (worst-case acceptance 0.56). With the importance-
+    # weighted final round the WEIGHTED ecdf must still match the analytic
+    # CDF; the unweighted candidate distribution alone must NOT (sanity
+    # check that the test has power).
+    from dcrmontecarlo_tpu.sampling.radial import _exact_rejection
+
+    n = 200_000
+    R, sb = 2.0, 1.0  # z = 2: crossover, worst acceptance
+    key = jax.random.PRNGKey(7)
+
+    def draw(round_idx):
+        return jax.random.uniform(
+            jax.random.fold_in(key, round_idx), (4, n),
+            minval=1e-7, maxval=1.0,
+        )
+
+    r, w = _exact_rejection(draw, jnp.full((n,), R), sb, 2, with_weight=True)
+    r = np.asarray(r)
+    w = np.asarray(w)
+    assert np.isfinite(w).all() and (w >= 0).all()
+    # weights average 1 over the fallback lanes (and exactly 1 elsewhere)
+    np.testing.assert_allclose(w.mean(), 1.0, atol=0.01)
+    assert (w != 1.0).mean() > 0.05  # the cap actually fired
+
+    rr = np.concatenate([
+        np.geomspace(1e-6 * R, 1e-2 * R, 512, endpoint=False),
+        np.linspace(1e-2 * R, R, 4096),
+    ])
+    pdf = screened_radial_pdf(rr, R, sb)
+    cdf = np.concatenate(
+        [[0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(rr))])
+    cdf /= cdf[-1]
+    # weighted ECDF: sum of weights of samples <= r, over total weight
+    order = np.argsort(r)
+    r_sorted = r[order]
+    w_cum = np.concatenate([[0.0], np.cumsum(w[order])]) / w.sum()
+    emp = w_cum[np.searchsorted(r_sorted, rr, side="right")]
+    err_weighted = np.abs(emp - cdf).max()
+    assert err_weighted < 0.008, err_weighted
+    # power check: the RAW candidate ecdf (weights ignored) is distorted
+    emp_raw = np.searchsorted(r_sorted, rr, side="right") / n
+    err_raw = np.abs(emp_raw - cdf).max()
+    assert err_raw > 3 * err_weighted, (err_raw, err_weighted)
+
+
 def test_screened_radius_small_z_falls_back_to_unscreened():
     tab = build_screened_radial_table()
     key = jax.random.PRNGKey(2)

@@ -171,3 +171,37 @@ def test_neumann_coefficient_gradient_robin():
     err_plain = np.abs(res[False].mean - exact)[sel].sum()
     err_robin = np.abs(r.mean - exact)[sel].sum()
     assert err_robin < err_plain, (err_robin, err_plain)
+
+
+def test_robin_auto_policy():
+    # "auto" compares the probed correction scale gamma_max * min(diam,
+    # 1/sqrt(sigma_bar)) against 0.3: the exp(k y) stress field (scale 1.0,
+    # 40% plain-reflection bias) must enable, a buried-bump conductivity
+    # with ~zero surface gamma must not, and explicit True/False override.
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.geometry import Polyline
+    from dcrmontecarlo_tpu.problems.fields import gaussian_bump
+
+    dirichlet = Polyline.from_points(
+        [[-5.0, 0.0], [-5.0, -10.0], [5.0, -10.0], [5.0, 0.0]]
+    )
+    neumann = Polyline.from_points([[-5.0, 0.0], [5.0, 0.0]])
+
+    strong = Problem(
+        dirichlet=dirichlet, neumann=neumann,
+        bc_dirichlet=lambda x, y: x / 5.0,
+        alpha=lambda x, y: jnp.exp(0.5 * y) + 0.0 * x,
+    )
+    bump = gaussian_bump(center=(0.0, -6.0), amplitude=9.0, width=1.0)
+    buried = Problem(
+        dirichlet=dirichlet, neumann=neumann,
+        bc_dirichlet=lambda x, y: 0.0 * x,
+        alpha=lambda x, y: 1.0 + bump(x, y),
+    )
+    assert WoStSolver(strong)._robin_enabled() is True
+    assert WoStSolver(buried)._robin_enabled() is False
+    assert WoStSolver(
+        strong, SolverOptions(robin_correction=False))._robin_enabled() is False
+    assert WoStSolver(
+        buried, SolverOptions(robin_correction=True))._robin_enabled() is True
