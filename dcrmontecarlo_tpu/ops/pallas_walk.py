@@ -388,6 +388,7 @@ def make_pallas_walk(
     rejection_rounds: int = 64,
     max_attenuation=None,
     robin_correction: bool = False,
+    roulette_threshold=None,
 ):
     """Build the fused multi-step kernel.
 
@@ -827,6 +828,24 @@ def make_pallas_walk(
             nxv = jnp.where(upd_n, hnx, nxv)
             nyv = jnp.where(upd_n, hny, nyv)
             steps = steps + stepping.astype(jnp.int32)
+
+            if use_delta and roulette_threshold is not None:
+                # low-weight Russian roulette, mirroring solver/wost.py
+                # (same dedicated hash stream, same survivor upweight)
+                thr = float(roulette_threshold)
+                u_r = _counter_uniform_2d(
+                    seed_u32 ^ np.uint32(0x0F1E2D3C), ctr, sid_u32, [1]
+                )[0]
+                low = stepping & (jnp.abs(atten) < thr)
+                survive = u_r * thr < jnp.abs(atten)
+                atten = jnp.where(
+                    low,
+                    jnp.where(survive,
+                              jnp.where(atten < 0.0, -thr, thr), 0.0),
+                    atten,
+                )
+                steps = jnp.where(low & ~survive, max_steps, steps)
+
             # per-lane lifetime counter: summed outside the kernel for the
             # walker-steps throughput metric
             life = life + stepping.astype(jnp.int32)

@@ -202,6 +202,7 @@ class ShardedWoStSolver(WoStSolver):
             rejection_rounds=opts.rejection_rounds,
             max_attenuation=opts.max_attenuation,
             robin_correction=self._robin_enabled(),
+            roulette_threshold=opts.roulette_threshold,
         )
         sid_local = stream_ids(rows_local, crn)
         max_quota = int(quota_row.max())

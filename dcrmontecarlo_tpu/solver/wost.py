@@ -115,6 +115,20 @@ class SolverOptions:
                                        # DIFFERENCES (dipole receivers)
                                        # cancel most MC noise; requires
                                        # rng='fast'; works on both backends
+    roulette_threshold: float = None   # low-weight Russian roulette: a
+                                       # stepping walker whose |weight|
+                                       # falls below the threshold survives
+                                       # with probability |w|/threshold at
+                                       # weight sign(w)*threshold, else its
+                                       # walk terminates immediately
+                                       # (keeping only what it already
+                                       # accumulated). Exactly unbiased —
+                                       # the survivor upweight carries the
+                                       # killed walks' expected boundary
+                                       # term — and cuts the steps spent
+                                       # walking negligible weights to the
+                                       # Dirichlet shell on absorbing
+                                       # problems (sigma > 0). None: off.
     max_attenuation: float = None      # optional walker-weight cap. Delta
                                        # tracking multiplies (1 - sigma'/
                                        # sigma_bar) per collision; where
@@ -629,6 +643,28 @@ class WoStSolver:
             nyy = jnp.where(upd_n, hny, state.ny)
             steps_cur = steps_cur + stepping.astype(jnp.int32)
 
+            if use_delta and opts.roulette_threshold is not None:
+                # low-weight Russian roulette (unbiased): survivors are
+                # upweighted to the threshold, losers end their walk on
+                # the next iteration with zero boundary weight
+                thr = jnp.float32(opts.roulette_threshold)
+                if rng_fast:
+                    u_r = counter_uniform_lanes(
+                        seed32 ^ jnp.uint32(0x0F1E2D3C), ctr, 1, lane_ids
+                    )[0]
+                else:
+                    u_r = jax.random.uniform(
+                        jax.random.fold_in(step_key, 2), (W,))
+                low = stepping & (jnp.abs(atten) < thr)
+                survive = u_r * thr < jnp.abs(atten)
+                atten = jnp.where(
+                    low,
+                    jnp.where(survive,
+                              jnp.where(atten < 0, -thr, thr), 0.0),
+                    atten,
+                )
+                steps_cur = jnp.where(low & ~survive, max_steps, steps_cur)
+
             new_state = WalkerState(
                 px=px,
                 py=py,
@@ -789,6 +825,7 @@ class WoStSolver:
             rejection_rounds=opts.rejection_rounds,
             max_attenuation=opts.max_attenuation,
             robin_correction=self._robin_enabled(),
+            roulette_threshold=opts.roulette_threshold,
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2

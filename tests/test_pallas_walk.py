@@ -403,3 +403,18 @@ def test_compaction_matches_uncompacted():
     assert a.total_steps == b.total_steps
     np.testing.assert_allclose(a.walk_sum, b.walk_sum, rtol=1e-5)
     np.testing.assert_allclose(a.walk_sumsq, b.walk_sumsq, rtol=1e-5)
+
+
+def test_pallas_matches_xla_roulette():
+    # low-weight Russian roulette fires on decaying delta-tracking weights;
+    # both backends must draw the same roulette stream and kill/upweight
+    # the same lanes
+    import jax.numpy as jnp
+
+    sigma = lambda x, y: 1.5 * jnp.exp(-(x * x + y * y))
+    prob = Problem(dirichlet=square_loop(2.0),
+                   bc_dirichlet=lambda x, y: 1.0 + 0.0 * x, sigma=sigma)
+    opts = dict(_SMALL, roulette_threshold=0.5)
+    rp, rx = _pair(prob, np.array([[0.0, 0.0], [0.5, 0.3]]), opts=opts)
+    _assert_close(rp, rx)
+    assert rp.total_steps == rx.total_steps

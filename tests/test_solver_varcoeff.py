@@ -205,3 +205,30 @@ def test_robin_auto_policy():
         strong, SolverOptions(robin_correction=False))._robin_enabled() is False
     assert WoStSolver(
         buried, SolverOptions(robin_correction=True))._robin_enabled() is True
+
+
+def test_roulette_unbiased_and_saves_steps():
+    # Russian roulette on an absorbing problem: the estimate must agree
+    # with the roulette-off solve (both unbiased; 4-sigma of the combined
+    # stderr) while executing materially fewer walker-steps.
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.geometry import square_loop
+
+    sigma = lambda x, y: 2.0 * jnp.exp(-(x * x + y * y) / 0.8)
+    prob = Problem(
+        dirichlet=square_loop(2.0),
+        bc_dirichlet=lambda x, y: 1.0 + 0.0 * x,
+        sigma=sigma,
+    )
+    pts = np.array([[0.0, 0.0], [0.6, -0.4]], np.float32)
+    base = WoStSolver(prob, SolverOptions(target_slots=8192)).solve(
+        pts, n_walks=4000, max_steps=500, eps=1e-2, seed=11)
+    roul = WoStSolver(
+        prob, SolverOptions(target_slots=8192, roulette_threshold=0.05)
+    ).solve(pts, n_walks=4000, max_steps=500, eps=1e-2, seed=12)
+    comb = np.sqrt(base.stderr**2 + roul.stderr**2)
+    dev = np.abs(base.mean - roul.mean) / np.maximum(comb, 1e-12)
+    assert (dev < 4.0).all(), (base.mean, roul.mean, dev)
+    assert roul.total_steps < 0.9 * base.total_steps, (
+        roul.total_steps, base.total_steps)
