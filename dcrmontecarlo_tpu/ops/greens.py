@@ -59,8 +59,8 @@ def screened_greens_2d(r, R, sigma_bar):
     return (k0(rz) - (k0(z) / i0(z)) * i0(rz)) / _TWO_PI
 
 
-def _one_minus_inv_i0(z):
-    """``1 - 1/I0(z)`` without catastrophic cancellation.
+def _one_minus_inv_i0_scaled(z, i0e_z):
+    """``1 - 1/I0(z)`` given a precomputed ``i0e(z)`` (cancellation-safe).
 
     For small z the direct form loses all precision in float32 (the true
     value ~ z^2/4 sinks below the rounding error of the subtraction from
@@ -68,12 +68,20 @@ def _one_minus_inv_i0(z):
     limit. Series branch: with ``t = z^2/4``,
     ``I0 = 1 + t + t^2/4 + t^3/36 + ...`` so
     ``1 - 1/I0 = s / (1 + s)`` with ``s = t + t^2/4 + t^3/36``.
+    Shared by :func:`screened_greens_norm_2d` and the rejection sampler's
+    acceptance-rate closed form (``sampling/radial._exact_rejection``),
+    which already has ``i0e(z)`` in hand.
     """
     t = z * z * 0.25
     s = t * (1.0 + t * (0.25 + t / 36.0))
     small = s / (1.0 + s)
-    large = 1.0 - jnp.exp(-z) / i0e(jnp.maximum(z, 0.25))
+    large = 1.0 - jnp.exp(-z) / jnp.maximum(i0e_z, 1e-30)
     return jnp.where(z < 0.25, small, large)
+
+
+def _one_minus_inv_i0(z):
+    """``1 - 1/I0(z)`` without catastrophic cancellation."""
+    return _one_minus_inv_i0_scaled(z, i0e(z))
 
 
 def screened_greens_norm_2d(R, sigma_bar):

@@ -777,7 +777,8 @@ def make_pallas_walk(
                     glx0 = grad_log_alpha_x(px, py)
                     gly0 = grad_log_alpha_y(px, py)
                     gamma0 = -0.5 * (nxv * glx0 + nyv * gly0)
-                    q_scr = jnp.sqrt(jnp.float32(sigma_bar_f))
+                    q_scr = jnp.sqrt(jnp.maximum(jnp.float32(sigma_bar_f),
+                                                 1e-12))
                     q_c = jnp.where(
                         ob, jnp.minimum(0.5, jnp.abs(gamma0) / q_scr), 0.0)
                     branch = stepping & (u[9] < q_c) & (q_c > 1e-6)

@@ -125,8 +125,11 @@ class Problem:
             self.sigma_prime = sigma_prime
 
             if self.sigma_bar_override is not None:
-                # the override's purpose is skipping grid scans entirely
-                self.sigma_bar = float(self.sigma_bar_override)
+                # the override's purpose is skipping grid scans entirely;
+                # floored like the grid-scan path — sigma_bar = 0 divides
+                # by zero in the screened-kernel norms and the Robin chord
+                # sampler (1e-12 is numerically the unscreened limit)
+                self.sigma_bar = max(float(self.sigma_bar_override), 1e-12)
             else:
                 # a conductivity that dips <= 0 silently clamps at 1e-8 and
                 # sends |grad ln alpha| (hence sigma') to ~1e5-1e16: almost

@@ -190,16 +190,11 @@ def _exact_rejection(draw, R, sigma_bar, max_rounds: int,
         return jnp.where(small, p_small, p_large)
 
     if with_weight:
-        # closed-form acceptance rate a(z) = E_env[accept_prob]; series
-        # branch of 1 - 1/I0(z) (see ops.greens._one_minus_inv_i0) reusing
+        # closed-form acceptance rate a(z) = E_env[accept_prob], reusing
         # the i0e(z) already computed for the acceptance test
-        t = z * z * 0.25
-        ser = t * (1.0 + t * (0.25 + t / 36.0))
-        p_ii = jnp.where(
-            z < 0.25,
-            ser / (1.0 + ser),
-            1.0 - jnp.exp(-z) / i0e_z,
-        )
+        from ..ops.greens import _one_minus_inv_i0_scaled
+
+        p_ii = _one_minus_inv_i0_scaled(z, i0e_z)
         a_rate = jnp.maximum(
             jnp.where(small, 4.0 * p_ii / (z * z), p_ii), 1e-12
         )

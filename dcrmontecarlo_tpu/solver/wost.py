@@ -63,8 +63,6 @@ from ..sampling.radial import (
     build_screened_radial_table,
     sample_greens_radius,
     sample_screened_radius,
-    sample_screened_radius_exact,
-    sample_screened_radius_fast,
 )
 from ..sampling.rng import counter_uniform, counter_uniform_lanes, mix32
 from .state import WalkerState, init_state
@@ -129,6 +127,30 @@ class SolverOptions:
                                        # walking negligible weights to the
                                        # Dirichlet shell on absorbing
                                        # problems (sigma > 0). None: off.
+    split_threshold: float = None      # UNBIASED high-weight control
+                                       # (pallas backend): between kernel
+                                       # launches, a walker whose |weight|
+                                       # exceeds the threshold is SPLIT —
+                                       # an idle lane receives a copy of
+                                       # its walk state with a fresh RNG
+                                       # stream, both continue at half
+                                       # weight, and the clone retires
+                                       # after finishing this one walk.
+                                       # E[sum of halves] equals the
+                                       # unsplit walk exactly, so the mean
+                                       # stays unbiased while the heavy
+                                       # tail of negative-sigma' weight
+                                       # compounding is clipped into
+                                       # parallel sub-walks. Caveats:
+                                       # weights can still compound within
+                                       # one launch (lower
+                                       # pallas_inner_steps to tighten),
+                                       # stderr becomes a mild
+                                       # underestimate when split pieces
+                                       # correlate (pieces enter sumsq
+                                       # separately), and CRN lane
+                                       # matching does not extend to
+                                       # clones. None: off.
     max_attenuation: float = None      # optional walker-weight cap. Delta
                                        # tracking multiplies (1 - sigma'/
                                        # sigma_bar) per collision; where
@@ -246,12 +268,12 @@ class WoStSolver:
         """
         pb = self.problem
         mode = self.options.robin_correction
-        if mode is not True and mode != "auto":
+        if not mode:
             return False
         if not (pb.use_delta_tracking and pb.neumann is not None):
             return False
-        if mode is True:
-            return True
+        if mode != "auto":
+            return True  # any truthy non-"auto" value forces it on
         if self._robin_cache is not None and self._robin_cache[0] == pb.version:
             return self._robin_cache[1]
         gmax = pb.max_boundary_gamma()
@@ -434,9 +456,23 @@ class WoStSolver:
                                                   with_weight=True)
                     atten = jnp.where(stepping, atten * w_rej, atten)
                 else:
-                    r_s = sample_screened_radius_exact(
-                        jax.random.fold_in(step_key, 1), r, sigma_bar
-                    )
+                    # threefry path: same weighted cap as the fast path
+                    # (the cap contract — any rejection_rounds is exactly
+                    # unbiased — holds on every backend)
+                    from ..sampling.radial import _exact_rejection
+
+                    rkey = jax.random.fold_in(step_key, 1)
+
+                    def draw_t(round_idx):
+                        return jax.random.uniform(
+                            jax.random.fold_in(rkey, round_idx),
+                            (4,) + jnp.shape(r), minval=1e-7, maxval=1.0,
+                        )
+
+                    r_s, w_rej = _exact_rejection(draw_t, r, sigma_bar,
+                                                  opts.rejection_rounds,
+                                                  with_weight=True)
+                    atten = jnp.where(stepping, atten * w_rej, atten)
             else:
                 r_s = sample_greens_radius(r, u[1], u[2])
             beyond = r_s > t_hit  # clamp to star region (WoStSolver.py:248)
@@ -589,7 +625,7 @@ class WoStSolver:
                     glx0 = grad_log_alpha_x(px, py)
                     gly0 = grad_log_alpha_y(px, py)
                     gamma0 = -0.5 * (state.nx * glx0 + state.ny * gly0)
-                    q_scr = jnp.sqrt(sigma_bar)
+                    q_scr = jnp.sqrt(jnp.maximum(sigma_bar, 1e-12))
                     q_c = jnp.where(
                         on_bdry,
                         jnp.minimum(0.5, jnp.abs(gamma0) / q_scr), 0.0)
@@ -740,10 +776,12 @@ class WoStSolver:
         # solver — and its traced problem closures — alive for the process
         # lifetime).
         key = (n_points, n_walks, max_steps, eps, self.problem.version)
-        fn = self._solve_cache.get(key)
+        fn = self._solve_cache.pop(key, None)
         if fn is None:
             fn = self._build_solve_fn_uncached(n_points, n_walks, max_steps, eps)
-            self._solve_cache[key] = fn
+            if len(self._solve_cache) >= 32:  # LRU bound (insertion order)
+                self._solve_cache.pop(next(iter(self._solve_cache)))
+        self._solve_cache[key] = fn
         return fn
 
     def _build_solve_fn_uncached(
@@ -891,7 +929,7 @@ class WoStSolver:
             ])
             return sums, sumsq, jnp.sum(state["life"].astype(jnp.float32))
 
-        if not opts.compaction:
+        if not (opts.compaction or opts.split_threshold is not None):
             def run(points, key):
                 state, seed_i = init_state(points, key)
 
@@ -915,11 +953,61 @@ class WoStSolver:
 
             return jax.jit(run)
 
-        # ---- host-driven launch loop with walker compaction ---- #
+        # ---- host-driven launch loop: compaction and/or splitting ---- #
         init_j = jax.jit(init_state)
         launch_j = jax.jit(plan.run)
         count_j = jax.jit(lambda st: (st["quota"] > 0).sum())
         moments_j = jax.jit(_moments)
+
+        # per-walk state a split clone copies; accumulators (asum/asq/life)
+        # are NOT copied — idle destination lanes hold banked finished-walk
+        # statistics that must survive — and acc (walk_acc) starts at 0 on
+        # the clone so the prefix is counted once, by the original
+        _SPLIT_COPY = ["p0x", "p0y", "px", "py", "nx", "ny", "ob",
+                       "steps", "ndone", "atten"]
+
+        @functools.lru_cache(maxsize=None)
+        def split_j(rows_in: int):
+            thr = float(opts.split_threshold)
+
+            def split(state, pid, sid_base):
+                flat = {k: v.reshape(-1) for k, v in state.items()}
+                n_lanes = rows_in * 128
+                active = flat["quota"] > 0
+                heavy = active & (jnp.abs(flat["atten"]) > thr)
+                idle = ~active
+                src = jnp.argsort(~heavy, stable=True)  # heavy lanes first
+                dst = jnp.argsort(~idle, stable=True)   # idle lanes first
+                n = jnp.minimum(heavy.sum(), idle.sum())
+                do = jnp.arange(n_lanes) < n
+                # dst is a permutation of all lanes, so one masked scatter
+                # per field rewrites exactly the paired idle lanes
+                for key in _SPLIT_COPY:
+                    v = flat[key]
+                    flat[key] = v.at[dst].set(
+                        jnp.where(do, v[src], v[dst]))
+                for i in range(n_src):
+                    v = flat[f"acc{i}"]
+                    flat[f"acc{i}"] = v.at[dst].set(
+                        jnp.where(do, 0.0, v[dst]))
+                is_src = jnp.zeros(n_lanes, bool).at[src].set(do)
+                is_dst = jnp.zeros(n_lanes, bool).at[dst].set(do)
+                flat["atten"] = jnp.where(
+                    is_src | is_dst, flat["atten"] * 0.5, flat["atten"])
+                # clone runs exactly its current walk to completion
+                flat["quota"] = flat["quota"].at[dst].set(
+                    jnp.where(do, 1, flat["quota"][dst]))
+                # fresh, unique RNG stream per clone (collision-free with
+                # lane/CRN stream ids, which are < 2^30)
+                fresh = sid_base + jnp.arange(n_lanes, dtype=jnp.int32)
+                flat["sid"] = flat["sid"].at[dst].set(
+                    jnp.where(do, fresh, flat["sid"][dst]))
+                pid = pid.at[dst].set(jnp.where(do, pid[src], pid[dst]))
+                new_state = {k: v.reshape(rows_in, 128)
+                             for k, v in flat.items()}
+                return new_state, pid, n
+
+            return jax.jit(split)
 
         @functools.lru_cache(maxsize=None)
         def compact_j(rows_out: int):
@@ -958,12 +1046,20 @@ class WoStSolver:
             carry_life = 0.0
             cur_rows = rows
             launches = 0
+            sid_base = 1 << 30  # clone stream ids live above all lane ids
             while launches < launch_cap:
                 state = launch_j(state, seed_i)
                 launches += 1
                 active = int(count_j(state))
                 if active == 0:
                     break
+                if opts.split_threshold is not None:
+                    state, pid, n_split = split_j(cur_rows)(
+                        state, pid, np.int32(sid_base))
+                    sid_base += int(n_split)
+                    active = int(count_j(state))
+                if not opts.compaction:
+                    continue
                 target = max(
                     block_rows,
                     -(-active // lane_block) * block_rows,  # ceil division

@@ -418,3 +418,31 @@ def test_pallas_matches_xla_roulette():
     rp, rx = _pair(prob, np.array([[0.0, 0.0], [0.5, 0.3]]), opts=opts)
     _assert_close(rp, rx)
     assert rp.total_steps == rx.total_steps
+
+
+def test_split_threshold_unbiased():
+    # High-weight splitting (host-driven launch loop): on a negative-
+    # sigma' field whose delta-tracking weights compound above 1, the
+    # split-on solve must agree with the split-off solve within combined
+    # MC error, while actually splitting (clones add walker-steps).
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    bump = lambda x, y: 1.0 + 3.0 * jnp.exp(-((x * x + y * y) / 0.18))
+    prob = Problem(dirichlet=square_loop(2.0),
+                   bc_dirichlet=lambda x, y: 1.0 + x * y, alpha=bump)
+    pts = np.array([[0.0, 0.0], [0.4, 0.2]])
+    res = {}
+    for thr in (None, 1.5):
+        s = WoStSolver(prob, SolverOptions(
+            backend="pallas", target_slots=512, pallas_inner_steps=16,
+            pallas_block_rows=8, split_threshold=thr))
+        with pltpu.force_tpu_interpret_mode():
+            res[thr] = s.solve(pts, n_walks=96, max_steps=200, eps=2e-2,
+                               seed=9)
+    a, b = res[None], res[1.5]
+    comb = np.sqrt(a.stderr**2 + b.stderr**2)
+    dev = np.abs(a.mean - b.mean) / np.maximum(comb, 1e-12)
+    assert (dev < 4.0).all(), (a.mean, b.mean, dev)
+    # clones walked extra steps
+    assert b.total_steps > a.total_steps, (a.total_steps, b.total_steps)

@@ -232,3 +232,28 @@ def test_roulette_unbiased_and_saves_steps():
     assert (dev < 4.0).all(), (base.mean, roul.mean, dev)
     assert roul.total_steps < 0.9 * base.total_steps, (
         roul.total_steps, base.total_steps)
+
+
+def test_sigma_bar_override_zero_is_safe():
+    # sigma_bar_override=0.0 is floored (the screened-kernel norms and the
+    # Robin chord sampler divide by sigma_bar); a forced-robin solve on a
+    # harmonic-sqrt-alpha field must stay finite, not NaN.
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.geometry import Polyline
+
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-2.0, 0.0], [-2.0, -4.0], [2.0, -4.0], [2.0, 0.0]]
+        ),
+        neumann=Polyline.from_points([[-2.0, 0.0], [2.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x / 2.0,
+        alpha=lambda x, y: (1.0 - 0.2 * y) ** 2 + 0.0 * x,
+        sigma_bar_override=0.0,
+    )
+    assert prob.sigma_bar > 0
+    s = WoStSolver(prob, SolverOptions(target_slots=2048,
+                                       robin_correction=True))
+    res = s.solve(np.array([[0.0, -0.5]], np.float32), n_walks=300,
+                  max_steps=400, eps=1e-2, seed=0)
+    assert np.isfinite(res.mean).all() and np.isfinite(res.stderr).all()
