@@ -17,7 +17,8 @@ validated against scipy in ``tests/test_bessel_greens.py``.
 
 import jax.numpy as jnp
 
-__all__ = ["i0", "i0e", "k0", "k0e", "i1", "i1e", "k1", "k1e"]
+__all__ = ["i0", "i0e", "k0", "k0e", "i1", "i1e", "k1", "k1e",
+           "ii0e", "ik0"]
 
 # A&S 9.8.1: I0(x), |x| <= 3.75, t = (x/3.75)^2
 _I0_SMALL = (1.0, 3.5156229, 3.0899424, 1.2067492, 0.2659732, 0.0360768, 0.0045813)
@@ -161,3 +162,98 @@ def k1e(x):
     xs = jnp.maximum(xc, 2.0)
     return jnp.where(xc <= 2.0, _k1_small(jnp.minimum(xc, 2.0)) * jnp.exp(xc),
                      _k1e_large(xs))
+
+
+# --------------------------------------------------------------------- #
+# Integrals int_0^z I0(s) ds and int_0^z K0(s) ds (for the Robin chord / #
+# reflectance coefficient in ops/greens.py).                             #
+#                                                                        #
+# Small z: exact Taylor series. With a_k = 4^{-k}/(k!)^2 and             #
+# h_k = sum_{j<=k} 1/j,                                                  #
+#   int_0^z I0 = z * sum_k a_k z^{2k} / (2k+1)                           #
+#   int_0^z K0 = -(ln(z/2)+gamma_E) int_0^z I0                           #
+#                + z * sum_k a_k z^{2k} [1/(2k+1)^2 + h_k/(2k+1)]        #
+# (integrate K0 = -(ln(z/2)+gamma_E) I0 + sum_{k>=1} a_k h_k z^{2k}      #
+# term by term). Large z: least-squares fits of the A&S-style scaled     #
+# forms against scipy.special.iti0k0 (rel err < 3e-5, adequate for a     #
+# weight-correction coefficient; validated in tests/test_bessel_greens). #
+# --------------------------------------------------------------------- #
+
+_GAMMA_E = 0.5772156649015329
+_HALF_PI = 1.5707963267948966
+
+
+def _int_series_coeffs(n_terms=11):
+    # (A, B, C): int I0 / z = P_A(z^2); the K0-integral extra sum / z
+    # = P_B(z^2); the K0 regular part T/z^2 = P_C(z^2) where
+    # K0 = -(ln(z/2)+gamma_E) I0 + T
+    A, B, C = [], [], []
+    fact = 1.0
+    h = 0.0
+    for k in range(n_terms):
+        if k > 0:
+            fact *= k
+            h += 1.0 / k
+        a = 0.25 ** k / (fact * fact)
+        m = 2 * k + 1
+        A.append(a / m)
+        B.append(a * (1.0 / (m * m) + h / m))
+        if k > 0:
+            C.append(a * h)
+    return tuple(A), tuple(B), tuple(C)
+
+
+_II0_SER, _IK0_SER, _K0REG_SER = _int_series_coeffs()
+# sqrt(z) e^{-z} int_0^z I0 = P(3.75/z), z in [3.75, 600] (constant ~
+# 1/sqrt(2 pi) beyond; fit vs scipy.special.iti0k0, rel err < 3e-5)
+_II0E_LARGE = (
+    0.39892117833666013, 0.0683659380497933, -0.019199593449555692,
+    0.5493053727171856, -2.987467946770637, 9.326451372102712,
+    -15.800573705385947, 14.685752682422835, -7.138285073342126,
+    1.4282994561660782,
+)
+# (pi/2 - int_0^z K0) e^{z} sqrt(z) = Q(2/z), z in [2, 15] (fit rel err
+# < 2e-5; beyond z=15 the whole correction is < 1e-7 relative to pi/2,
+# below float32 resolution, so extrapolating Q is harmless)
+_IK0_TAIL = (
+    1.2532603568891372, -0.39012360170047267, 0.29878153845917976,
+    -0.30142804207123175, 0.2850220058180192, -0.2003588389084528,
+    0.08645137263695717, -0.0167236317256414,
+)
+
+
+def _ii0_over_z_series(z2):
+    """``(int_0^z I0) / z`` as a series in ``z^2`` (z <= 3.75)."""
+    return _polyval(_II0_SER, z2)
+
+
+def _ik0_reg_over_z_series(z2):
+    """The K0-integral's regular sum over z: ``P_B(z^2)`` (z <= 2)."""
+    return _polyval(_IK0_SER, z2)
+
+
+def _k0_reg_over_z2_series(z2):
+    """``T(z)/z^2`` where ``K0 = -(ln(z/2)+gamma_E) I0 + T`` (z <= 2)."""
+    return _polyval(_K0REG_SER, z2)
+
+
+def ii0e(z):
+    """Exponentially scaled integral: ``e^{-|z|} \\int_0^z I0(s) ds``."""
+    z = jnp.abs(z)
+    small = z * _ii0_over_z_series(z * z) * jnp.exp(-z)
+    zs = jnp.maximum(z, 3.75)
+    large = _polyval(_II0E_LARGE, 3.75 / zs) / jnp.sqrt(zs)
+    return jnp.where(z < 3.75, small, large)
+
+
+def ik0(z):
+    """``\\int_0^z K0(s) ds`` (monotone, ``-> pi/2`` as ``z -> inf``)."""
+    zc = jnp.maximum(z, 1e-30)
+    zsm = jnp.minimum(zc, 2.0)
+    z2 = zsm * zsm
+    L = jnp.log(0.5 * zsm) + _GAMMA_E
+    small = zsm * (_ik0_reg_over_z_series(z2) - L * _ii0_over_z_series(z2))
+    zs = jnp.maximum(zc, 2.0)
+    large = _HALF_PI - jnp.exp(-zs) / jnp.sqrt(zs) * _polyval(
+        _IK0_TAIL, 2.0 / zs)
+    return jnp.where(zc <= 2.0, small, large)

@@ -35,6 +35,7 @@ __all__ = [
     "screened_greens_norm_2d",
     "screened_interior_prob",
     "screened_greens_wall_ratio",
+    "screened_chord_integral",
 ]
 
 _TWO_PI = 2.0 * jnp.pi
@@ -126,3 +127,47 @@ def screened_greens_wall_ratio(d, R, sigma_bar):
     num = k0e(zd) - ratio_c * i0e(zd)
     den = q * (k1e(zd) + ratio_c * i1e(zd))
     return jnp.maximum(num, 0.0) / jnp.maximum(den, 1e-30)
+
+
+def screened_chord_integral(r, sigma_bar):
+    """``J(r) = \\int_0^r G_s(t) dt`` along a ray through the ball center.
+
+    Feeds the Robin REFLECTANCE coefficient ``c = 4 gamma J``: the
+    flat-wall chord term of an on-boundary walker is
+    ``\\int_chord gamma 2 G_s(|zeta|) u~ dzeta`` with the reflected kernel
+    ``G_refl = 2 G_s`` (THEORY.md §3-4), and its full chord integral with
+    ``u~ ~ const`` is ``2 gamma * 2 J``.
+
+    Small ``z = r sqrt(sigma_bar)``: the series form
+    ``J = (r / 2pi) (S2 - T ii0 / (z^2 I0) * z^2)`` in which the
+    ``ln(z/2)`` pieces of ``\\int K0`` and ``K0`` cancel ALGEBRAICALLY
+    (substituting ``K0 = -(ln(z/2)+gamma_E) I0 + T`` and the matching
+    integral series, see ``bessel._int_series_coeffs``), recovering the
+    unscreened ball limit ``\\int_0^r ln(r/t)/2pi dt = r/(2 pi)`` exactly
+    as ``sigma_bar -> 0`` — no division by ``sqrt(sigma_bar)``.
+    Large ``z``: scaled Bessel integrals (``bessel.ii0e`` / ``bessel.ik0``),
+    with the ``K0(z)/I0(z) \\int I0`` product computed from scaled forms
+    (``k0e ii0e e^{-z} / i0e``, overflow-free).
+    """
+    from .bessel import (
+        _ii0_over_z_series,
+        _ik0_reg_over_z_series,
+        _k0_reg_over_z2_series,
+        ii0e,
+        ik0,
+    )
+
+    q = jnp.sqrt(jnp.maximum(sigma_bar, 0.0))
+    z = r * q
+    zs = jnp.minimum(z, 2.0)
+    z2 = zs * zs
+    # J * 2pi / r = S2/z - (T / I0) * (ii0 / z), all series in z^2
+    i0_small = i0(zs)
+    small = (
+        _ik0_reg_over_z_series(z2)
+        - z2 * _k0_reg_over_z2_series(z2) * _ii0_over_z_series(z2) / i0_small
+    ) * (r / _TWO_PI)
+    zl = jnp.maximum(z, 2.0)
+    cross = k0e(zl) * ii0e(zl) * jnp.exp(-zl) / i0e(zl)
+    large = (ik0(zl) - cross) / (_TWO_PI * jnp.maximum(q, 1e-30))
+    return jnp.where(z <= 2.0, small, large)

@@ -411,6 +411,7 @@ def make_pallas_walk(
     from .greens import (
         greens_2d,
         greens_norm_2d,
+        screened_chord_integral,
         screened_greens_2d,
         screened_greens_norm_2d,
         screened_greens_wall_ratio,
@@ -471,7 +472,10 @@ def make_pallas_walk(
     sources = [_lift2d(f) for f in source_fields]
     alpha_c = _lift2d(pb.alpha_c) if use_delta else None
     sigma_prime = _lift2d(pb.sigma_prime) if use_delta else None
-    use_robin = use_delta and has_neumann and robin_correction
+    # robin_correction: False | "chain" (legacy True) | "reflectance",
+    # mirroring WoStSolver._robin_enabled's resolved modes
+    use_robin = use_delta and has_neumann and bool(robin_correction)
+    robin_chain = use_robin and robin_correction != "reflectance"
     if use_robin:
         grad_log_alpha_x = _lift2d(lambda x, y: pb.grad_log_alpha(x, y)[0])
         grad_log_alpha_y = _lift2d(lambda x, y: pb.grad_log_alpha(x, y)[1])
@@ -489,8 +493,9 @@ def make_pallas_walk(
         main_streams += [4]
     if use_mis:
         main_streams += [5, 6, 7, 8]
-    if use_robin:
+    if robin_chain:
         main_streams += [9, 10, 11]  # chord branch / side+U1 / technique+U2
+        # (reflectance mode is draw-free: same streams as robin-off)
 
     def kernel(*refs):
         seed_ref = refs[0]
@@ -596,6 +601,33 @@ def make_pallas_walk(
                 r = jnp.maximum(rmin_f, jnp.minimum(dD, d_sil))
             else:
                 r = jnp.maximum(rmin_f, dD)
+
+            if use_robin:
+                # on-boundary Robin chord mass c = 4 gamma J(r), mirroring
+                # solver/wost.py op-for-op (same placement right after the
+                # star radius so the attenuation multiply order matches
+                # bit-for-bit); the on-boundary radius is shrunk until
+                # |c| <= 1/2. Reflectance folds 1/(1-c) deterministically;
+                # chain uses c as the branch probability below.
+                glx0 = grad_log_alpha_x(px, py)
+                gly0 = grad_log_alpha_y(px, py)
+                gamma0 = -0.5 * (nxv * glx0 + nyv * gly0)
+                chord_j = screened_chord_integral(r, sigma_bar_f)
+                c_ch = 4.0 * gamma0 * chord_j
+                for _ in range(4):
+                    shrink = ob & (jnp.abs(c_ch) > 0.5)
+                    r_new = jnp.maximum(
+                        rmin_f,
+                        r * (0.5 / jnp.maximum(jnp.abs(c_ch), 1e-12)))
+                    r = jnp.where(shrink, r_new, r)
+                    chord_j = jnp.where(
+                        shrink, screened_chord_integral(r, sigma_bar_f),
+                        chord_j)
+                    c_ch = jnp.where(shrink, 4.0 * gamma0 * chord_j, c_ch)
+                c_ch = jnp.where(ob, jnp.clip(c_ch, -0.9, 0.9), 0.0)
+                if not robin_chain:
+                    atten = jnp.where(
+                        stepping & ob, atten / (1.0 - c_ch), atten)
 
             # ONE sin/cos pair at phi = pi u serves both the free direction
             # (theta = 2 phi via double angle) and the on-boundary
@@ -770,17 +802,15 @@ def make_pallas_walk(
                 newx = jnp.where(collide, sx, hx)
                 newy = jnp.where(collide, sy, hy)
                 new_ob = hit & ~collide
-                if use_robin:
+                if robin_chain:
                     # on-boundary chord continuation, mirroring
                     # solver/wost.py (same streams 9/10/11, same balanced
-                    # log/exponential mixture sampler)
-                    glx0 = grad_log_alpha_x(px, py)
-                    gly0 = grad_log_alpha_y(px, py)
-                    gamma0 = -0.5 * (nxv * glx0 + nyv * gly0)
+                    # log/exponential mixture sampler, same q = min(1/2,
+                    # |c|) branch rate from the chord mass computed above)
                     q_scr = jnp.sqrt(jnp.maximum(jnp.float32(sigma_bar_f),
                                                  1e-12))
                     q_c = jnp.where(
-                        ob, jnp.minimum(0.5, jnp.abs(gamma0) / q_scr), 0.0)
+                        ob, jnp.minimum(0.5, jnp.abs(c_ch)), 0.0)
                     branch = stepping & (u[9] < q_c) & (q_c > 1e-6)
                     side = jnp.where(u[10] < 0.5, -1.0, 1.0)
                     v = jnp.abs(2.0 * u[10] - 1.0)      # U1
@@ -824,7 +854,7 @@ def make_pallas_walk(
             # selects through an unsupported i8->i1 truncation
             ob = (stepping & new_ob) | (~stepping & ob)
             upd_n = stepping & hit
-            if use_robin:
+            if robin_chain:
                 upd_n = upd_n & ~branch  # chord stays on its own wall
             nxv = jnp.where(upd_n, hnx, nxv)
             nyv = jnp.where(upd_n, hny, nyv)

@@ -53,6 +53,7 @@ from ..geometry import queries
 from ..ops.greens import (
     greens_2d,
     greens_norm_2d,
+    screened_chord_integral,
     screened_greens_2d,
     screened_greens_norm_2d,
     screened_greens_wall_ratio,
@@ -164,36 +165,51 @@ class SolverOptions:
                                        # estimator's variance at the cost
                                        # of a small controlled bias; None
                                        # (default) keeps it unbiased.
-    robin_correction: object = "auto"  # FULL Robin boundary correction:
-                                       # the sqrt-alpha transform turns
+    robin_correction: object = "auto"  # Robin boundary correction: the
+                                       # sqrt-alpha transform turns
                                        # zero-flux u into a Robin condition
                                        # for u~ (gamma = d ln sqrt(alpha)/
                                        # dn_out) that plain reflection
-                                       # ignores. Realized exactly (for
-                                       # straight walls) by (a) weighting
+                                       # (False) ignores. Both modes weight
                                        # wall arrivals by
-                                       # 1 + gamma G_s/|dG_s/dn| and (b) a
-                                       # signed on-boundary CHORD branch
-                                       # for the flat-boundary term,
-                                       # sampled from a balanced log/
-                                       # exponential mixture that bounds
-                                       # the chord weights (THEORY.md §4) —
-                                       # unbiased on the exp(k y) analytic
-                                       # stress test even at
-                                       # gamma/sqrt(sigma_bar) ~ 1, where
-                                       # plain reflection is ~40% off and
-                                       # the reference diverges.
-                                       # "auto" (default): enabled iff the
-                                       # probed correction scale
+                                       # 1 + gamma G_s/|dG_s/dn| (4a); they
+                                       # differ on the on-boundary flat
+                                       # term (THEORY.md §4):
+                                       # * True / "chain" — strictly
+                                       #   unbiased signed CHORD branch:
+                                       #   branch probability = the actual
+                                       #   chord mass |c| = |4 gamma J(r)|
+                                       #   (J = screened_chord_integral),
+                                       #   point from a balanced log/
+                                       #   exponential mixture, so branch
+                                       #   weights are an O(1) density
+                                       #   ratio. ~2.3x stderr on the
+                                       #   notebook survey (the pre-J
+                                       #   q = |gamma|/sqrt(sigma_bar)
+                                       #   scaling cost 14x).
+                                       # * "reflectance" — deterministic
+                                       #   resummation: the chord integral
+                                       #   with u~ frozen at the walker is
+                                       #   folded as a per-visit weight
+                                       #   1/(1 - c), radii shrunk to
+                                       #   bound |c|. Zero added variance,
+                                       #   but the frozen-u~ residual is
+                                       #   REAL when the solution varies
+                                       #   along the wall within a chord
+                                       #   (measured low on the 1000 m
+                                       #   notebook survey, where chords
+                                       #   span hundreds of meters) —
+                                       #   exact only for u~ linear along
+                                       #   the wall. Use on problems whose
+                                       #   wall field is smooth at the
+                                       #   chord scale.
+                                       # "auto" (default): "chain" when
+                                       # the probed bias scale
                                        # max_boundary_gamma * min(diameter,
-                                       # 1/sqrt(sigma_bar)) exceeds 0.3 —
-                                       # the same dimensionless number is
-                                       # the bias of plain reflection AND
-                                       # the chord chain's per-visit
-                                       # variance load, so below it the
-                                       # correction costs more stderr than
-                                       # the bias it removes (see
-                                       # _robin_enabled). True/False force.
+                                       # 1/sqrt(sigma_bar)) exceeds 0.3
+                                       # (below it the removed bias is
+                                       # smaller than the chain's stderr
+                                       # cost), else off.
     rng: str = "fast"                  # "fast" (counter-hash; compiles in
                                        # seconds) or "threefry" (jax.random;
                                        # minutes of XLA compile in while-loops
@@ -251,20 +267,23 @@ class WoStSolver:
         self._solve_cache = {}
         self._robin_cache = None  # (problem.version, resolved bool)
 
-    def _robin_enabled(self) -> bool:
-        """Resolve ``SolverOptions.robin_correction`` (True/False/"auto").
+    def _robin_enabled(self):
+        """Resolve ``SolverOptions.robin_correction`` to a realization mode.
+
+        Returns ``False`` (plain reflection), ``"chain"`` (strictly
+        unbiased signed chord branch; legacy ``True``), or
+        ``"reflectance"`` (deterministic chord resummation, THEORY.md §4).
 
         Auto probes max |gamma| along the Neumann boundary and evaluates
         the dimensionless scale ``s = gamma * min(diameter,
-        1/sqrt(sigma_bar))``. ``s`` is BOTH the relative bias of plain
-        reflection on boundary-dominated observables AND the per-boundary-
-        visit load of the chord-branch realization, whose weight spread
-        compounds like exp(visits * s) (measured: the 1000 m notebook
-        survey at s = 0.12 pays ~14x stderr for a sub-noise bias fix,
-        while the exp(k y) stress test at s = 1.0 is ~40% biased without
-        the correction). Auto therefore enables the correction only above
-        s = 0.3, where the bias it removes outweighs the variance it
-        costs; force ``True`` for strict unbiasedness regardless.
+        1/sqrt(sigma_bar))`` — the relative bias of plain reflection on
+        boundary-dominated observables. Above ``s = 0.3`` auto enables
+        the strictly unbiased chord chain (~2.3x stderr measured on the
+        notebook survey with the chord-mass branch rate); below it the
+        bias is smaller than that stderr cost, so the correction stays
+        off. ``"reflectance"`` (zero added variance, but biased when the
+        solution varies along the wall within a chord) is never
+        auto-selected — opt in explicitly on wall-smooth problems.
         """
         pb = self.problem
         mode = self.options.robin_correction
@@ -272,13 +291,15 @@ class WoStSolver:
             return False
         if not (pb.use_delta_tracking and pb.neumann is not None):
             return False
+        if mode == "reflectance":
+            return "reflectance"
         if mode != "auto":
-            return True  # any truthy non-"auto" value forces it on
+            return "chain"  # True / "chain" / other truthy values
         if self._robin_cache is not None and self._robin_cache[0] == pb.version:
             return self._robin_cache[1]
         gmax = pb.max_boundary_gamma()
         scale = gmax * min(pb.diameter, 1.0 / np.sqrt(max(pb.sigma_bar, 1e-30)))
-        enabled = bool(scale > 0.3)
+        enabled = "chain" if scale > 0.3 else False
         self._robin_cache = (pb.version, enabled)
         return enabled
 
@@ -316,7 +337,9 @@ class WoStSolver:
         sources = [jax.vmap(_lift(f)) for f in source_fields]
         alpha_c = jax.vmap(_lift(pb.alpha_c)) if use_delta else None
         sigma_prime = jax.vmap(_lift(pb.sigma_prime)) if use_delta else None
-        use_robin = self._robin_enabled()
+        robin_mode = self._robin_enabled()  # False | "chain" | "reflectance"
+        use_robin = bool(robin_mode)
+        robin_chain = robin_mode == "chain"
         if use_robin:
             grad_log_alpha_x = jax.vmap(_lift(
                 lambda x, y: pb.grad_log_alpha(x, y)[0]))
@@ -334,8 +357,9 @@ class WoStSolver:
             raise ValueError("common random numbers require rng='fast'")
 
         n_u = 8 if use_mis else 4
-        if use_robin:
+        if robin_chain:
             n_u = 11  # three extra streams for the on-boundary chord branch
+            # (the reflectance mode is draw-free: no extra streams)
 
         def _lane_ids(W):
             # RNG stream id per lane: under CRN, slot j of every point maps
@@ -397,6 +421,45 @@ class WoStSolver:
             else:
                 d_sil = jnp.full_like(dD, jnp.inf)
                 r = jnp.maximum(rmin, dD)
+
+            if use_robin:
+                # -- on-boundary Robin chord mass (THEORY.md §4b/4c) ------ #
+                # c = 4 gamma J(r) is the frozen-u~ mass of the flat-wall
+                # chord term int_chord gamma 2 G_s(|zeta|) u~ dzeta
+                # (J = screened_chord_integral). Both realizations bound it
+                # by SHRINKING the on-boundary star radius until |c| <=
+                # c_max — the per-step identity holds for any radius below
+                # the silhouette bound, so this is exact, not a clamp.
+                # * reflectance: fold the term deterministically as
+                #   u~(x) = H / (1 - c) — every continuation weight
+                #   (arrivals, collisions, AND this step's source NEE)
+                #   carries 1/(1 - c). Zero added variance; residual bias
+                #   is second order in the wall variation of u~ over the
+                #   (shrunk) chord.
+                # * chain: c sets the branch probability q = min(1/2, |c|)
+                #   below, which makes the branch weight the O(1) density
+                #   ratio G_s/(2 J p_mix) — strictly unbiased with NO
+                #   exp-compounding weight spread.
+                c_max = 0.5
+                glx0 = grad_log_alpha_x(px, py)
+                gly0 = grad_log_alpha_y(px, py)
+                gamma0 = -0.5 * (state.nx * glx0 + state.ny * gly0)
+                chord_j = screened_chord_integral(r, sigma_bar)
+                c_ch = 4.0 * gamma0 * chord_j
+                for _ in range(4):
+                    shrink = on_bdry & (jnp.abs(c_ch) > c_max)
+                    r_new = jnp.maximum(
+                        rmin, r * (c_max / jnp.maximum(jnp.abs(c_ch), 1e-12)))
+                    r = jnp.where(shrink, r_new, r)
+                    chord_j = jnp.where(
+                        shrink, screened_chord_integral(r, sigma_bar), chord_j)
+                    c_ch = jnp.where(shrink, 4.0 * gamma0 * chord_j, c_ch)
+                # rmin can floor the shrink; keep the factor bounded
+                c_ch = jnp.where(
+                    on_bdry, jnp.clip(c_ch, -0.9, 0.9), 0.0)
+                if not robin_chain:
+                    atten = jnp.where(
+                        stepping & on_bdry, atten / (1.0 - c_ch), atten)
 
             # -- direction (WoStSolver.py:226-232; normal-centered fix) --- #
             # ONE sin/cos pair at phi = pi u serves both the free direction
@@ -603,32 +666,34 @@ class WoStSolver:
                 newx = jnp.where(collide, sx, hx)
                 newy = jnp.where(collide, sy, hy)
                 new_on_bdry = hit & ~collide
-                if use_robin:
+                if robin_chain:
                     # On-boundary CHORD continuation: for a walker standing
                     # ON the wall the Robin term int_flat gamma G_refl u~
                     # (G_refl = 2 G_s on the wall) is realized by branching
                     # with probability q_c to a chord point z = x + zeta t^,
                     # importance weight 2 gamma G_s(|zeta|)/p(zeta)/q_c;
                     # the non-branch continuation upweights by 1/(1 - q_c).
-                    # zeta is sampled from the BALANCED MIXTURE of a log
-                    # sampler (|zeta| = r U1 U2, density -ln(|z|/r)/(2r),
-                    # matching G_s's K0 log-divergence at 0) and a two-
-                    # sided truncated exponential at rate sqrt(sigma_bar)
-                    # (matching K0's decay tail), so the weight's kernel
-                    # ratio G_s/p_mix is bounded at BOTH ends — the single-
-                    # exponential realization left the log spike unmatched
-                    # and its chord weights heavy-tailed near zeta ~ 0.
+                    # q_c = min(1/2, |c|) with c = 4 gamma J(r) the ACTUAL
+                    # chord mass (computed with the star radius above), so
+                    # the branch weight is the O(1) density ratio
+                    # G_s/(2 J p_mix): branches are rare (prob ~ |c|) and
+                    # carry ~unit weight — no exp-compounding spread. (The
+                    # earlier q = |gamma|/sqrt(sigma_bar) mis-scaled the
+                    # branch rate and cost ~14x stderr on the notebook
+                    # survey.) zeta is sampled from the BALANCED MIXTURE of
+                    # a log sampler (|zeta| = r U1 U2, density
+                    # -ln(|z|/r)/(2r), matching G_s's K0 log-divergence at
+                    # 0) and a two-sided truncated exponential at rate
+                    # sqrt(sigma_bar) (matching K0's decay tail), so the
+                    # kernel ratio G_s/p_mix is bounded at BOTH ends.
                     # (Wall ARRIVALS of interior walkers carry their gamma
                     # term via w_rob above; on-boundary walkers have no
                     # self-wall arrivals, so this branch is the only
                     # realization of their flat term.)
-                    glx0 = grad_log_alpha_x(px, py)
-                    gly0 = grad_log_alpha_y(px, py)
-                    gamma0 = -0.5 * (state.nx * glx0 + state.ny * gly0)
                     q_scr = jnp.sqrt(jnp.maximum(sigma_bar, 1e-12))
                     q_c = jnp.where(
                         on_bdry,
-                        jnp.minimum(0.5, jnp.abs(gamma0) / q_scr), 0.0)
+                        jnp.minimum(0.5, jnp.abs(c_ch)), 0.0)
                     branch = stepping & (u[8] < q_c) & (q_c > 1e-6)
                     side = jnp.where(u[9] < 0.5, -1.0, 1.0)
                     v = jnp.abs(2.0 * u[9] - 1.0)      # U1
@@ -673,7 +738,7 @@ class WoStSolver:
             py = jnp.where(stepping, newy, py)
             on_bdry = jnp.where(stepping, new_on_bdry, on_bdry)
             upd_n = stepping & hit
-            if use_robin:
+            if robin_chain:
                 upd_n = upd_n & ~branch  # chord stays on its own wall
             nxx = jnp.where(upd_n, hnx, state.nx)
             nyy = jnp.where(upd_n, hny, state.ny)

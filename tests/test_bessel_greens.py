@@ -98,3 +98,41 @@ def test_interior_prob_in_unit_interval():
     p = np.asarray(screened_interior_prob(R, 5.0))
     assert np.all(p >= 0.0) and np.all(p <= 1.0)
     assert p[0] < 0.05 and p[-1] > 0.999
+
+
+def test_bessel_integrals_match_scipy():
+    # iti0k0 is scipy's oracle for int_0^z I0 and int_0^z K0 (the Robin
+    # reflectance coefficient's ingredients, ops/bessel.py ii0e/ik0)
+    from dcrmontecarlo_tpu.ops.bessel import ii0e, ik0
+
+    z = np.concatenate([
+        np.linspace(1e-6, 3.74, 200),
+        np.linspace(3.76, 50.0, 200),
+        np.linspace(51.0, 600.0, 100),
+    ])
+    ii0_ref, ik0_ref = sp.iti0k0(z)
+    np.testing.assert_allclose(
+        np.asarray(ii0e(jnp.asarray(z, jnp.float64))),
+        ii0_ref * np.exp(-z), rtol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(ik0(jnp.asarray(z, jnp.float64))), ik0_ref, rtol=5e-5)
+
+
+def test_screened_chord_integral_is_line_integral():
+    # J(r) = int_0^r G_s(t; r, sigma_bar) dt by quadrature, across both
+    # the series (z <= 2) and scaled-Bessel (z > 2) regimes, plus the
+    # unscreened limit J -> r/(2 pi) as sigma_bar -> 0.
+    from dcrmontecarlo_tpu.ops import screened_chord_integral
+
+    for r, sb in [(0.1, 0.5), (1.0, 1.0), (2.0, 9.0), (5.0, 4.0),
+                  (50.0, 0.04)]:
+        t = np.linspace(1e-9, r, 400000)
+        g = np.asarray(
+            screened_greens_2d(jnp.asarray(t, jnp.float64), r, sb))
+        want = np.trapezoid(g, t)
+        got = float(screened_chord_integral(
+            jnp.asarray(r, jnp.float64), sb))
+        np.testing.assert_allclose(got, want, rtol=2e-4)
+    np.testing.assert_allclose(
+        float(screened_chord_integral(jnp.asarray(1.3, jnp.float64), 1e-12)),
+        1.3 / (2 * np.pi), rtol=1e-6)

@@ -382,6 +382,29 @@ def test_pallas_matches_xla_robin_chord():
     assert rp.total_steps == rx.total_steps
 
 
+def test_pallas_matches_xla_robin_reflectance():
+    # Robin reflectance resummation (draw-free per-visit weight
+    # 1/(1 - 4 gamma J(r)) with amplifying-wall radius shrink) active on
+    # both backends with matched seeds — must be draw-for-draw identical.
+    import jax.numpy as jnp
+
+    alpha = lambda x, y: jnp.exp(0.3 * y) + 0.0 * x
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-5.0, 0.0], [-5.0, -10.0], [5.0, -10.0], [5.0, 0.0]]
+        ),
+        neumann=Polyline.from_points([[-5.0, 0.0], [5.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x / 5.0,
+        alpha=alpha,
+    )
+    opts = dict(target_slots=256, pallas_inner_steps=16,
+                pallas_block_rows=8, robin_correction="reflectance")
+    rp, rx = _pair(prob, np.array([[0.0, -0.2], [2.0, -1.0]]),
+                   max_steps=120, eps=0.02, opts=opts)
+    _assert_close(rp, rx, rel=1e-3)
+    assert rp.total_steps == rx.total_steps
+
+
 def test_compaction_matches_uncompacted():
     # Walker compaction permutes active lanes into smaller grids between
     # launches; stream ids ride in the state, so each walk is identical —

@@ -157,27 +157,30 @@ def test_neumann_coefficient_gradient_robin():
                     np.full(5, -0.05, np.float32)], 1)
     exact = pts[:, 0] / 5.0
     res = {}
-    for robin in (False, True):
+    for robin in (False, "chain", "reflectance"):
         s = WoStSolver(prob, SolverOptions(target_slots=65536,
                                            backend="xla",
                                            robin_correction=robin))
         res[robin] = s.solve(pts, n_walks=12000, max_steps=4000, eps=0.02,
                              seed=1)
         assert np.isfinite(res[robin].mean).all(), res[robin].mean
-    r = res[True]
-    dev = np.abs(r.mean - exact) / np.maximum(r.stderr, 1e-12)
-    assert (dev < 4.0).all(), (r.mean, exact, r.stderr, dev)
     sel = np.abs(exact) > 0.1
     err_plain = np.abs(res[False].mean - exact)[sel].sum()
-    err_robin = np.abs(r.mean - exact)[sel].sum()
-    assert err_robin < err_plain, (err_robin, err_plain)
+    for mode in ("chain", "reflectance"):
+        r = res[mode]
+        dev = np.abs(r.mean - exact) / np.maximum(r.stderr, 1e-12)
+        assert (dev < 4.0).all(), (mode, r.mean, exact, r.stderr, dev)
+        err_robin = np.abs(r.mean - exact)[sel].sum()
+        assert err_robin < err_plain, (mode, err_robin, err_plain)
 
 
 def test_robin_auto_policy():
     # "auto" compares the probed correction scale gamma_max * min(diam,
-    # 1/sqrt(sigma_bar)) against 0.3: the exp(k y) stress field (scale 1.0,
-    # 40% plain-reflection bias) must enable, a buried-bump conductivity
-    # with ~zero surface gamma must not, and explicit True/False override.
+    # 1/sqrt(sigma_bar)) against 0.3: the exp(k y) stress field (scale
+    # 1.0, 40% plain-reflection bias) resolves to the strictly unbiased
+    # "chain" realization, a buried-bump conductivity with ~zero surface
+    # gamma stays off (the bias is below the chain's stderr cost), and
+    # explicit False / True ("chain") / "reflectance" override.
     import jax.numpy as jnp
 
     from dcrmontecarlo_tpu.geometry import Polyline
@@ -199,12 +202,15 @@ def test_robin_auto_policy():
         bc_dirichlet=lambda x, y: 0.0 * x,
         alpha=lambda x, y: 1.0 + bump(x, y),
     )
-    assert WoStSolver(strong)._robin_enabled() is True
+    assert WoStSolver(strong)._robin_enabled() == "chain"
     assert WoStSolver(buried)._robin_enabled() is False
     assert WoStSolver(
         strong, SolverOptions(robin_correction=False))._robin_enabled() is False
     assert WoStSolver(
-        buried, SolverOptions(robin_correction=True))._robin_enabled() is True
+        buried, SolverOptions(robin_correction=True))._robin_enabled() == "chain"
+    assert WoStSolver(
+        buried, SolverOptions(robin_correction="reflectance"),
+    )._robin_enabled() == "reflectance"
 
 
 def test_roulette_unbiased_and_saves_steps():
