@@ -54,6 +54,17 @@ class ShardedWoStSolver(WoStSolver):
         super().__init__(problem, options)
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
+        if options.split_threshold is not None:
+            import warnings
+
+            warnings.warn(
+                "split_threshold is not applied on the sharded solver "
+                "(splitting pairs lanes within a device's slot block; "
+                "the sharded layouts don't carry per-lane stream state). "
+                "Heavy-tail control here: roulette_threshold / "
+                "max_attenuation, or solve per-shard with WoStSolver.",
+                stacklevel=2,
+            )
 
     def _slot_layout(self, n_points: int, n_walks: int):
         """Like the base layout but with K divisible by the mesh size."""

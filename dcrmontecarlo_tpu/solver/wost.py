@@ -128,30 +128,32 @@ class SolverOptions:
                                        # walking negligible weights to the
                                        # Dirichlet shell on absorbing
                                        # problems (sigma > 0). None: off.
-    split_threshold: float = None      # UNBIASED high-weight control
-                                       # (pallas backend): between kernel
-                                       # launches, a walker whose |weight|
-                                       # exceeds the threshold is SPLIT —
-                                       # an idle lane receives a copy of
-                                       # its walk state with a fresh RNG
-                                       # stream, both continue at half
-                                       # weight, and the clone retires
-                                       # after finishing this one walk.
-                                       # E[sum of halves] equals the
-                                       # unsplit walk exactly, so the mean
-                                       # stays unbiased while the heavy
-                                       # tail of negative-sigma' weight
-                                       # compounding is clipped into
-                                       # parallel sub-walks. Caveats:
-                                       # weights can still compound within
-                                       # one launch (lower
-                                       # pallas_inner_steps to tighten),
-                                       # stderr becomes a mild
-                                       # underestimate when split pieces
-                                       # correlate (pieces enter sumsq
-                                       # separately), and CRN lane
-                                       # matching does not extend to
-                                       # clones. None: off.
+    split_threshold: float = None      # UNBIASED high-weight control: a
+                                       # walker whose |weight| exceeds the
+                                       # threshold is SPLIT — an idle lane
+                                       # receives a copy of its walk state
+                                       # with a fresh RNG stream, both
+                                       # continue at half weight, and the
+                                       # clone retires after finishing
+                                       # this one walk. E[sum of halves]
+                                       # equals the unsplit walk exactly,
+                                       # so the mean stays unbiased while
+                                       # the heavy tail of negative-
+                                       # sigma' weight compounding is
+                                       # clipped into parallel sub-walks.
+                                       # Pallas backend: split between
+                                       # kernel launches (every
+                                       # pallas_inner_steps). XLA backend:
+                                       # split in-graph every 16 steps,
+                                       # paired within each point's slot
+                                       # block (delta-tracking problems,
+                                       # rng='fast'; ignored on the
+                                       # sharded solver). Caveats: stderr
+                                       # becomes a mild underestimate
+                                       # when split pieces correlate
+                                       # (pieces enter sumsq separately),
+                                       # and CRN lane matching does not
+                                       # extend to clones. None: off.
     max_attenuation: float = None      # optional walker-weight cap. Delta
                                        # tracking multiplies (1 - sigma'/
                                        # sigma_bar) per collision; where
@@ -372,12 +374,15 @@ class WoStSolver:
                 return ids % jnp.uint32(period)
             return ids // jnp.uint32(reps)  # slot-major: lane = j*P + p
 
-        def step(state: WalkerState, p0x, p0y, key):
+        def step(state: WalkerState, p0x, p0y, key, sid=None):
+            # sid: optional per-lane RNG stream ids overriding the static
+            # lane layout — the split-enabled run loop threads them so
+            # walker clones draw from fresh, collision-free streams
             W = state.px.shape[0]
             if rng_fast:
                 kd = jnp.asarray(key, jnp.uint32).reshape(-1)
                 seed32 = kd[0] ^ mix32(kd[-1])
-                lane_ids = _lane_ids(W)
+                lane_ids = _lane_ids(W) if sid is None else sid
                 # per-lane counter (walk#, step#): correlated streams
                 # survive walk desynchronization, and sequences are
                 # reproducible per walk
@@ -865,26 +870,118 @@ class WoStSolver:
         step_cap = max_quota * (max_steps + 1) + 2
 
         n_src = max(1, len(self.problem.source_fields))
+        use_split = (
+            self.options.split_threshold is not None
+            and self.problem.use_delta_tracking
+            and self.options.rng == "fast"  # clones need fresh hash streams
+        )
 
-        def run(points, key):
-            p0x = jnp.repeat(points[:, 0], K)
-            p0y = jnp.repeat(points[:, 1], K)
-            state = init_state(p0x, p0y, quotas, n_src=n_src)
-
-            def cond(s):
-                return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
-
-            def body(s):
-                s2, _ = step(s, p0x, p0y, key)
-                return s2
-
-            final = jax.lax.while_loop(cond, body, state)
+        def _finish(final):
             sums = final.acc_sum.reshape(n_src, n_points, K).sum(axis=2)
             sumsq = final.acc_sumsq.reshape(n_src, n_points, K).sum(axis=2)
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
             return mean, stderr, sums, sumsq, final.total_steps, final.step_idx
+
+        if not use_split:
+            def run(points, key):
+                p0x = jnp.repeat(points[:, 0], K)
+                p0y = jnp.repeat(points[:, 1], K)
+                state = init_state(p0x, p0y, quotas, n_src=n_src)
+
+                def cond(s):
+                    return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
+
+                def body(s):
+                    s2, _ = step(s, p0x, p0y, key)
+                    return s2
+
+                final = jax.lax.while_loop(cond, body, state)
+                return _finish(final)
+
+            return jax.jit(run)
+
+        # ---- in-graph high-weight splitting (unbiased; THEORY.md §5) ---- #
+        # Every SPLIT_EVERY steps, heavy mid-walk lanes (|atten| > thr)
+        # clone into idle lanes (quota exhausted) of the SAME point block —
+        # the point-major slot layout makes point identity positional, so
+        # pairing within each K-slot row keeps the accumulator reshape
+        # valid with no per-lane point-id array. Original and clone each
+        # carry half the weight with independent RNG streams; the clone
+        # re-runs only the walk's remainder (walk_acc starts at 0, quota
+        # exactly 1), so the mean is exactly that of the unsplit walk.
+        # Unlike the Pallas host loop (split at launch boundaries), this
+        # bounds weight compounding at SPLIT_EVERY steps.
+        SPLIT_EVERY = 16
+        thr = float(self.options.split_threshold)
+        rows_idx = jnp.arange(n_points)[:, None]
+        col_idx = jnp.arange(K)[None, :]
+        W_total = n_points * K
+        ids = np.arange(W_total, dtype=np.uint32)
+        sid0 = jnp.asarray(ids % np.uint32(K) if crn is not None else ids)
+
+        def do_split(s, sid, nsid):
+            rs = lambda v: v.reshape(n_points, K)
+            act = rs(s.quota > 0)
+            heavy = act & (rs(jnp.abs(s.atten)) > thr)
+            idle = ~act
+            src = jnp.argsort(~heavy, axis=1, stable=True)  # heavy first
+            dst = jnp.argsort(~idle, axis=1, stable=True)   # idle first
+            n = jnp.minimum(heavy.sum(1), idle.sum(1))      # per point row
+            do = col_idx < n[:, None]
+
+            def pair_copy(v):
+                m = rs(v)
+                return m.at[rows_idx, dst].set(
+                    jnp.where(do, m[rows_idx, src], m[rows_idx, dst])
+                ).reshape(-1)
+
+            is_src = jnp.zeros((n_points, K), bool).at[rows_idx, src].set(do)
+            is_dst = jnp.zeros((n_points, K), bool).at[rows_idx, dst].set(do)
+            halve = (is_src | is_dst).reshape(-1)
+            dst_flat = is_dst.reshape(-1)
+            att_p = pair_copy(s.atten)
+            atten = jnp.where(halve, att_p * 0.5, att_p)
+            # clone accumulates only the walk's remainder, counted once
+            wacc = jnp.where(dst_flat[None, :], 0.0, s.walk_acc)
+            # fresh, unique streams (>= 2^30, above lane/CRN ids)
+            fresh = nsid + jnp.arange(W_total, dtype=jnp.uint32)
+            new = s._replace(
+                px=pair_copy(s.px), py=pair_copy(s.py),
+                on_bdry=pair_copy(s.on_bdry),
+                nx=pair_copy(s.nx), ny=pair_copy(s.ny),
+                atten=atten, walk_acc=wacc,
+                steps_cur=pair_copy(s.steps_cur),
+                n_done=pair_copy(s.n_done),
+                quota=jnp.where(dst_flat, 1, s.quota),
+            )
+            sid = jnp.where(dst_flat, fresh, sid)
+            return new, sid, nsid + jnp.uint32(W_total)
+
+        def run(points, key):
+            p0x = jnp.repeat(points[:, 0], K)
+            p0y = jnp.repeat(points[:, 1], K)
+            state = init_state(p0x, p0y, quotas, n_src=n_src)
+
+            def cond(c):
+                s = c[0]
+                return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
+
+            def body(c):
+                s, sid, nsid = c
+                s2, _ = step(s, p0x, p0y, key, sid=sid)
+                return jax.lax.cond(
+                    s2.step_idx % SPLIT_EVERY == 0,
+                    do_split,
+                    lambda a, b, c_: (a, b, c_),
+                    s2, sid, nsid,
+                )
+
+            final, _, _ = jax.lax.while_loop(
+                cond, body, (state, sid0, jnp.uint32(1 << 30))
+            )
+            return _finish(final)
 
         return jax.jit(run)
 

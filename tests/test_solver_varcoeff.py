@@ -263,3 +263,32 @@ def test_sigma_bar_override_zero_is_safe():
     res = s.solve(np.array([[0.0, -0.5]], np.float32), n_walks=300,
                   max_steps=400, eps=1e-2, seed=0)
     assert np.isfinite(res.mean).all() and np.isfinite(res.stderr).all()
+
+
+def test_xla_split_threshold_unbiased():
+    # In-graph high-weight splitting on the XLA backend (the Pallas host
+    # loop has its own launch-boundary variant): on a negative-sigma'
+    # field whose delta-tracking weights compound above 1, the split-on
+    # solve must agree with the split-off solve within combined MC error,
+    # actually split (clones add walker-steps), and shrink the heavy-tail
+    # stderr.
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.geometry import square_loop
+
+    bump = lambda x, y: 1.0 + 3.0 * jnp.exp(-((x * x + y * y) / 0.18))
+    prob = Problem(dirichlet=square_loop(2.0),
+                   bc_dirichlet=lambda x, y: 1.0 + x * y, alpha=bump)
+    pts = np.array([[0.0, 0.0], [0.4, 0.2]])
+    res = {}
+    for thr in (None, 1.5):
+        s = WoStSolver(prob, SolverOptions(backend="xla", target_slots=2048,
+                                           split_threshold=thr))
+        res[thr] = s.solve(pts, n_walks=3000, max_steps=200, eps=2e-2,
+                           seed=9)
+    a, b = res[None], res[1.5]
+    comb = np.sqrt(a.stderr**2 + b.stderr**2)
+    dev = np.abs(a.mean - b.mean) / np.maximum(comb, 1e-12)
+    assert (dev < 4.0).all(), (a.mean, b.mean, dev)
+    assert b.total_steps > a.total_steps, (a.total_steps, b.total_steps)
+    assert (b.stderr < a.stderr).all(), (a.stderr, b.stderr)
