@@ -387,7 +387,9 @@ def make_pallas_walk(
     block_rows: int = 128,
     rejection_rounds: int = 64,
     max_attenuation=None,
-    robin_correction: bool = False,
+    robin_correction=False,  # False | True/"chain" | "reflectance"
+                             # (pre-RESOLVED: pass "auto" through
+                             # WoStSolver._robin_enabled, not here)
     roulette_threshold=None,
 ):
     """Build the fused multi-step kernel.

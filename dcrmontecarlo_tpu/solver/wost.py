@@ -267,7 +267,7 @@ class WoStSolver:
             z_max = max(10.0, 4.0 * problem.diameter * np.sqrt(problem.sigma_bar))
             self._table = build_screened_radial_table(z_max=z_max)
         self._solve_cache = {}
-        self._robin_cache = None  # (problem.version, resolved bool)
+        self._robin_cache = None  # (problem.version, False | "chain")
 
     def _robin_enabled(self):
         """Resolve ``SolverOptions.robin_correction`` to a realization mode.
@@ -800,6 +800,7 @@ class WoStSolver:
             }
             return new_state, diag
 
+        step.lane_ids = _lane_ids  # stream layout, for split-path seeding
         return step
 
     # ------------------------------------------------------------------ #
@@ -875,6 +876,15 @@ class WoStSolver:
             and self.problem.use_delta_tracking
             and self.options.rng == "fast"  # clones need fresh hash streams
         )
+        if self.options.split_threshold is not None and not use_split:
+            import warnings
+
+            warnings.warn(
+                "split_threshold is inert here: splitting applies to "
+                "delta-tracking problems with rng='fast' (weights stay "
+                "at 1.0 otherwise, so no lane can exceed the threshold).",
+                stacklevel=3,
+            )
 
         def _finish(final):
             sums = final.acc_sum.reshape(n_src, n_points, K).sum(axis=2)
@@ -918,8 +928,10 @@ class WoStSolver:
         rows_idx = jnp.arange(n_points)[:, None]
         col_idx = jnp.arange(K)[None, :]
         W_total = n_points * K
-        ids = np.arange(W_total, dtype=np.uint32)
-        sid0 = jnp.asarray(ids % np.uint32(K) if crn is not None else ids)
+        # the step core's own stream layout (exposed as step.lane_ids) is
+        # the single source of truth — re-deriving it here would silently
+        # diverge if the crn tuple's mode ever changes
+        sid0 = step.lane_ids(W_total)
 
         def do_split(s, sid, nsid):
             rs = lambda v: v.reshape(n_points, K)
@@ -945,8 +957,16 @@ class WoStSolver:
             atten = jnp.where(halve, att_p * 0.5, att_p)
             # clone accumulates only the walk's remainder, counted once
             wacc = jnp.where(dst_flat[None, :], 0.0, s.walk_acc)
-            # fresh, unique streams (>= 2^30, above lane/CRN ids)
-            fresh = nsid + jnp.arange(W_total, dtype=jnp.uint32)
+            # fresh, unique streams (>= 2^30, above lane/CRN ids). dst is
+            # a per-row permutation, so rank-in-row + row offset gives the
+            # paired dst lanes the first sum(n) ids after nsid — nsid then
+            # advances by the ACTUAL clone count (not W_total), keeping
+            # uint32 wraparound out of reach for any realistic solve
+            clone_rank = jnp.cumsum(n) - n  # clones in earlier rows
+            rank = (clone_rank[:, None] + col_idx).astype(jnp.uint32)
+            fresh_rows = nsid + jnp.zeros((n_points, K), jnp.uint32).at[
+                rows_idx, dst].set(rank)
+            fresh = fresh_rows.reshape(-1)
             new = s._replace(
                 px=pair_copy(s.px), py=pair_copy(s.py),
                 on_bdry=pair_copy(s.on_bdry),
@@ -957,7 +977,7 @@ class WoStSolver:
                 quota=jnp.where(dst_flat, 1, s.quota),
             )
             sid = jnp.where(dst_flat, fresh, sid)
-            return new, sid, nsid + jnp.uint32(W_total)
+            return new, sid, nsid + n.sum().astype(jnp.uint32)
 
         def run(points, key):
             p0x = jnp.repeat(points[:, 0], K)
