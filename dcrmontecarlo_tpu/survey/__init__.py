@@ -1,4 +1,5 @@
 from .efield import EFieldResult, estimate_field
+from .sensitivity import SensitivityResult, sensitivity_map
 from .dcr import (
     surface_electrode_line,
     dipole_voltages,
@@ -15,6 +16,8 @@ from .dcr import (
 __all__ = [
     "EFieldResult",
     "estimate_field",
+    "SensitivityResult",
+    "sensitivity_map",
     "surface_electrode_line",
     "dipole_voltages",
     "apparent_resistivity_2d",
