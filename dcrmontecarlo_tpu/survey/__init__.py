@@ -1,5 +1,11 @@
 from .efield import EFieldResult, estimate_field
-from .sensitivity import SensitivityResult, sensitivity_map
+from .sensitivity import (
+    JacobianResult,
+    SensitivityResult,
+    linearized_update,
+    sensitivity_map,
+    survey_jacobian,
+)
 from .dcr import (
     surface_electrode_line,
     dipole_voltages,
@@ -18,6 +24,9 @@ __all__ = [
     "estimate_field",
     "SensitivityResult",
     "sensitivity_map",
+    "JacobianResult",
+    "survey_jacobian",
+    "linearized_update",
     "surface_electrode_line",
     "dipole_voltages",
     "apparent_resistivity_2d",

@@ -43,7 +43,8 @@ from ..problems.fields import GaussianMixture, gaussian_dipole
 from ..solver.wost import SolverOptions
 from .efield import estimate_field
 
-__all__ = ["SensitivityResult", "sensitivity_map"]
+__all__ = ["SensitivityResult", "sensitivity_map",
+           "JacobianResult", "survey_jacobian", "linearized_update"]
 
 
 class SensitivityResult(NamedTuple):
@@ -126,3 +127,131 @@ def sensitivity_map(
         e_source=(ex_s, ey_s),
         e_adjoint=(ex_a, ey_a),
     )
+
+
+class JacobianResult(NamedTuple):
+    grid: np.ndarray          # (N, 2) evaluation points
+    rows: np.ndarray          # (M, N) dV_m/d alpha(x) per unit area
+    rows_log: np.ndarray      # (M, N) dV_m/d ln alpha(x) = alpha * rows
+    stderr: np.ndarray        # (M, N) conservative bounds
+    src_pairs: list           # (M,) (a, b) electrode-index tuples
+    rx_pairs: list            # (M,) (m, n) electrode-index tuples
+    fields: tuple             # (ex, ey), each (n_dipoles, N): the shared
+                              # unit-dipole field set the rows are built of
+
+
+def survey_jacobian(
+    survey,
+    electrodes,
+    grid_points,
+    num_rx_per_src: int = 10,
+    h: float = None,
+    n_walks: int = 4000,
+    max_steps: int = 500,
+    eps: float = 0.9,
+    seed: int = 0,
+    options: SolverOptions = None,
+) -> JacobianResult:
+    """Fréchet Jacobian of EVERY dipole-dipole voltage in one solve.
+
+    The key identity: every measurement row is the pairwise product
+    ``-I * E_s(x) . E_r(x)`` of fields from the SAME set of unit
+    consecutive-electrode dipoles — source dipole ``(i, i+1)`` and
+    receiver dipole ``(j, j+1)`` are the same kind of object by
+    reciprocity. So the ``n_electrodes - 1`` unit dipoles ride one walker
+    ensemble as simultaneous sources (walk paths are source-independent),
+    ONE CRN stencil solve estimates all their E-fields at the grid, and
+    the full Jacobian (M measurements x N cells) assembles as outer
+    products — versus ``M`` adjoint PDE solves for a FEM Jacobian.
+
+    Measurement enumeration matches :func:`dipole_dipole_pairs`
+    (SimPEG dipole-dipole convention, as in ``run_pseudosection``).
+    Rows are ordered source-major: for each source pair, its receivers
+    in increasing offset.
+    """
+    from .dcr import dipole_dipole_pairs
+    from ..problems.problem import Problem
+
+    elec = np.asarray(electrodes, np.float64).reshape(-1, 2)
+    n_elec = len(elec)
+    if h is None:
+        h = 0.5 * survey.source_width
+    w = survey.source_width
+    buried = [survey._bury_source(p) for p in elec]
+    n_dip = n_elec - 1
+    sources = [
+        gaussian_dipole(buried[k], buried[k + 1], 1.0, w)
+        for k in range(n_dip)
+    ]
+    base = survey.build_problem()
+    importance = None
+    if survey.source_mis:
+        importance = GaussianMixture.from_components(
+            [(p, w, 1.0 / n_elec) for p in buried]
+        )
+    problem = Problem(
+        dirichlet=base.dirichlet,
+        neumann=base.neumann,
+        bc_dirichlet=base.bc_dirichlet,
+        source=sources,
+        alpha=survey.conductivity,
+        sigma_bar_override=survey.sigma_bar_override,
+        source_importance=importance,
+    )
+
+    f = estimate_field(
+        problem, grid_points, h=h, n_walks=n_walks, max_steps=max_steps,
+        eps=eps, seed=seed, options=options,
+    )
+    ex, ey = f.ex, f.ey                      # (n_dip, N)
+    exe, eye = f.ex_stderr, f.ey_stderr
+    src_list, rx_lists = dipole_dipole_pairs(n_elec, num_rx_per_src)
+    cur = survey.current
+    rows, errs, src_pairs, rx_pairs = [], [], [], []
+    for (a, b), rxs in zip(src_list, rx_lists):
+        s = a  # consecutive dipole (a, a+1) is unit dipole index a
+        for (m, n) in rxs:
+            r = m
+            rows.append(-cur * (ex[s] * ex[r] + ey[s] * ey[r]))
+            errs.append(cur * np.sqrt(
+                (ex[r] * exe[s]) ** 2 + (ex[s] * exe[r]) ** 2
+                + (ey[r] * eye[s]) ** 2 + (ey[s] * eye[r]) ** 2
+            ))
+            src_pairs.append((a, b))
+            rx_pairs.append((m, n))
+    rows = np.stack(rows)
+    errs = np.stack(errs)
+    pts = np.asarray(grid_points, np.float64).reshape(-1, 2)
+    import jax.numpy as jnp
+
+    alpha_g = np.asarray(problem.alpha(jnp.asarray(pts[:, 0]),
+                                       jnp.asarray(pts[:, 1])))
+    return JacobianResult(
+        grid=pts,
+        rows=rows,
+        rows_log=rows * alpha_g[None, :],
+        stderr=errs,
+        src_pairs=src_pairs,
+        rx_pairs=rx_pairs,
+        fields=(ex, ey),
+    )
+
+
+def linearized_update(jac: JacobianResult, d_resid, cell_area,
+                      lam_rel: float = 0.05, log_space: bool = False):
+    """One Tikhonov-regularized linearized (Born / Gauss-Newton) update.
+
+    Solves ``min ||A m - d||^2 + lam ||m||^2`` with ``A = rows * cell_area``
+    (so ``m`` is the per-cell conductivity perturbation ``d_alpha``, or
+    ``d ln alpha`` with ``log_space=True``) via the dual normal equations —
+    the measurement count is tiny next to the cell count, so
+    ``A^T (A A^T + lam I)^{-1} d`` is the cheap direction. ``lam`` is set
+    relative to the data-space operator scale ``trace(A A^T)/M``, which
+    makes ``lam_rel`` dimensionless and transferable across surveys.
+    """
+    d = np.asarray(d_resid, np.float64)
+    A = np.asarray(jac.rows_log if log_space else jac.rows,
+                   np.float64) * cell_area
+    gram = A @ A.T
+    lam = lam_rel * np.trace(gram) / max(len(d), 1)
+    return A.T @ np.linalg.solve(gram + lam * np.eye(len(d)), d)
