@@ -1,4 +1,9 @@
-from .manufactured import polynomial_manufactured, trig_manufactured, interior_grid
+from .manufactured import (
+    autodiff_manufactured,
+    interior_grid,
+    polynomial_manufactured,
+    trig_manufactured,
+)
 from .poisson import poisson_square, poisson_solve_points
 from .varcoeff import variable_coefficient_problem, varcoeff_solve_points
 from .dcr_scenarios import geophysical_scenario, notebook_survey
@@ -14,6 +19,7 @@ __all__ = [
     "rolling_hills",
     "polynomial_manufactured",
     "trig_manufactured",
+    "autodiff_manufactured",
     "interior_grid",
     "poisson_square",
     "poisson_solve_points",

@@ -16,6 +16,7 @@ from ..problems.problem import Problem
 __all__ = [
     "polynomial_manufactured",
     "trig_manufactured",
+    "autodiff_manufactured",
     "interior_grid",
 ]
 
@@ -104,3 +105,75 @@ def interior_grid(domain_size: float = 2.0, n_points: int = 4, margin: float = 0
     g = np.linspace(-c, c, n_points)
     X, Y = np.meshgrid(g, g, indexing="ij")
     return np.stack([X.ravel(), Y.ravel()], axis=1).astype(np.float32)
+
+
+def autodiff_manufactured(
+    u,
+    alpha=None,
+    sigma=None,
+    dirichlet=None,
+    neumann=None,
+    **problem_kwargs,
+) -> Tuple[Problem, Callable]:
+    """Manufacture a problem for ANY ``u``/``alpha``/``sigma`` by autodiff.
+
+    The reference derives every manufactured source by hand
+    (``testWoStCorrectness.py:81-142`` — and gets a sign wrong in its trig
+    variant); here the source
+
+        ``f = -div(alpha grad u) + sigma u
+           = -(alpha lap u + grad alpha . grad u) + sigma u``
+
+    is built at trace time with ``jax.grad`` (``utils/autodiff.py``) from
+    the SAME jnp-traceable callables the solver consumes, so arbitrary
+    smooth coefficients and geometries become oracle-gated test problems
+    with zero hand algebra.
+
+    Args:
+        u: jnp-traceable exact solution ``u(x, y)``. It is also used as
+            the Dirichlet BC. If ``neumann`` walls are passed, the CALLER
+            must choose ``u`` with zero normal derivative there (the
+            solver imposes zero flux; a mismatch is a modelling error,
+            not a solver bug).
+        alpha, sigma: optional coefficient fields (defaults 1 / 0).
+        dirichlet: boundary ``Polyline`` (default: unit square loop).
+
+    Returns ``(Problem, u_exact)`` with ``u_exact`` evaluating ``u`` on an
+    ``(N, 2)`` array.
+    """
+    import jax
+
+    from ..utils.autodiff import gradient, laplacian
+
+    if dirichlet is None:
+        dirichlet = square_loop(1.0)
+    a = alpha if alpha is not None else (lambda x, y: 1.0 + 0.0 * x)
+    grad_u = gradient(u)
+    lap_u = laplacian(u)
+    grad_a = gradient(a)
+
+    def source(x, y):
+        gx, gy = grad_u(x, y)
+        ax, ay = grad_a(x, y)
+        f = -(a(x, y) * lap_u(x, y) + ax * gx + ay * gy)
+        if sigma is not None:
+            f = f + sigma(x, y) * u(x, y)
+        return f
+
+    prob = Problem(
+        dirichlet=dirichlet,
+        neumann=neumann,
+        bc_dirichlet=u,
+        source=source,
+        alpha=alpha,
+        sigma=sigma,
+        **problem_kwargs,
+    )
+
+    u_vec = jax.jit(jax.vmap(u))
+
+    def u_exact(pts):
+        pts = np.asarray(pts, np.float32)
+        return np.asarray(u_vec(jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1])))
+
+    return prob, u_exact

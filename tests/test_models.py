@@ -70,3 +70,54 @@ def test_varcoeff_uncapped_is_finite():
     )
     # without the cap the estimate stays finite (tails are heavy, not inf)
     assert np.isfinite(res.mean).all() and np.isfinite(res.stderr).all()
+
+
+def test_autodiff_manufactured_circle_exotic_fields():
+    # The autodiff MMS factory derives f = -div(alpha grad u) + sigma u
+    # with jax.grad at trace time for ANY smooth fields (the reference
+    # hand-derives its two manufactured sources and has a sign slip in
+    # one); gate an exotic coefficient set on a circular domain at 4
+    # sigma.
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.geometry import circle_loop
+    from dcrmontecarlo_tpu.models import autodiff_manufactured
+    from dcrmontecarlo_tpu.solver import SolverOptions, WoStSolver
+
+    u = lambda x, y: jnp.exp(0.3 * x) * jnp.cos(0.8 * y)
+    alpha = lambda x, y: 1.5 + 0.4 * jnp.sin(x) * jnp.cos(y)
+    sigma = lambda x, y: 0.5 + 0.2 * x * x
+    prob, u_exact = autodiff_manufactured(u, alpha, sigma,
+                                          dirichlet=circle_loop(1.2, n=128))
+    s = WoStSolver(prob, SolverOptions(target_slots=16384))
+    pts = np.array([[0.0, 0.0], [0.5, 0.3], [-0.4, 0.6]], np.float32)
+    r = s.solve(pts, n_walks=6000, max_steps=800, eps=1e-3, seed=0)
+    dev = np.abs(r.mean - u_exact(pts)) / np.maximum(r.stderr, 1e-12)
+    assert (dev < 4.0).all(), (r.mean, u_exact(pts), dev)
+
+
+def test_autodiff_manufactured_neumann_curved_wall_field():
+    # Zero-flux wall with u = cos(0.7x) cosh(0.7y) (du/dy = 0 at y=0) and
+    # alpha = exp(0.4 y): the wall field CURVES along the wall, so this
+    # exercises exactly the regime where the chain Robin realization must
+    # stay unbiased (and the frozen-u~ reflectance would not); auto
+    # resolves to "chain" here (scale ~ 0.8).
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.geometry import Polyline
+    from dcrmontecarlo_tpu.models import autodiff_manufactured
+    from dcrmontecarlo_tpu.solver import SolverOptions, WoStSolver
+
+    u = lambda x, y: jnp.cos(0.7 * x) * jnp.cosh(0.7 * y)
+    alpha = lambda x, y: jnp.exp(0.4 * y) + 0.0 * x
+    prob, u_exact = autodiff_manufactured(
+        u, alpha,
+        dirichlet=Polyline.from_points(
+            [[-2.0, 0.0], [-2.0, -3.0], [2.0, -3.0], [2.0, 0.0]]),
+        neumann=Polyline.from_points([[-2.0, 0.0], [2.0, 0.0]]))
+    s = WoStSolver(prob, SolverOptions(target_slots=32768))
+    assert s._robin_enabled() == "chain"
+    pts = np.array([[0.0, -0.1], [1.0, -0.5], [-1.2, -0.2]], np.float32)
+    r = s.solve(pts, n_walks=12000, max_steps=2000, eps=0.01, seed=1)
+    dev = np.abs(r.mean - u_exact(pts)) / np.maximum(r.stderr, 1e-12)
+    assert (dev < 4.0).all(), (r.mean, u_exact(pts), dev)
