@@ -1,6 +1,6 @@
 from .state import WalkerState, init_state
 from .wost import WoStSolver, SolveResult, SolverOptions
-from .stream import StreamState, solve_stream
+from .stream import StreamState, solve_stream, solve_to_tolerance
 
 __all__ = [
     "WalkerState",
@@ -10,4 +10,5 @@ __all__ = [
     "SolverOptions",
     "StreamState",
     "solve_stream",
+    "solve_to_tolerance",
 ]

@@ -18,7 +18,7 @@ import numpy as np
 
 from .wost import SolveResult, WoStSolver
 
-__all__ = ["StreamState", "solve_stream"]
+__all__ = ["StreamState", "solve_stream", "solve_to_tolerance"]
 
 
 @dataclass
@@ -86,6 +86,73 @@ def solve_stream(
             state.sumsq = state.sumsq + b_sumsq
         state.n_walks += n
         state.total_steps += res.total_steps
+        state.batches += 1
+        done += n
+        batch_idx += 1
+        if callback is not None:
+            callback(batch_idx, state.result())
+    solver._stream_state = state
+    return state.result()
+
+
+def solve_to_tolerance(
+    solver: WoStSolver,
+    points,
+    target_stderr: float,
+    relative: bool = False,
+    batch_walks: int = 4096,
+    max_walks: int = 1 << 20,
+    max_steps: int = 1000,
+    eps: float = 1e-4,
+    seed: int = 0,
+    callback: Optional[Callable[[int, SolveResult], None]] = None,
+    state: Optional[StreamState] = None,
+) -> SolveResult:
+    """Accumulate walk batches until the MC error meets a target.
+
+    Adaptive sampling for production use: instead of guessing ``n_walks``
+    up front (the reference's only mode), keep adding fixed-size batches
+    (one compiled executable, re-invoked with fresh seeds) until every
+    point's standard error is at or below ``target_stderr`` — absolute,
+    or relative to the largest ``|mean|`` across points when
+    ``relative=True`` (a survey-scale criterion that doesn't stall on
+    near-zero-potential electrodes). ``max_walks`` bounds the budget;
+    the returned result reports whatever accuracy that budget bought.
+
+    The running :class:`StreamState` is stored on
+    ``solver._stream_state`` exactly like :func:`solve_stream`, so a
+    tolerance run can be checkpointed, resumed, or topped up later with
+    a tighter target.
+    """
+    pts = np.asarray(points, np.float32).reshape(-1, 2)
+    batch_idx = state.batches if state is not None else 0
+    done = state.n_walks if state is not None else 0
+    while True:
+        if state is not None:
+            res = state.result()
+            thr = target_stderr * (
+                np.max(np.abs(res.mean)) if relative else 1.0
+            )
+            if np.max(res.stderr) <= thr:
+                break
+            if done >= max_walks:
+                break
+        n = min(batch_walks, max_walks - done)
+        if n <= 0:
+            break
+        sres = solver.solve(
+            pts, n_walks=n, max_steps=max_steps, eps=eps,
+            seed=seed + 1000003 * batch_idx,
+        )
+        b_sum = np.asarray(sres.walk_sum)
+        b_sumsq = np.asarray(sres.walk_sumsq)
+        if state is None:
+            state = StreamState(sum=b_sum, sumsq=b_sumsq)
+        else:
+            state.sum = state.sum + b_sum
+            state.sumsq = state.sumsq + b_sumsq
+        state.n_walks += n
+        state.total_steps += sres.total_steps
         state.batches += 1
         done += n
         batch_idx += 1

@@ -70,3 +70,53 @@ def test_stream_single_batch_exactly_matches_direct_solve():
     # numpy f32 division)
     np.testing.assert_allclose(stream.mean, direct.mean, rtol=2e-7)
     np.testing.assert_allclose(stream.stderr, direct.stderr, rtol=2e-6)
+
+
+def test_solve_to_tolerance_reaches_target():
+    # Adaptive batching stops once every point's stderr meets the target
+    # (and not before): the result must satisfy the criterion, use more
+    # than one batch, and agree with the analytic solution.
+    from dcrmontecarlo_tpu.solver import solve_to_tolerance
+
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x + 2.0 * y)
+    solver = WoStSolver(prob, SolverOptions(target_slots=4096))
+    pts = np.array([[0.0, 0.0], [0.4, -0.2]], np.float32)
+    seen = []
+    res = solve_to_tolerance(solver, pts, target_stderr=8e-3,
+                             batch_walks=1024, max_walks=1 << 17,
+                             max_steps=300, eps=1e-3, seed=5,
+                             callback=lambda i, r: seen.append(r.stderr.max()))
+    assert res.stderr.max() <= 8e-3, res.stderr
+    assert res.iterations > 1, res.iterations  # actually adapted
+    assert seen[0] > 8e-3  # first batch alone was not enough
+    exact = pts[:, 0] + 2.0 * pts[:, 1]
+    dev = np.abs(res.mean - exact) / np.maximum(res.stderr, 1e-12)
+    assert (dev < 4.0).all(), (res.mean, exact, dev)
+
+
+def test_solve_to_tolerance_budget_cap_and_resume():
+    # max_walks bounds the budget; resuming with a looser target returns
+    # immediately, and topping up with a tighter target continues from
+    # the stored state instead of restarting.
+    from dcrmontecarlo_tpu.solver import solve_to_tolerance
+
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x * x - y * y)
+    solver = WoStSolver(prob, SolverOptions(target_slots=4096))
+    pts = np.array([[0.2, 0.1]], np.float32)
+    res = solve_to_tolerance(solver, pts, target_stderr=1e-9,
+                             batch_walks=1024, max_walks=2048,
+                             max_steps=300, eps=1e-3, seed=3)
+    assert res.n_walks == 2048  # budget-capped
+    st = solver._stream_state
+    res2 = solve_to_tolerance(solver, pts, target_stderr=1.0,
+                              batch_walks=1024, max_walks=2048,
+                              max_steps=300, eps=1e-3, seed=3, state=st)
+    assert res2.n_walks == 2048  # already satisfied: no new batches
+    res3 = solve_to_tolerance(solver, pts,
+                              target_stderr=res.stderr.max() * 0.7,
+                              batch_walks=1024, max_walks=1 << 14,
+                              max_steps=300, eps=1e-3, seed=3, state=st)
+    assert res3.n_walks > 2048  # topped up from the stored state
+    assert res3.stderr.max() <= res.stderr.max() * 0.7
