@@ -429,6 +429,11 @@ def make_pallas_walk(
     # python float, NOT jnp.float32: pallas kernels cannot capture
     # pre-created array constants; in-trace f32 conversion is identical
     sigma_bar_f = float(pb.sigma_bar) if use_delta else None
+    local_mj = pb.local_majorant if use_delta else None
+    if local_mj is not None:
+        sb_bg_f = float(max(local_mj.sigma_bar_bg, 1e-12))
+        mfp_bg_f = float(1.0 / np.sqrt(max(local_mj.sigma_bar_bg, 1e-12)))
+        mfp_gl_f = float(1.0 / np.sqrt(max(pb.sigma_bar, 1e-30)))
     importance = pb.source_importance
     use_mis = has_source and importance is not None
     if use_mis:
@@ -604,6 +609,19 @@ def make_pallas_walk(
             else:
                 r = jnp.maximum(rmin_f, dD)
 
+            # two-level local majorant, mirroring solver/wost.py op-for-op
+            # (same placement, same progress heuristic; region constants
+            # unroll into a few register selects)
+            if use_delta and local_mj is not None:
+                d_far = local_mj.distance(px, py)
+                rB = jnp.minimum(r, d_far)
+                useB = (d_far >= rmin_f) & (
+                    jnp.minimum(rB, mfp_bg_f) > jnp.minimum(r, mfp_gl_f))
+                r = jnp.where(useB, rB, r)
+                sbar = jnp.where(useB, sb_bg_f, sigma_bar_f)
+            elif use_delta:
+                sbar = jnp.full_like(r, sigma_bar_f)
+
             if use_robin:
                 # on-boundary Robin chord mass c = 4 gamma J(r), mirroring
                 # solver/wost.py op-for-op (same placement right after the
@@ -614,7 +632,7 @@ def make_pallas_walk(
                 glx0 = grad_log_alpha_x(px, py)
                 gly0 = grad_log_alpha_y(px, py)
                 gamma0 = -0.5 * (nxv * glx0 + nyv * gly0)
-                chord_j = screened_chord_integral(r, sigma_bar_f)
+                chord_j = screened_chord_integral(r, sbar)
                 c_ch = 4.0 * gamma0 * chord_j
                 for _ in range(4):
                     shrink = ob & (jnp.abs(c_ch) > 0.5)
@@ -623,7 +641,7 @@ def make_pallas_walk(
                         r * (0.5 / jnp.maximum(jnp.abs(c_ch), 1e-12)))
                     r = jnp.where(shrink, r_new, r)
                     chord_j = jnp.where(
-                        shrink, screened_chord_integral(r, sigma_bar_f),
+                        shrink, screened_chord_integral(r, sbar),
                         chord_j)
                     c_ch = jnp.where(shrink, 4.0 * gamma0 * chord_j, c_ch)
                 c_ch = jnp.where(ob, jnp.clip(c_ch, -0.9, 0.9), 0.0)
@@ -676,7 +694,7 @@ def make_pallas_walk(
                         _counter_uniform_2d(sd, ctr, sid_u32, [1, 2, 3, 4])
                     )
 
-                r_s, w_rej = _exact_rejection(draw_r, r, sigma_bar_f,
+                r_s, w_rej = _exact_rejection(draw_r, r, sbar,
                                               rejection_rounds,
                                               with_weight=True)
                 atten = jnp.where(stepping, atten * w_rej, atten)
@@ -694,7 +712,7 @@ def make_pallas_walk(
 
             if has_source and not use_mis:
                 if use_delta:
-                    w_src = (screened_greens_norm_2d(r, sigma_bar_f)
+                    w_src = (screened_greens_norm_2d(r, sbar)
                              / jnp.sqrt(a_s * a_p) * atten)
                 else:
                     w_src = greens_norm_2d(r)
@@ -727,8 +745,8 @@ def make_pallas_walk(
                 d_y = jnp.sqrt((yx - px) ** 2 + (yy - py) ** 2)
                 d_safe = jnp.maximum(d_y, 1e-12)
                 if use_delta:
-                    g_val = screened_greens_2d(d_safe, r, sigma_bar_f)
-                    norm = screened_greens_norm_2d(r, sigma_bar_f)
+                    g_val = screened_greens_2d(d_safe, r, sbar)
+                    norm = screened_greens_norm_2d(r, sbar)
                 else:
                     g_val = greens_2d(d_safe, r)
                     norm = greens_norm_2d(r)
@@ -767,7 +785,7 @@ def make_pallas_walk(
                     accs[i] = accs[i] + sources[i](yx, yy) * w_mis
 
             if use_delta:
-                p_int = screened_interior_prob(r, sigma_bar_f)
+                p_int = screened_interior_prob(r, sbar)
                 interior = u[4] < p_int
                 # wall-arrival semantics mirror solver/wost.py (scheme +
                 # rationale documented there): an interior-sampled radius
@@ -778,7 +796,7 @@ def make_pallas_walk(
                 a_h = alpha_c(hx, hy)
                 sp_s = sigma_prime(sx, sy)
                 scale_int = jnp.sqrt(a_s_mv / a_p) * jnp.maximum(
-                    1.0 - sp_s / sigma_bar_f, 0.0
+                    1.0 - sp_s / sbar, 0.0
                 )
                 scale_edge = jnp.sqrt(a_h / a_p)
                 atten_pre = atten  # chord-branch lanes skip the move scale
@@ -789,7 +807,7 @@ def make_pallas_walk(
                     gly = grad_log_alpha_y(hx, hy)
                     gamma = -0.5 * (hnx * glx + hny * gly)
                     cosphi = jnp.maximum(-(dx * hnx + dy * hny), 0.1)
-                    rho = screened_greens_wall_ratio(t_hit, r, sigma_bar_f)
+                    rho = screened_greens_wall_ratio(t_hit, r, sbar)
                     w_rob = jnp.where(
                         hit,
                         jnp.maximum(1.0 + gamma * rho / cosphi, 0.0),
@@ -809,8 +827,7 @@ def make_pallas_walk(
                     # solver/wost.py (same streams 9/10/11, same balanced
                     # log/exponential mixture sampler, same q = min(1/2,
                     # |c|) branch rate from the chord mass computed above)
-                    q_scr = jnp.sqrt(jnp.maximum(jnp.float32(sigma_bar_f),
-                                                 1e-12))
+                    q_scr = jnp.sqrt(jnp.maximum(sbar, 1e-12))
                     q_c = jnp.where(
                         ob, jnp.minimum(0.5, jnp.abs(c_ch)), 0.0)
                     branch = stepping & (u[9] < q_c) & (q_c > 1e-6)
@@ -829,7 +846,7 @@ def make_pallas_walk(
                         2.0 * jnp.maximum(trunc, 1e-12))
                     p_mix = 0.5 * (p_log + p_exp)
                     g_ch = jnp.maximum(
-                        screened_greens_2d(az, r, sigma_bar_f), 0.0)
+                        screened_greens_2d(az, r, sbar), 0.0)
                     w_ch = 2.0 * gamma0 * g_ch / jnp.maximum(p_mix, 1e-30)
                     zx = px + zeta * (-nyv)
                     zy = py + zeta * nxv

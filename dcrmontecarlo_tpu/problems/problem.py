@@ -30,7 +30,9 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry.polyline import Polyline
 from ..utils.autodiff import gradient, laplacian
@@ -64,6 +66,22 @@ class Problem:
                                                   # sources)
     sigma_bar_resolution: int = 50                # grid scan res (WoStSolver.py:130)
     sigma_bar_override: Optional[float] = None    # skip the grid scan
+    local_majorant: object = None                 # None | "auto" |
+                                                  # problems.majorant.
+                                                  # LocalMajorant: two-level
+                                                  # delta-tracking majorant —
+                                                  # walkers outside the high-
+                                                  # sigma' regions shrink
+                                                  # their ball to exclude
+                                                  # them and walk with the
+                                                  # (much smaller) background
+                                                  # majorant. Exactly
+                                                  # unbiased; "auto" derives
+                                                  # regions from the same
+                                                  # grid scan that prices
+                                                  # sigma_bar (and silently
+                                                  # resolves to None when
+                                                  # localization can't help).
 
     # derived (filled in __post_init__)
     version: int = field(init=False, default=0)  # bumped by setters; keys
@@ -178,6 +196,26 @@ class Problem:
                         "sigma_bar_override."
                     )
                 self.sigma_bar = float(sb)
+
+            if self.local_majorant == "auto":
+                self.local_majorant = self._derive_local_majorant()
+        else:
+            self.local_majorant = None  # meaningless without delta tracking
+
+    def _derive_local_majorant(self):
+        """Resolve ``local_majorant='auto'`` from a ``sigma'`` grid scan."""
+        from .majorant import derive_local_majorant
+
+        (x0, x1), (y0, y1) = self.domain_bounds
+        n = self.sigma_bar_resolution
+        xs = np.linspace(x0, x1, n)
+        ys = np.linspace(y0, y1, n)
+        X, Y = np.meshgrid(xs, ys, indexing="ij")
+        v = np.asarray(jax.vmap(self.sigma_prime)(
+            jnp.asarray(X.ravel(), jnp.float32),
+            jnp.asarray(Y.ravel(), jnp.float32),
+        )).reshape(n, n)
+        return derive_local_majorant(v, xs, ys, self.sigma_bar)
 
     def max_boundary_gamma(self, samples_per_segment: int = 8) -> float:
         """Max |gamma| = |d(ln sqrt alpha)/dn| probed along the Neumann

@@ -348,6 +348,14 @@ class WoStSolver:
             grad_log_alpha_y = jax.vmap(_lift(
                 lambda x, y: pb.grad_log_alpha(x, y)[1]))
         sigma_bar = jnp.float32(pb.sigma_bar) if use_delta else None
+        local_mj = pb.local_majorant if use_delta else None
+        if local_mj is not None:
+            sb_bg = jnp.float32(max(local_mj.sigma_bar_bg, 1e-12))
+            # expected per-step progress scales (lengths): a ball of
+            # radius R with majorant s advances ~min(R, 1/sqrt(s))
+            mfp_bg = jnp.float32(
+                1.0 / np.sqrt(max(local_mj.sigma_bar_bg, 1e-12)))
+            mfp_gl = jnp.float32(1.0 / np.sqrt(max(pb.sigma_bar, 1e-30)))
         table = self._table
         rmin = jnp.float32(opts.rmin_factor * eps)
         eps_f = jnp.float32(eps)
@@ -427,6 +435,24 @@ class WoStSolver:
                 d_sil = jnp.full_like(dD, jnp.inf)
                 r = jnp.maximum(rmin, dD)
 
+            # -- two-level local majorant (problems/majorant.py) ---------- #
+            # Deterministic per-position choice between (a) the full star
+            # radius priced at the global majorant and (b) a ball shrunk
+            # to exclude the high-sigma' regions priced at the background
+            # majorant — whichever offers more expected progress
+            # min(radius, 1/sqrt(sigma_bar)). Any radius below the star
+            # bound with any ball-wide majorant is a valid delta-tracking
+            # realization, so this is exactly unbiased.
+            if use_delta and local_mj is not None:
+                d_far = local_mj.distance(px, py)
+                rB = jnp.minimum(r, d_far)
+                useB = (d_far >= rmin) & (
+                    jnp.minimum(rB, mfp_bg) > jnp.minimum(r, mfp_gl))
+                r = jnp.where(useB, rB, r)
+                sbar = jnp.where(useB, sb_bg, sigma_bar)
+            else:
+                sbar = sigma_bar
+
             if use_robin:
                 # -- on-boundary Robin chord mass (THEORY.md §4b/4c) ------ #
                 # c = 4 gamma J(r) is the frozen-u~ mass of the flat-wall
@@ -449,7 +475,7 @@ class WoStSolver:
                 glx0 = grad_log_alpha_x(px, py)
                 gly0 = grad_log_alpha_y(px, py)
                 gamma0 = -0.5 * (state.nx * glx0 + state.ny * gly0)
-                chord_j = screened_chord_integral(r, sigma_bar)
+                chord_j = screened_chord_integral(r, sbar)
                 c_ch = 4.0 * gamma0 * chord_j
                 for _ in range(4):
                     shrink = on_bdry & (jnp.abs(c_ch) > c_max)
@@ -457,7 +483,7 @@ class WoStSolver:
                         rmin, r * (c_max / jnp.maximum(jnp.abs(c_ch), 1e-12)))
                     r = jnp.where(shrink, r_new, r)
                     chord_j = jnp.where(
-                        shrink, screened_chord_integral(r, sigma_bar), chord_j)
+                        shrink, screened_chord_integral(r, sbar), chord_j)
                     c_ch = jnp.where(shrink, 4.0 * gamma0 * chord_j, c_ch)
                 # rmin can floor the shrink; keep the factor bounded
                 c_ch = jnp.where(
@@ -505,7 +531,7 @@ class WoStSolver:
             # -- radial sample (exact; fixes solvers/utils.py:138-195) ---- #
             if use_delta:
                 if table is not None:
-                    r_s = sample_screened_radius(table, r, sigma_bar, u[1], u[2])
+                    r_s = sample_screened_radius(table, r, sbar, u[1], u[2])
                 elif rng_fast:
                     def draw_r(round_idx):
                         sd = (seed32 ^ jnp.uint32(0xA5A5A5A5)
@@ -519,7 +545,7 @@ class WoStSolver:
                     # exhaust rejection_rounds take their final envelope
                     # candidate with the importance weight A(x)/a(z),
                     # folded into the walker weight below
-                    r_s, w_rej = _exact_rejection(draw_r, r, sigma_bar,
+                    r_s, w_rej = _exact_rejection(draw_r, r, sbar,
                                                   opts.rejection_rounds,
                                                   with_weight=True)
                     atten = jnp.where(stepping, atten * w_rej, atten)
@@ -537,7 +563,7 @@ class WoStSolver:
                             (4,) + jnp.shape(r), minval=1e-7, maxval=1.0,
                         )
 
-                    r_s, w_rej = _exact_rejection(draw_t, r, sigma_bar,
+                    r_s, w_rej = _exact_rejection(draw_t, r, sbar,
                                                   opts.rejection_rounds,
                                                   with_weight=True)
                     atten = jnp.where(stepping, atten * w_rej, atten)
@@ -560,7 +586,7 @@ class WoStSolver:
                 if use_delta:
                     a_s = alpha_c(sx, sy)
                     w_src = (
-                        screened_greens_norm_2d(r, sigma_bar)
+                        screened_greens_norm_2d(r, sbar)
                         / jnp.sqrt(a_s * a_p)
                         * atten
                     )
@@ -584,8 +610,8 @@ class WoStSolver:
                 d_y = jnp.sqrt((yx - px) ** 2 + (yy - py) ** 2)
                 d_safe = jnp.maximum(d_y, 1e-12)
                 if use_delta:
-                    g_val = screened_greens_2d(d_safe, r, sigma_bar)
-                    norm = screened_greens_norm_2d(r, sigma_bar)
+                    g_val = screened_greens_2d(d_safe, r, sbar)
+                    norm = screened_greens_norm_2d(r, sbar)
                 else:
                     g_val = greens_2d(d_safe, r)
                     norm = greens_norm_2d(r)
@@ -621,7 +647,7 @@ class WoStSolver:
 
             # -- move (WoStSolver.py:271-287) ----------------------------- #
             if use_delta:
-                p_int = screened_interior_prob(r, sigma_bar)
+                p_int = screened_interior_prob(r, sbar)
                 interior = u[3] < p_int
                 # An interior-sampled radius that reaches the Neumann hit
                 # means the collision would have happened OUTSIDE the
@@ -642,7 +668,7 @@ class WoStSolver:
                 a_h = alpha_c(hx, hy)
                 sp_s = sigma_prime(sx, sy)
                 scale_int = jnp.sqrt(a_s_mv / a_p) * jnp.maximum(
-                    1.0 - sp_s / sigma_bar, 0.0
+                    1.0 - sp_s / sbar, 0.0
                 )
                 scale_edge = jnp.sqrt(a_h / a_p)
                 atten_pre = atten  # chord-branch lanes skip the move scale
@@ -656,7 +682,7 @@ class WoStSolver:
                     gly = grad_log_alpha_y(hx, hy)
                     gamma = -0.5 * (hnx * glx + hny * gly)
                     cosphi = jnp.maximum(-(dx * hnx + dy * hny), 0.1)
-                    rho = screened_greens_wall_ratio(t_hit, r, sigma_bar)
+                    rho = screened_greens_wall_ratio(t_hit, r, sbar)
                     w_rob = jnp.where(
                         hit,
                         jnp.maximum(1.0 + gamma * rho / cosphi, 0.0),
@@ -695,7 +721,7 @@ class WoStSolver:
                     # term via w_rob above; on-boundary walkers have no
                     # self-wall arrivals, so this branch is the only
                     # realization of their flat term.)
-                    q_scr = jnp.sqrt(jnp.maximum(sigma_bar, 1e-12))
+                    q_scr = jnp.sqrt(jnp.maximum(sbar, 1e-12))
                     q_c = jnp.where(
                         on_bdry,
                         jnp.minimum(0.5, jnp.abs(c_ch)), 0.0)
@@ -715,7 +741,7 @@ class WoStSolver:
                         2.0 * jnp.maximum(trunc, 1e-12))
                     p_mix = 0.5 * (p_log + p_exp)
                     g_ch = jnp.maximum(
-                        screened_greens_2d(az, r, sigma_bar), 0.0)
+                        screened_greens_2d(az, r, sbar), 0.0)
                     w_ch = 2.0 * gamma0 * g_ch / jnp.maximum(p_mix, 1e-30)
                     # chord point along the wall tangent
                     zx = px + zeta * (-state.ny)

@@ -174,6 +174,12 @@ class DCRSurvey:
     source_mis: bool = False  # source-directed MIS NEE (large variance
                               # reduction for narrow sources; supported by
                               # both the XLA and Pallas backends)
+    local_majorant: object = None  # None | "auto" | LocalMajorant — two-
+                              # level delta-tracking majorant (see
+                              # problems/majorant.py): far-field walkers
+                              # exclude the high-sigma' anomaly/air regions
+                              # from their ball and fly at the background
+                              # mean free path. Exactly unbiased.
 
     def _bury_source(self, pos) -> tuple:
         """Sink a current electrode whose Gaussian overlaps the Neumann
@@ -235,6 +241,7 @@ class DCRSurvey:
             alpha=self.conductivity,
             sigma_bar_override=self.sigma_bar_override,
             source_importance=importance,
+            local_majorant=self.local_majorant,
         )
 
     def run(

@@ -121,3 +121,30 @@ def test_autodiff_manufactured_neumann_curved_wall_field():
     r = s.solve(pts, n_walks=12000, max_steps=2000, eps=0.01, seed=1)
     dev = np.abs(r.mean - u_exact(pts)) / np.maximum(r.stderr, 1e-12)
     assert (dev < 4.0).all(), (r.mean, u_exact(pts), dev)
+
+
+def test_local_majorant_unbiased_on_manufactured():
+    # Local-majorant solves must agree with the analytic solution (and
+    # with the global-majorant solve): autodiff MMS problem with a sharp
+    # coefficient bump whose sigma' load is confined to a box.
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.models import autodiff_manufactured
+    from dcrmontecarlo_tpu.solver import SolverOptions, WoStSolver
+
+    u = lambda x, y: x + 0.5 * y + 0.2 * x * y
+    alpha = lambda x, y: 1.0 + 3.0 * jnp.exp(
+        -(((x - 0.4) ** 2 + (y - 0.4) ** 2) / 0.02))
+    prob_g, u_exact = autodiff_manufactured(u, alpha)
+    prob_l, _ = autodiff_manufactured(u, alpha, local_majorant="auto")
+    lm = prob_l.local_majorant
+    assert lm is not None and lm.sigma_bar_bg < 0.5 * prob_l.sigma_bar, lm
+    pts = np.array([[-0.5, -0.5], [0.0, 0.0], [0.5, 0.5]], np.float32)
+    exact = u_exact(pts)
+    for prob in (prob_g, prob_l):
+        s = WoStSolver(prob, SolverOptions(target_slots=16384))
+        r = s.solve(pts, n_walks=6000, max_steps=600, eps=1e-3, seed=4)
+        dev = np.abs(r.mean - exact) / np.maximum(r.stderr, 1e-12)
+        assert (dev < 4.0).all(), (r.mean, exact, dev)

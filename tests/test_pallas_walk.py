@@ -469,3 +469,29 @@ def test_split_threshold_unbiased():
     assert (dev < 4.0).all(), (a.mean, b.mean, dev)
     # clones walked extra steps
     assert b.total_steps > a.total_steps, (a.total_steps, b.total_steps)
+
+
+def test_pallas_matches_xla_local_majorant():
+    # Two-level local majorant active (box region + tiny background
+    # sigma_bar): the per-lane radius/majorant selection must be
+    # draw-for-draw identical across backends.
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.problems.majorant import LocalMajorant
+
+    bump = lambda x, y: 1.0 + 2.0 * jnp.exp(
+        -(((x - 0.5) ** 2 + (y + 0.5) ** 2) / 0.1))
+    prob = Problem(
+        dirichlet=square_loop(2.0),
+        bc_dirichlet=lambda x, y: x + 0.3 * y,
+        alpha=bump,
+        local_majorant=LocalMajorant(
+            boxes=((-0.2, 1.2, -1.2, 0.2),),
+            sigma_bar_bg=0.05,
+        ),
+    )
+    assert prob.local_majorant is not None
+    rp, rx = _pair(prob, np.array([[-1.0, 1.0], [0.2, -0.1]]),
+                   max_steps=150, eps=0.02)
+    _assert_close(rp, rx)
+    assert rp.total_steps == rx.total_steps
