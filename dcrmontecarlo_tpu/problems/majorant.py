@@ -46,14 +46,17 @@ class LocalMajorant:
     Attributes:
         boxes: ``((x0, x1, y0, y1), ...)`` axis-aligned boxes — every cell
             whose ``sigma'`` load exceeds the background lies inside one.
-        band_y: optional ``(y_lo, y_hi)`` full-width horizontal band
-            (typical for the air-interface sigmoid of DCR models).
+        bands: ``((y_lo, y_hi), ...)`` full-width horizontal bands
+            (typical for air-interface / layer sigmoids of DCR models);
+            kept SEPARATE per layer — merging separated layers into one
+            band would cover the gap between them and silently disable
+            the far-field speedup exactly on layered-earth geometry.
         sigma_bar_bg: majorant valid at every point outside all regions
             (same ``max - min(min, 0)`` pricing as the global scan).
     """
 
     boxes: Tuple = ()
-    band_y: Optional[Tuple] = None
+    bands: Tuple = ()
     sigma_bar_bg: float = 0.0
 
     def distance(self, x, y):
@@ -72,8 +75,7 @@ class LocalMajorant:
             dy = jnp.maximum(jnp.maximum(jnp.float32(y0) - y,
                                          y - jnp.float32(y1)), 0.0)
             d = jnp.minimum(d, jnp.sqrt(dx * dx + dy * dy))
-        if self.band_y is not None:
-            y_lo, y_hi = self.band_y
+        for (y_lo, y_hi) in self.bands:
             dd = jnp.maximum(jnp.float32(y_lo) - y, y - jnp.float32(y_hi))
             d = jnp.minimum(d, dd)
         return jnp.maximum(d, 0.0)
@@ -139,11 +141,6 @@ def derive_local_majorant(
         x_cells, y_cells = xs[cells[:, 0]], ys[cells[:, 1]]
         boxes = [(float(x_cells.min() - mx), float(x_cells.max() + mx),
                   float(y_cells.min() - my), float(y_cells.max() + my))]
-    band = None
-    if bands:
-        band = (float(min(b[0] for b in bands)),
-                float(max(b[1] for b in bands)))
-
     out = ~mask
     if not out.any():
         return None
@@ -152,5 +149,8 @@ def derive_local_majorant(
     sb_bg = max(sb_bg, 0.0)
     if sb_bg > 0.5 * global_sigma_bar:
         return None  # background barely below global: not worth the selects
-    return LocalMajorant(boxes=tuple(boxes), band_y=band,
-                         sigma_bar_bg=sb_bg)
+    return LocalMajorant(
+        boxes=tuple(boxes),
+        bands=tuple((float(b[0]), float(b[1])) for b in bands),
+        sigma_bar_bg=sb_bg,
+    )

@@ -180,9 +180,20 @@ class Problem:
                 #     2 while keeping it nonnegative before the clamp),
                 #   * sigma' ~ 0 everywhere: sigma_bar -> 0 recovers plain
                 #     WoSt edge moves.
-                mn, mx, _, _ = grid_min_max(
-                    sigma_prime, bounds, self.sigma_bar_resolution
-                )
+                if self.local_majorant == "auto":
+                    # ONE sigma' grid evaluation serves both the global
+                    # majorant and the containment-region derivation
+                    v = self._sigma_prime_grid()
+                    finite = v[np.isfinite(v)]
+                    if finite.size == 0:
+                        raise ValueError(
+                            "sigma' could not be evaluated at any grid point"
+                        )
+                    mn, mx = float(finite.min()), float(finite.max())
+                else:
+                    mn, mx, _, _ = grid_min_max(
+                        sigma_prime, bounds, self.sigma_bar_resolution
+                    )
                 sb = (mx - mn) if mn < 0 else mx
                 if sb <= 1e-12:
                     sb = 1e-6  # unscreened limit: pure WoSt
@@ -198,24 +209,30 @@ class Problem:
                 self.sigma_bar = float(sb)
 
             if self.local_majorant == "auto":
-                self.local_majorant = self._derive_local_majorant()
+                from .majorant import derive_local_majorant
+
+                if self.sigma_bar_override is not None:
+                    v = self._sigma_prime_grid()  # override skipped the scan
+                xs, ys = self._grid_axes()
+                self.local_majorant = derive_local_majorant(
+                    v, xs, ys, self.sigma_bar
+                )
         else:
             self.local_majorant = None  # meaningless without delta tracking
 
-    def _derive_local_majorant(self):
-        """Resolve ``local_majorant='auto'`` from a ``sigma'`` grid scan."""
-        from .majorant import derive_local_majorant
-
+    def _grid_axes(self):
         (x0, x1), (y0, y1) = self.domain_bounds
         n = self.sigma_bar_resolution
-        xs = np.linspace(x0, x1, n)
-        ys = np.linspace(y0, y1, n)
+        return np.linspace(x0, x1, n), np.linspace(y0, y1, n)
+
+    def _sigma_prime_grid(self) -> np.ndarray:
+        """``sigma'`` on the scan grid (one vmapped device evaluation)."""
+        xs, ys = self._grid_axes()
         X, Y = np.meshgrid(xs, ys, indexing="ij")
-        v = np.asarray(jax.vmap(self.sigma_prime)(
+        return np.asarray(jax.vmap(self.sigma_prime)(
             jnp.asarray(X.ravel(), jnp.float32),
             jnp.asarray(Y.ravel(), jnp.float32),
-        )).reshape(n, n)
-        return derive_local_majorant(v, xs, ys, self.sigma_bar)
+        )).reshape(len(xs), len(ys))
 
     def max_boundary_gamma(self, samples_per_segment: int = 8) -> float:
         """Max |gamma| = |d(ln sqrt alpha)/dn| probed along the Neumann

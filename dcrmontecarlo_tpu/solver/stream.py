@@ -30,6 +30,10 @@ class StreamState:
     n_walks: int = 0
     total_steps: float = 0.0
     batches: int = 0
+    points: np.ndarray = None  # (N, 2) the evaluation points these
+                               # statistics belong to; resuming with
+                               # different points raises instead of
+                               # silently mixing locations
 
     def result(self) -> SolveResult:
         mean = self.sum / max(self.n_walks, 1)
@@ -68,31 +72,62 @@ def solve_stream(
         Combined :class:`SolveResult` over all accumulated walks.
     """
     pts = np.asarray(points, np.float32).reshape(-1, 2)
+    state = _check_resume_points(state, pts)
     done = state.n_walks if state is not None else 0
-    batch_idx = state.batches if state is not None else 0
     while done < n_walks_total:
         n = min(batch_walks, n_walks_total - done)
-        res = solver.solve(
-            pts, n_walks=n, max_steps=max_steps, eps=eps,
-            seed=seed + 1000003 * batch_idx,
+        state = _accumulate_batch(
+            solver, pts, n, max_steps, eps, seed, state, callback
         )
-        # exact raw moments from the solve (no stderr round-trip)
-        b_sum = np.asarray(res.walk_sum)
-        b_sumsq = np.asarray(res.walk_sumsq)
-        if state is None:
-            state = StreamState(sum=b_sum, sumsq=b_sumsq)
-        else:
-            state.sum = state.sum + b_sum
-            state.sumsq = state.sumsq + b_sumsq
-        state.n_walks += n
-        state.total_steps += res.total_steps
-        state.batches += 1
-        done += n
-        batch_idx += 1
-        if callback is not None:
-            callback(batch_idx, state.result())
+        done = state.n_walks
     solver._stream_state = state
     return state.result()
+
+
+def _check_resume_points(state: Optional[StreamState], pts) -> Optional[StreamState]:
+    """Refuse to resume statistics accumulated at different points."""
+    if state is None:
+        return None
+    if state.points is not None and not (
+        state.points.shape == pts.shape
+        and np.array_equal(state.points, pts)
+    ):
+        raise ValueError(
+            "StreamState was accumulated at different evaluation points; "
+            "resuming here would silently mix statistics for different "
+            "locations. Start a fresh stream (state=None) instead."
+        )
+    return state
+
+
+def _accumulate_batch(solver, pts, n, max_steps, eps, seed, state, callback):
+    """One batch: solve, merge exact raw moments, fire the callback.
+
+    The single accumulation body shared by :func:`solve_stream` and
+    :func:`solve_to_tolerance` — the (sum, sumsq) merge and the seed
+    stride live in exactly one place.
+    """
+    batch_idx = state.batches if state is not None else 0
+    res = solver.solve(
+        pts, n_walks=n, max_steps=max_steps, eps=eps,
+        seed=seed + 1000003 * batch_idx,
+    )
+    # exact raw moments from the solve (no stderr round-trip)
+    b_sum = np.asarray(res.walk_sum)
+    b_sumsq = np.asarray(res.walk_sumsq)
+    if state is None:
+        state = StreamState(sum=b_sum, sumsq=b_sumsq, points=pts.copy())
+    else:
+        state.sum = state.sum + b_sum
+        state.sumsq = state.sumsq + b_sumsq
+        if state.points is None:
+            state.points = pts.copy()
+    state.n_walks += n
+    state.total_steps += res.total_steps
+    state.batches += 1
+    if callback is not None:
+        callback(state.batches, state.result())
+    return state
 
 
 def solve_to_tolerance(
@@ -125,7 +160,7 @@ def solve_to_tolerance(
     a tighter target.
     """
     pts = np.asarray(points, np.float32).reshape(-1, 2)
-    batch_idx = state.batches if state is not None else 0
+    state = _check_resume_points(state, pts)
     done = state.n_walks if state is not None else 0
     while True:
         if state is not None:
@@ -140,23 +175,9 @@ def solve_to_tolerance(
         n = min(batch_walks, max_walks - done)
         if n <= 0:
             break
-        sres = solver.solve(
-            pts, n_walks=n, max_steps=max_steps, eps=eps,
-            seed=seed + 1000003 * batch_idx,
+        state = _accumulate_batch(
+            solver, pts, n, max_steps, eps, seed, state, callback
         )
-        b_sum = np.asarray(sres.walk_sum)
-        b_sumsq = np.asarray(sres.walk_sumsq)
-        if state is None:
-            state = StreamState(sum=b_sum, sumsq=b_sumsq)
-        else:
-            state.sum = state.sum + b_sum
-            state.sumsq = state.sumsq + b_sumsq
-        state.n_walks += n
-        state.total_steps += sres.total_steps
-        state.batches += 1
-        done += n
-        batch_idx += 1
-        if callback is not None:
-            callback(batch_idx, state.result())
+        done = state.n_walks
     solver._stream_state = state
     return state.result()

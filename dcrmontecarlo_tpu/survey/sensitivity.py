@@ -51,7 +51,19 @@ class SensitivityResult(NamedTuple):
     grid: np.ndarray              # (N, 2) evaluation points
     sensitivity: np.ndarray       # (N,) dV/d alpha(x), per unit area
     sensitivity_log: np.ndarray   # (N,) dV/d ln alpha(x) = alpha * S
-    stderr: np.ndarray            # (N,) conservative (quadrature) bound
+    stderr: np.ndarray            # (N,) APPROXIMATE error scale: first-
+                                  # order propagation of the two E-field
+                                  # quadrature bounds. The bounds
+                                  # themselves overestimate CRN-
+                                  # correlated errors ~7x (see
+                                  # efield.py), but the product form
+                                  # drops the E_s/E_a error covariance
+                                  # (both ride ONE ensemble) and the
+                                  # second-order dE*dE term, which
+                                  # under-covers on noise-dominated
+                                  # cells (|E| ~ stderr). Treat as a
+                                  # weighting scale, not a confidence
+                                  # interval.
     e_source: tuple               # (ex, ey) of the A/B current field
     e_adjoint: tuple              # (ex, ey) of the unit M/N field
 
@@ -133,7 +145,8 @@ class JacobianResult(NamedTuple):
     grid: np.ndarray          # (N, 2) evaluation points
     rows: np.ndarray          # (M, N) dV_m/d alpha(x) per unit area
     rows_log: np.ndarray      # (M, N) dV_m/d ln alpha(x) = alpha * rows
-    stderr: np.ndarray        # (M, N) conservative bounds
+    stderr: np.ndarray        # (M, N) approximate error scales (same
+                              # caveats as SensitivityResult.stderr)
     src_pairs: list           # (M,) (a, b) electrode-index tuples
     rx_pairs: list            # (M,) (m, n) electrode-index tuples
     fields: tuple             # (ex, ey), each (n_dipoles, N): the shared
@@ -170,7 +183,6 @@ def survey_jacobian(
     in increasing offset.
     """
     from .dcr import dipole_dipole_pairs
-    from ..problems.problem import Problem
 
     elec = np.asarray(electrodes, np.float64).reshape(-1, 2)
     n_elec = len(elec)
@@ -183,21 +195,15 @@ def survey_jacobian(
         gaussian_dipole(buried[k], buried[k + 1], 1.0, w)
         for k in range(n_dip)
     ]
-    base = survey.build_problem()
-    importance = None
+    # reuse the survey's own problem (one sigma' grid scan, and survey
+    # features like local_majorant carry over); the setters bump the
+    # problem version so compiled-solve caches stay coherent
+    problem = survey.build_problem()
+    problem.set_source_term(sources)
     if survey.source_mis:
-        importance = GaussianMixture.from_components(
+        problem.set_source_importance(GaussianMixture.from_components(
             [(p, w, 1.0 / n_elec) for p in buried]
-        )
-    problem = Problem(
-        dirichlet=base.dirichlet,
-        neumann=base.neumann,
-        bc_dirichlet=base.bc_dirichlet,
-        source=sources,
-        alpha=survey.conductivity,
-        sigma_bar_override=survey.sigma_bar_override,
-        source_importance=importance,
-    )
+        ))
 
     f = estimate_field(
         problem, grid_points, h=h, n_walks=n_walks, max_steps=max_steps,

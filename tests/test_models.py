@@ -148,3 +148,23 @@ def test_local_majorant_unbiased_on_manufactured():
         r = s.solve(pts, n_walks=6000, max_steps=600, eps=1e-3, seed=4)
         dev = np.abs(r.mean - exact) / np.maximum(r.stderr, 1e-12)
         assert (dev < 4.0).all(), (r.mean, exact, dev)
+
+
+def test_local_majorant_keeps_layers_separate():
+    # Two thin full-width layers must become two separate bands (merging
+    # them into one would cover the gap and silently disable the
+    # far-field speedup on layered-earth geometry), and the gap between
+    # them must report a positive distance.
+    import numpy as np
+
+    from dcrmontecarlo_tpu.problems.majorant import derive_local_majorant
+
+    xs = np.linspace(-1.0, 1.0, 50)
+    ys = np.linspace(-1.0, 1.0, 50)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    v = 1.0 * (np.abs(Y - 0.8) < 0.05) + 1.0 * (np.abs(Y + 0.8) < 0.05)
+    lm = derive_local_majorant(v, xs, ys, global_sigma_bar=1.0)
+    assert lm is not None
+    assert len(lm.bands) == 2, lm
+    d_mid = float(lm.distance(0.0, 0.0))
+    assert d_mid > 0.5, (d_mid, lm)
