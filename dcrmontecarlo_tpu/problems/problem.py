@@ -111,6 +111,24 @@ class Problem:
             bounds = ((dx0, dx1), (dy0, dy1))
         self.domain_bounds = bounds
 
+        if self.neumann is None:
+            # A Dirichlet-only problem with an OPEN boundary lets walkers
+            # escape through the gap and random-walk the unbounded
+            # exterior (diverging estimates / NaN stderr) — almost always
+            # a construction bug: Polyline.from_points does NOT close the
+            # loop (use square_loop/circle_loop, repeat the first point,
+            # or add the missing Neumann walls).
+            n_open = self._open_endpoints(self.dirichlet)
+            if n_open:
+                import warnings
+
+                warnings.warn(
+                    f"Dirichlet boundary has {n_open} open endpoint(s) and "
+                    "there is no Neumann boundary: walkers can escape the "
+                    "domain. Close the polyline (from_points does not) or "
+                    "add the missing walls."
+                )
+
         if self.alpha is not None or self.sigma is not None:
             # missing coefficient defaults (WoStSolver.py:55-58)
             alpha = self.alpha if self.alpha is not None else (lambda x, y: 1.0 + 0.0 * x)
@@ -219,6 +237,20 @@ class Problem:
                 )
         else:
             self.local_majorant = None  # meaningless without delta tracking
+
+    @staticmethod
+    def _open_endpoints(poly) -> int:
+        """Count boundary endpoints used by an odd number of segments."""
+        valid = np.asarray(poly.seg_valid)
+        a = np.asarray(poly.seg_a)[valid]
+        b = np.asarray(poly.seg_b)[valid]
+        if len(a) == 0:
+            return 0
+        pts = np.concatenate([a, b])
+        span = max(float(np.ptp(pts[:, 0])), float(np.ptp(pts[:, 1])), 1e-30)
+        key = np.round(pts / (1e-6 * span)).astype(np.int64)
+        _, counts = np.unique(key, axis=0, return_counts=True)
+        return int((counts % 2 == 1).sum())
 
     def _grid_axes(self):
         (x0, x1), (y0, y1) = self.domain_bounds
