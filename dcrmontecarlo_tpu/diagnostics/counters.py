@@ -55,7 +55,8 @@ def profile_occupancy(
     quotas = jnp.asarray(np.tile(quota_row, pts.shape[0]))
     p0x = jnp.repeat(jnp.asarray(pts[:, 0]), K)
     p0y = jnp.repeat(jnp.asarray(pts[:, 1]), K)
-    state0 = init_state(p0x, p0y, quotas)
+    n_src = max(1, len(solver.problem.source_fields))
+    state0 = init_state(p0x, p0y, quotas, n_src=n_src)
     key = jax.random.PRNGKey(seed)
 
     def body(state, _):

@@ -106,7 +106,8 @@ def trace_walks(
     p0x = jnp.full((n_walks,), p[0])
     p0y = jnp.full((n_walks,), p[1])
     quotas = jnp.ones((n_walks,), jnp.int32)
-    state0 = init_state(p0x, p0y, quotas)
+    n_src = max(1, len(solver.problem.source_fields))
+    state0 = init_state(p0x, p0y, quotas, n_src=n_src)
     key = jax.random.PRNGKey(seed)
     T = max_steps + 2
 

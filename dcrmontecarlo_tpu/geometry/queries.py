@@ -72,6 +72,28 @@ def _seg_fields(poly: Polyline):
     return ax, ay, bx, by, valid
 
 
+def _project(poly: Polyline, px, py):
+    """Per-segment clamped projection: foot points and squared distances.
+
+    The ONE copy of the segment-projection arithmetic (epsilon guards
+    included) shared by :func:`closest_point` and :func:`distance` — the
+    1e-30 guard is load-bearing for degenerate/padded segments.
+
+    Returns ``(cx, cy, d2)``, each ``(W, S)`` with invalid segments at
+    ``_BIG`` distance.
+    """
+    ax, ay, bx, by, valid = _seg_fields(poly)
+    pxe, pye = px[:, None], py[:, None]
+    ux, uy = bx - ax, by - ay
+    vx, vy = pxe - ax, pye - ay
+    uu = ux * ux + uy * uy
+    t = jnp.clip((vx * ux + vy * uy) / jnp.maximum(uu, 1e-30), 0.0, 1.0)
+    cx = ax + t * ux
+    cy = ay + t * uy
+    d2 = (cx - pxe) ** 2 + (cy - pye) ** 2
+    return cx, cy, jnp.where(valid, d2, _BIG)
+
+
 def closest_point(poly: Polyline, px, py):
     """Distance and closest point on the polyline for each query point.
 
@@ -86,16 +108,7 @@ def closest_point(poly: Polyline, px, py):
     Returns:
         ``(dist, cx, cy)`` each ``(W,)``.
     """
-    ax, ay, bx, by, valid = _seg_fields(poly)
-    pxe, pye = px[:, None], py[:, None]
-    ux, uy = bx - ax, by - ay
-    vx, vy = pxe - ax, pye - ay
-    uu = ux * ux + uy * uy
-    t = jnp.clip((vx * ux + vy * uy) / jnp.maximum(uu, 1e-30), 0.0, 1.0)
-    cx = ax + t * ux
-    cy = ay + t * uy
-    d2 = (cx - pxe) ** 2 + (cy - pye) ** 2
-    d2 = jnp.where(valid, d2, _BIG)
+    cx, cy, d2 = _project(poly, px, py)
     cxb = jnp.broadcast_to(cx, d2.shape)
     cyb = jnp.broadcast_to(cy, d2.shape)
     d2m, cxm, cym = _min_by(d2, (cxb, cyb), axis=1)
@@ -104,15 +117,7 @@ def closest_point(poly: Polyline, px, py):
 
 def distance(poly: Polyline, px, py):
     """Minimum distance to the polyline (``PolylinesSimple.py:25-49``)."""
-    ax, ay, bx, by, valid = _seg_fields(poly)
-    pxe, pye = px[:, None], py[:, None]
-    ux, uy = bx - ax, by - ay
-    vx, vy = pxe - ax, pye - ay
-    uu = ux * ux + uy * uy
-    t = jnp.clip((vx * ux + vy * uy) / jnp.maximum(uu, 1e-30), 0.0, 1.0)
-    dx = ax + t * ux - pxe
-    dy = ay + t * uy - pye
-    d2 = jnp.where(valid, dx * dx + dy * dy, _BIG)
+    _, _, d2 = _project(poly, px, py)
     return jnp.sqrt(jnp.min(d2, axis=1))
 
 
@@ -166,6 +171,21 @@ def ray_intersection(poly: Polyline, px, py, dx, dy, t_min=1e-6):
     Returns:
         ``(W, S)`` hit distances along the ray.
     """
+    t, _, ok, _ = _ray_params(poly, px, py, dx, dy, t_min)
+    return jnp.where(ok, t, jnp.inf)
+
+
+def _ray_params(poly: Polyline, px, py, dx, dy, t_min):
+    """Per-segment ray/segment parameters and validity.
+
+    The ONE copy of the ray-intersection arithmetic shared by
+    :func:`ray_intersection` and :func:`first_hit` — the 1e-30 parallel
+    guard and the INCLUSIVE ``t >= t_min`` test are load-bearing (the
+    self-hit re-flagging of on-boundary walkers depends on the latter;
+    see :func:`first_hit`). ``t_min`` may be a scalar or ``(W, 1)``.
+
+    Returns ``(t, s, ok, seg)`` with ``seg = (ax, ay, ux, uy)``.
+    """
     ax, ay, bx, by, valid = _seg_fields(poly)
     ux, uy = bx - ax, by - ay
     wx = px[:, None] - ax
@@ -174,9 +194,9 @@ def ray_intersection(poly: Polyline, px, py, dx, dy, t_min=1e-6):
     den = cross2(dxe, dye, ux, uy)
     den_safe = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
     t = cross2(ux, uy, wx, wy) / den_safe
-    sp = cross2(dxe, dye, wx, wy) / den_safe
-    ok = valid & (sp >= 0.0) & (sp <= 1.0) & (t >= t_min) & (jnp.abs(den) > 1e-30)
-    return jnp.where(ok, t, jnp.inf)
+    s = cross2(dxe, dye, wx, wy) / den_safe
+    ok = valid & (s >= 0.0) & (s <= 1.0) & (t >= t_min) & (jnp.abs(den) > 1e-30)
+    return t, s, ok, (ax, ay, ux, uy)
 
 
 def first_hit(poly: Polyline, px, py, dx, dy, r, t_min=1e-6):
@@ -195,21 +215,15 @@ def first_hit(poly: Polyline, px, py, dx, dy, r, t_min=1e-6):
 
     Args:
         px, py: ``(W,)`` ray origins. dx, dy: ``(W,)`` unit directions.
-        r: ``(W,)`` max distances. t_min: scalar minimum hit parameter.
+        r: ``(W,)`` max distances. t_min: scalar or per-walker ``(W, 1)``
+            minimum hit parameter — the solver passes
+            ``jnp.where(on_bdry, t_min, 0.0)[:, None]`` so only
+            on-boundary walkers skip near hits (the self-hit guard).
     Returns:
         ``(hx, hy, nx, ny, t_hit, hit)``: hit (or sphere) point, inward unit
         normal (zero when no hit), hit distance ``min(t, r)``, bool mask.
     """
-    ax, ay, bx, by, valid = _seg_fields(poly)
-    ux, uy = bx - ax, by - ay
-    wx = px[:, None] - ax
-    wy = py[:, None] - ay
-    dxe, dye = dx[:, None], dy[:, None]
-    den = cross2(dxe, dye, ux, uy)
-    den_safe = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
-    t = cross2(ux, uy, wx, wy) / den_safe
-    s = cross2(dxe, dye, wx, wy) / den_safe
-    ok = valid & (s >= 0.0) & (s <= 1.0) & (t >= t_min) & (jnp.abs(den) > 1e-30)
+    t, s, ok, (ax, ay, ux, uy) = _ray_params(poly, px, py, dx, dy, t_min)
     t = jnp.where(ok, t, _BIG)
     # CCW segment normals, reduced jointly with the min hit parameter.
     ulen = jnp.sqrt(jnp.maximum(ux * ux + uy * uy, 1e-30))

@@ -54,15 +54,24 @@ class ShardedWoStSolver(WoStSolver):
         super().__init__(problem, options)
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
+        inert = []
         if options.split_threshold is not None:
+            inert.append(
+                "split_threshold (splitting pairs lanes within a device's "
+                "slot block; the sharded layouts don't carry per-lane "
+                "stream state — use roulette_threshold / max_attenuation, "
+                "or solve per-shard with WoStSolver)")
+        if options.compaction:
+            inert.append(
+                "compaction (the sharded builders run one jitted "
+                "while-loop per device; there is no host-driven launch "
+                "loop to permute lanes into smaller grids)")
+        if inert:
             import warnings
 
             warnings.warn(
-                "split_threshold is not applied on the sharded solver "
-                "(splitting pairs lanes within a device's slot block; "
-                "the sharded layouts don't carry per-lane stream state). "
-                "Heavy-tail control here: roulette_threshold / "
-                "max_attenuation, or solve per-shard with WoStSolver.",
+                "options ignored on the sharded solver: "
+                + "; ".join(inert),
                 stacklevel=2,
             )
 
@@ -104,7 +113,6 @@ class ShardedWoStSolver(WoStSolver):
         max_quota = int(quota_row.max())
         step_cap = max_quota * (max_steps + 1) + 2
         axis = self.axis
-        n_dev = self.mesh.devices.size
         n_src = max(1, len(self.problem.source_fields))
         # lay slots out walker-major so the sharded axis is contiguous:
         # (K, n_points) with K split over devices

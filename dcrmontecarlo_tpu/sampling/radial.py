@@ -145,6 +145,13 @@ def sample_screened_radius(tab: ScreenedRadialTable, R, sigma_bar, u1, u2):
     s = (1 - fz) * ((1 - fu) * s00 + fu * s01) + fz * ((1 - fu) * s10 + fu * s11)
     below = z < jnp.exp(tab.log_z0)
     s_unscreened = jnp.sqrt(u1 * u2)
+    # above-range fallback: for large z the density is self-similar in
+    # u = z * s (x K0(x) with an exp(-(2z - ...)) image term below float
+    # resolution), so the z_max row rescaled by z_max/z samples the true
+    # density to ~exp(-z_max) accuracy — without this, z past the table
+    # reused the z_max radii VERBATIM (systematically ~z/z_max too large)
+    z_top = jnp.exp(tab.log_z0 + (tab.n_z - 1) * tab.dlog_z)
+    s = jnp.where(z > z_top, s * z_top / jnp.maximum(z, 1e-30), s)
     return R * jnp.where(below, s_unscreened, s)
 
 

@@ -813,16 +813,27 @@ class WoStSolver:
                 total_steps=state.total_steps + jnp.sum(stepping.astype(jnp.float32)),
                 step_idx=state.step_idx + 1,
             )
+            # diagnostics are computed at the PRE-recycle positions so a
+            # walk's terminal record pairs its recorded position with its
+            # own geometry (the in-step d_sil/r above are evaluated after
+            # finished lanes were reset to p0); production solves never
+            # read diag, so XLA dead-code-eliminates the extra queries
+            if has_neumann:
+                d_sil_diag = queries.silhouette_distance(
+                    neumann, state.px, state.py)
+            else:
+                d_sil_diag = jnp.full_like(dD, jnp.inf)
             diag = {
                 "d_dirichlet": dD,
-                "d_silhouette": d_sil,
+                "d_silhouette": d_sil_diag,
                 "stepping": stepping,
                 "walk_done": walk_done,
                 "boundary_contrib": jnp.where(
                     walk_done, (contrib - state.walk_acc)[0], 0.0
                 ),
                 "source_contrib": src_contrib[0],
-                "radius": r,
+                # plain star radius (before any Robin/majorant shrink)
+                "radius": jnp.maximum(rmin, jnp.minimum(dD, d_sil_diag)),
             }
             return new_state, diag
 

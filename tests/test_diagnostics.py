@@ -98,3 +98,23 @@ def test_survey_figures_build(tmp_path):
     f2 = tmp_path / "pseudo.png"
     plot_pseudosection(ps, save_path=str(f2))
     assert f2.stat().st_size > 10_000
+
+
+def test_diagnostics_multi_source_problems():
+    # Regression: trace_walks / profile_occupancy built their state with
+    # the default n_src=1, so any multi-source problem (survey sweeps,
+    # sensitivity adjoints) crashed in lax.scan with a carry shape
+    # mismatch before producing data.
+    from dcrmontecarlo_tpu.diagnostics import profile_occupancy, trace_walks
+
+    prob = Problem(
+        dirichlet=square_loop(2.0),
+        bc_dirichlet=lambda x, y: x + y,
+        source=[lambda x, y: -4.0 + 0.0 * x, lambda x, y: 1.0 + 0.0 * x],
+    )
+    solver = WoStSolver(prob, SolverOptions(target_slots=256))
+    h = trace_walks(solver, (0.1, 0.2), n_walks=4, max_steps=40)
+    assert np.isfinite(h.total).all()
+    occ = profile_occupancy(solver, np.array([[0.0, 0.0]]), n_walks=16,
+                            max_steps=40, max_iters=64)
+    assert occ.active_per_iter[0] > 0

@@ -180,3 +180,35 @@ def test_mis_balance_heuristic_unbiased():
     p_sel = jnp.take_along_axis(pdfs, idx[:, None], axis=-1)[:, 0]
     est = np.asarray(jnp.mean(w * f(r) / jnp.maximum(wj[idx] * p_sel, 1e-30)))
     np.testing.assert_allclose(est, 1.0 / 3.0, rtol=0.02)
+
+
+def test_table_sampler_above_range_rescales():
+    # z above the table range must fall back to the self-similar rescale
+    # of the z_max row (radii ~ 1/z), not reuse the z_max radii verbatim
+    # (~z/z_max too large).
+    from scipy.integrate import cumulative_trapezoid
+    from scipy.special import k0 as K0
+
+    from dcrmontecarlo_tpu.sampling.radial import (
+        build_screened_radial_table,
+        sample_screened_radius,
+    )
+
+    tab = build_screened_radial_table()
+    z_top = float(np.exp(tab.log_z0 + (tab.n_z - 1) * tab.dlog_z))
+    z = 3.0 * z_top
+    rng = np.random.default_rng(0)
+    n = 100000
+    u1 = rng.uniform(size=n).astype(np.float32)
+    u2 = rng.uniform(size=n).astype(np.float32)
+    r = np.asarray(sample_screened_radius(
+        tab, jnp.float32(1.0), jnp.float32(z * z),
+        jnp.asarray(u1), jnp.asarray(u2)))
+    t = np.linspace(1e-7, 1.0, 20000)
+    dens = t * K0(np.minimum(z * t, 700))
+    cdf = cumulative_trapezoid(dens, t, initial=0.0)
+    cdf /= cdf[-1]
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = np.quantile(r, qs)
+    want = np.interp(qs, cdf, t)
+    np.testing.assert_allclose(got, want, rtol=0.08)
