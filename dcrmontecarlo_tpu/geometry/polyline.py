@@ -136,7 +136,11 @@ class Polyline(NamedTuple):
 
         px, py, scalar = self._split(point)
         m = queries.is_silhouette(self, px, py)
-        m = m[:, : max(1, len(np.asarray(self.points)) - 2)]
+        # interior-vertex count from the validity mask: len(points) - 2
+        # is only right for a single chain (concat of k chains has
+        # sum(N_i) - 2k interior vertices)
+        n_int = int(np.asarray(self.vert_valid).sum())
+        m = m[:, : max(1, n_int)]
         return m[0] if scalar else m
 
     def silhouette_distance(self, point):
@@ -224,6 +228,10 @@ def func_to_polyline(func, x_min: float, x_max: float, resolution: float) -> Pol
     ``geometry/PolylinesSimple.py:226-240``; the reference ignores ``x_min``
     — fixed here).
     """
-    x = np.arange(x_min, x_max, resolution, dtype=np.float32)
+    # linspace INCLUDING x_max: float arange stops up to a full step
+    # short, leaving a gap between the heightmap and any side wall it is
+    # meant to meet — walkers escape through such gaps
+    n = max(2, int(round((x_max - x_min) / resolution)) + 1)
+    x = np.linspace(x_min, x_max, n, dtype=np.float32)
     y = np.asarray(func(x), dtype=np.float32)
     return Polyline.from_points(np.stack([x, y], axis=1))

@@ -59,6 +59,9 @@ def mis_sample(
     cum = jnp.cumsum(w)
     # choose index per lane
     idx = jnp.sum((u_select[..., None] > cum[None, :]).astype(jnp.int32), axis=-1)
+    # float32 cumsum can end slightly below 1.0, letting u_select select
+    # one past the end (same clip as GaussianMixture.sample)
+    idx = jnp.clip(idx, 0, len(dists) - 1)
     samples = jnp.stack([d.sample(R, u1, u2) for d in dists], axis=-1)
     r = jnp.take_along_axis(samples, idx[..., None], axis=-1)[..., 0]
     pdfs = jnp.stack([d.pdf(r, R) for d in dists], axis=-1)

@@ -41,6 +41,7 @@ __all__ = [
     "Pseudosection",
     "halfspace_domain",
     "dipole_dipole_pairs",
+    "run_pseudosection",
 ]
 
 
@@ -50,7 +51,12 @@ def surface_electrode_line(x_range, spacing: float, y: float = 0.0) -> np.ndarra
     Rebuild of ``create_surface_measurement_grid``
     (``tests/testGeophysicalScenario.py:58-74``).
     """
-    x = np.arange(x_range[0], x_range[1] + spacing, spacing, dtype=np.float32)
+    # linspace with a rounded count: float arange overshoots the stop by
+    # a full spacing on ~half of spacing/extent combinations, silently
+    # appending an electrode OUTSIDE the requested line
+    n = int(round((x_range[1] - x_range[0]) / spacing)) + 1
+    x = np.linspace(x_range[0], x_range[0] + (n - 1) * spacing, n,
+                    dtype=np.float32)
     return np.stack([x, np.full_like(x, y)], axis=1)
 
 
@@ -392,8 +398,11 @@ def run_pseudosection(
     pts[on_surface, 1] = survey.surface_y - survey.electrode_nudge
     res = solver.solve(pts, n_walks=n_walks, max_steps=max_steps, eps=eps,
                        seed=seed)
-    u = res.mean          # (n_src, n_elec)
-    u_err = res.stderr
+    # solve() squeezes to (n_elec,) when there is a single source field
+    # (a 4-electrode line yields exactly one source dipole) — normalize
+    # to the (n_src, n_elec) layout the measurement loop indexes
+    u = np.atleast_2d(np.asarray(res.mean))
+    u_err = np.atleast_2d(np.asarray(res.stderr))
 
     rows = {k: [] for k in ("src", "a", "b", "m", "n", "dv", "dverr",
                             "rho", "px", "pz")}

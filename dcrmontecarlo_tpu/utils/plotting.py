@@ -168,10 +168,10 @@ def plot_voltage_profile(result, survey=None, conductivity=None,
     if cond is not None and bounds is None:
         # a conductivity override without survey/bounds has no extent to
         # draw; fall back to the electrode line's bounding box
-        x = np.asarray(result.electrodes)
-        span = max(1.0, x[:, 0].ptp())
-        bounds = ((x[:, 0].min() - 0.1 * span, x[:, 0].max() + 0.1 * span),
-                  (x[:, 1].min() - span, x[:, 1].max() + 0.1 * span))
+        el = np.asarray(result.electrodes)
+        span = max(1.0, float(np.ptp(el[:, 0])))  # ndarray.ptp: gone in np2
+        bounds = ((el[:, 0].min() - 0.1 * span, el[:, 0].max() + 0.1 * span),
+                  (el[:, 1].min() - span, el[:, 1].max() + 0.1 * span))
     if cond is not None:
         (x0, x1), (y0, y1) = bounds
         import jax

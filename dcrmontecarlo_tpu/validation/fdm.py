@@ -93,49 +93,55 @@ def fdm_solve(
     ay_n[:, :-1] = harmonic(A[:, :-1], A[:, 1:])
 
     n = nx * ny
-    idx = lambda i, j: i * ny + j
 
     interior_mask = np.zeros((nx, ny), bool)
     interior_mask[1:-1, 1:-1] = True
     if neumann_top:
-        interior_mask[1:-1, -1] = True  # top row is an unknown (ghost flux 0)
+        interior_mask[1:-1, -1] = True  # top row is an unknown
 
-    rows, cols, vals = [], [], []
+    # per-node neighbor couplings (vectorized COO assembly: the previous
+    # per-node Python loop spent seconds per oracle solve)
+    cw = np.zeros((nx, ny))
+    cw[1:, :] = ax_e[:-1, :] / hx**2
+    ce = ax_e / hx**2
+    cs = np.zeros((nx, ny))
+    cs[:, 1:] = ay_n[:, :-1] / hy**2
+    cn = ay_n / hy**2
+    if neumann_top:
+        # MIRROR ghost at the zero-flux surface: u_ghost = u_south with
+        # the south face conductivity, i.e. the north coupling folds into
+        # a DOUBLED south coupling. (Dropping the north flux instead —
+        # cn = 0 with single cs — degrades the stencil to first order on
+        # the top row, exactly where the DCR electrodes sit: verified
+        # max-error halving vs quartering on u = cos(pi x) cosh(pi(y-1)).)
+        cs[:, -1] *= 2.0
+        cn[:, -1] = 0.0
+
+    K = np.arange(n).reshape(nx, ny)
     rhs = np.zeros(n)
-
-    I, J = np.nonzero(interior_mask)
-    for i, j in zip(I, J):
-        k = idx(i, j)
-        cw = ax_e[i - 1, j] / hx**2
-        ce = ax_e[i, j] / hx**2
-        cs = ay_n[i, j - 1] / hy**2
-        cn = ay_n[i, j] / hy**2 if j < ny - 1 else 0.0  # top ghost: zero flux
-        diag = cw + ce + cs + cn + S[i, j]
-        rows.append(k)
-        cols.append(k)
-        vals.append(diag)
-        for (ii, jj, c) in ((i - 1, j, cw), (i + 1, j, ce), (i, j - 1, cs),
-                            (i, j + 1, cn)):
-            if c == 0.0:
-                continue
-            rows.append(k)
-            cols.append(idx(ii, jj))
-            vals.append(-c)
-        rhs[k] = F[i, j]
+    rows = [K[interior_mask]]
+    cols = [K[interior_mask]]
+    vals = [(cw + ce + cs + cn + S)[interior_mask]]
+    for coef, dk in ((cw, -ny), (ce, ny), (cs, -1), (cn, 1)):
+        m = interior_mask & (coef != 0.0)
+        rows.append(K[m])
+        cols.append(K[m] + dk)
+        vals.append(-coef[m])
+    rhs[K[interior_mask]] = F[interior_mask]
 
     # Dirichlet rows
     dir_mask = ~interior_mask
-    DI, DJ = np.nonzero(dir_mask)
     bc_vals = np.zeros((nx, ny)) if bc is None else np.broadcast_to(
         np.asarray(bc(X, Y), np.float64), X.shape
     )
-    for i, j in zip(DI, DJ):
-        k = idx(i, j)
-        rows.append(k)
-        cols.append(k)
-        vals.append(1.0)
-        rhs[k] = bc_vals[i, j]
+    rows.append(K[dir_mask])
+    cols.append(K[dir_mask])
+    vals.append(np.ones(int(dir_mask.sum())))
+    rhs[K[dir_mask]] = bc_vals[dir_mask]
 
-    M = sps.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    M = sps.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    )
     u = spla.spsolve(M, rhs).reshape(nx, ny)
     return FDMSolution(xs, ys, u)

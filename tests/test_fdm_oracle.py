@@ -69,3 +69,26 @@ def test_fdm_neumann_top_strip():
     pts = np.array([[0.0, 0.9], [0.5, 1.0], [-0.3, 0.5]])
     exact = pts[:, 0] ** 2
     np.testing.assert_allclose(sol(pts), exact, atol=3e-3)
+
+
+def test_fdm_neumann_top_is_second_order():
+    # Regression: the top-row stencil once dropped the north flux
+    # (cn = 0) instead of mirroring it into a doubled south coupling,
+    # degrading the oracle to FIRST order exactly where the DCR
+    # electrodes sit. Gate the convergence ratio on the analytic
+    # zero-flux solution u = cos(pi x) cosh(pi (y-1)).
+    u_exact = lambda X, Y: np.cos(np.pi * X) * np.cosh(np.pi * (Y - 1.0))
+    errs = []
+    for n in (33, 65, 129):
+        sol = fdm_solve(
+            bounds=((0.0, 1.0), (0.0, 1.0)),
+            alpha=lambda X, Y: np.ones_like(X),
+            source=lambda X, Y: np.zeros_like(X),
+            bc=u_exact,
+            neumann_top=True,
+            nx=n, ny=n,
+        )
+        X, Y = np.meshgrid(sol.xs, sol.ys, indexing="ij")
+        errs.append(np.abs(sol.u - u_exact(X, Y)).max())
+    assert errs[0] / errs[1] > 3.4, errs  # ~4 for O(h^2); ~2 if first-order
+    assert errs[1] / errs[2] > 3.4, errs

@@ -170,3 +170,21 @@ def test_func_to_polyline():
 def test_bounds():
     (x0, x1), (y0, y1) = square_loop(2.0, center=(1.0, -1.0)).bounds()
     assert (x0, x1, y0, y1) == (-1.0, 3.0, -3.0, 1.0)
+
+
+def test_surface_line_and_heightmap_endpoints_exact():
+    # Regressions: float arange overshot surface_electrode_line by a full
+    # spacing on ~half of spacing/extent combos, and func_to_polyline
+    # stopped short of x_max (leaving an escape gap against side walls).
+    from dcrmontecarlo_tpu.geometry import func_to_polyline
+    from dcrmontecarlo_tpu.survey import surface_electrode_line
+
+    el = surface_electrode_line((-4.5, 4.5), 0.3)
+    assert abs(el[-1, 0] - 4.5) < 1e-5, el[-1]
+    assert len(el) == 31
+
+    poly = func_to_polyline(lambda x: 0.0 * x, 0.0, 10.0, 1.0)
+    a = np.asarray(poly.seg_a)[np.asarray(poly.seg_valid)]
+    b = np.asarray(poly.seg_b)[np.asarray(poly.seg_valid)]
+    assert abs(b[-1, 0] - 10.0) < 1e-5, b[-1]
+    assert abs(a[0, 0] - 0.0) < 1e-5

@@ -226,3 +226,19 @@ def test_pseudosection_on_scenario_runs():
         len(r) for r in dipole_dipole_pairs(9, 3)[1]
     )
     assert np.isfinite(ps.voltage).all()
+
+
+def test_pseudosection_single_source_line():
+    # Regression: a 4-electrode line yields exactly ONE source dipole, so
+    # solve() squeezes mean/stderr to (n_elec,) — the measurement loop
+    # indexed u[s, m] and crashed with IndexError.
+    from dcrmontecarlo_tpu.models import geophysical_scenario
+    from dcrmontecarlo_tpu.survey import run_pseudosection
+
+    survey, _ = geophysical_scenario()
+    electrodes = np.stack([np.linspace(-15.0, 15.0, 4),
+                           np.zeros(4)], axis=1)
+    ps = run_pseudosection(survey, electrodes, num_rx_per_src=2,
+                           n_walks=50, max_steps=200, eps=0.9, seed=0,
+                           options=SolverOptions(target_slots=1024))
+    assert len(ps.voltage) == 1 and np.isfinite(ps.voltage).all()
