@@ -18,6 +18,7 @@ Deliberate fixes vs the reference (SURVEY.md §3.3, §5):
   the reference's CCW normal (``PolylinesSimple.py:190-194``).
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -33,7 +34,7 @@ __all__ = [
     "first_hit",
 ]
 
-_BIG = jnp.float32(3.0e38)
+_BIG = np.float32(3.0e38)  # np scalar: no backend init at import
 
 
 def cross2(ax, ay, bx, by):

@@ -14,7 +14,8 @@ from typing import Callable, Tuple
 import numpy as np
 
 from ..geometry.polyline import Polyline, func_to_polyline
-from ..problems.fields import gaussian_dipole, smooth_circle
+from ..problems.fields import gaussian_dipole
+from .dcr_scenarios import _anomalous_conductivity
 from ..problems.problem import Problem
 
 __all__ = ["topographic_survey_problem", "drape_electrodes", "rolling_hills"]
@@ -67,7 +68,10 @@ def topographic_survey_problem(
         height_fn = rolling_hills()
 
     # Neumann surface: heightmap polyline across the full width
-    neumann = func_to_polyline(height_fn, -half_width, half_width + resolution,
+    # func_to_polyline now includes x_max exactly (the historical
+    # + resolution compensated a float-arange shortfall and would
+    # overshoot the domain today)
+    neumann = func_to_polyline(height_fn, -half_width, half_width,
                                resolution)
     pts = np.asarray(neumann.points)
     y_left = float(pts[0, 1])
@@ -79,16 +83,9 @@ def topographic_survey_problem(
         [pts[-1, 0], y_right],
     ])
 
-    bumps = [
-        (value - background, smooth_circle(center, radius, sharpness))
-        for center, radius, value in anomalies
-    ]
-
-    def conductivity(x, y):
-        total = background + 0.0 * x
-        for dv, bump in bumps:
-            total = total + dv * bump(x, y)
-        return total
+    conductivity = _anomalous_conductivity(
+        background=background, anomalies=anomalies, sharpness=sharpness
+    )
 
     ax = float(current_a[0])
     bx = float(current_b[0])

@@ -99,14 +99,15 @@ def _to_unit_f32(h):
 
 
 def _mix32_u32(x):
-    """``sampling.rng.mix32`` with inline python-int literals: Pallas
-    kernels cannot capture that module's pre-created jnp.uint32 constants
-    (weak-typed int literals adopt the u32 operand dtype, so the
-    arithmetic is bit-identical mod 2^32)."""
+    """``sampling.rng.mix32`` on register arrays, built from the SAME
+    np.uint32 constants (one source of truth for the draw-for-draw
+    XLA/Pallas invariant)."""
+    from ..sampling.rng import MIX_M1, MIX_M2
+
     x = x ^ (x >> 16)
-    x = x * np.uint32(0x7FEB352D)
+    x = x * MIX_M1
     x = x ^ (x >> 15)
-    x = x * np.uint32(0x846CA68B)
+    x = x * MIX_M2
     x = x ^ (x >> 16)
     return x
 
@@ -120,10 +121,12 @@ def _counter_uniform_2d(seed_u32, ctr_u32, sid_u32, streams):
     mix32(seed ^ C_COUNTER*ctr))``. Sharing the hash (and its constants)
     with the XLA backend is what makes kernel walks host-reproducible.
     """
-    base = _mix32_u32(seed_u32 ^ (np.uint32(0x85EBCA6B) * ctr_u32))  # C_COUNTER
+    from ..sampling.rng import C_COUNTER, C_STREAM
+
+    base = _mix32_u32(seed_u32 ^ (C_COUNTER * ctr_u32))
     return [
         _to_unit_f32(_mix32_u32(
-            sid_u32 ^ np.uint32((0x9E3779B9 * k) & 0xFFFFFFFF) ^ base  # C_STREAM*k
+            sid_u32 ^ np.uint32((int(C_STREAM) * k) & 0xFFFFFFFF) ^ base
         ))
         for k in streams
     ]

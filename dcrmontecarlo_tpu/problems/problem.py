@@ -162,10 +162,12 @@ class Problem:
 
             if self.sigma_bar_override is not None:
                 # the override's purpose is skipping grid scans entirely;
-                # floored like the grid-scan path — sigma_bar = 0 divides
-                # by zero in the screened-kernel norms and the Robin chord
-                # sampler (1e-12 is numerically the unscreened limit)
-                self.sigma_bar = max(float(self.sigma_bar_override), 1e-12)
+                # floored to the SAME 1e-6 unscreened-limit value as the
+                # grid-scan path (sigma_bar = 0 divides by zero in the
+                # screened-kernel norms and the Robin chord sampler, and a
+                # 1e-12 floor puts f32 kernel arguments in a different
+                # underflow regime than the scan path would choose)
+                self.sigma_bar = max(float(self.sigma_bar_override), 1e-6)
             else:
                 # a conductivity that dips <= 0 silently clamps at 1e-8 and
                 # sends |grad ln alpha| (hence sigma') to ~1e5-1e16: almost
@@ -194,8 +196,11 @@ class Problem:
                 # O(log L/eps). Correct majorant:
                 #   * min >= 0: sigma_bar = max (null-collision weight
                 #     1 - sigma'/sigma_bar stays in [0, 1]),
-                #   * min < 0: sigma_bar = max - min (bounds the weight by
-                #     2 while keeping it nonnegative before the clamp),
+                #   * min < 0: sigma_bar = max(max, 0) - min — bounds the
+                #     weight by 2 in ALL sign regimes (plain max - min
+                #     violates the bound when sigma' is negative
+                #     EVERYWHERE: mn=-2, mx=-1 gives sb=1 and weights up
+                #     to 3),
                 #   * sigma' ~ 0 everywhere: sigma_bar -> 0 recovers plain
                 #     WoSt edge moves.
                 if self.local_majorant == "auto":
@@ -212,7 +217,7 @@ class Problem:
                     mn, mx, _, _ = grid_min_max(
                         sigma_prime, bounds, self.sigma_bar_resolution
                     )
-                sb = (mx - mn) if mn < 0 else mx
+                sb = (max(mx, 0.0) - mn) if mn < 0 else mx
                 if sb <= 1e-12:
                     sb = 1e-6  # unscreened limit: pure WoSt
                 if sb > 1e3:

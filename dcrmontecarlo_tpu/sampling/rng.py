@@ -15,29 +15,38 @@ finalizers. ``jax.random`` remains available via ``SolverOptions
 (rng="threefry")``.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["mix32", "counter_uniform", "counter_uniform_lanes",
            "C_STREAM", "C_COUNTER"]
 
-_M1 = jnp.uint32(0x7FEB352D)
-_M2 = jnp.uint32(0x846CA68B)
-_C_STREAM = jnp.uint32(0x9E3779B9)   # golden-ratio odd constant
-_C_COUNTER = jnp.uint32(0x85EBCA6B)
-# public aliases: the Pallas kernel restates the stream/counter hash on
-# register arrays and must use the identical constants
+# np.uint32, NOT jnp.uint32: module-level jnp constants initialize the
+# JAX backend (and grab the TPU device lock) at package import, before
+# any jax.config.update("jax_platforms", ...) can run — and Pallas
+# kernels cannot capture pre-created device arrays. numpy scalars
+# promote identically inside traced arithmetic.
+_M1 = np.uint32(0x7FEB352D)
+_M2 = np.uint32(0x846CA68B)
+_C_STREAM = np.uint32(0x9E3779B9)   # golden-ratio odd constant
+_C_COUNTER = np.uint32(0x85EBCA6B)
+# public aliases: the Pallas kernel (ops/pallas_walk.py) builds its
+# register-array hash from THESE constants — one source of truth for
+# the draw-for-draw XLA/Pallas invariant
 C_STREAM = _C_STREAM
 C_COUNTER = _C_COUNTER
+MIX_M1 = _M1
+MIX_M2 = _M2
 
 
 def mix32(x):
     """SplitMix32/murmur3-style 32-bit avalanche finalizer (vectorized)."""
     x = jnp.asarray(x, jnp.uint32)
-    x = x ^ (x >> jnp.uint32(16))
+    x = x ^ (x >> np.uint32(16))
     x = x * _M1
-    x = x ^ (x >> jnp.uint32(15))
+    x = x ^ (x >> np.uint32(15))
     x = x * _M2
-    x = x ^ (x >> jnp.uint32(16))
+    x = x ^ (x >> np.uint32(16))
     return x
 
 

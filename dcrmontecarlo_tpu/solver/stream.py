@@ -71,6 +71,8 @@ def solve_stream(
     Returns:
         Combined :class:`SolveResult` over all accumulated walks.
     """
+    if n_walks_total <= 0:
+        raise ValueError(f"n_walks_total must be positive, got {n_walks_total}")
     pts = np.asarray(points, np.float32).reshape(-1, 2)
     state = _check_resume_points(state, pts)
     done = state.n_walks if state is not None else 0
@@ -118,6 +120,13 @@ def _accumulate_batch(solver, pts, n, max_steps, eps, seed, state, callback):
     if state is None:
         state = StreamState(sum=b_sum, sumsq=b_sumsq, points=pts.copy())
     else:
+        if np.shape(state.sum) != np.shape(b_sum):
+            raise ValueError(
+                f"StreamState moment shape {np.shape(state.sum)} does not "
+                f"match this solve's {np.shape(b_sum)} — the problem's "
+                "source list changed since the state was accumulated "
+                "(set_source_term?). Start a fresh stream (state=None)."
+            )
         state.sum = state.sum + b_sum
         state.sumsq = state.sumsq + b_sumsq
         if state.points is None:
@@ -159,6 +168,8 @@ def solve_to_tolerance(
     tolerance run can be checkpointed, resumed, or topped up later with
     a tighter target.
     """
+    if max_walks <= 0:
+        raise ValueError(f"max_walks must be positive, got {max_walks}")
     pts = np.asarray(points, np.float32).reshape(-1, 2)
     state = _check_resume_points(state, pts)
     done = state.n_walks if state is not None else 0

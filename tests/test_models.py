@@ -168,3 +168,30 @@ def test_local_majorant_keeps_layers_separate():
     assert len(lm.bands) == 2, lm
     d_mid = float(lm.distance(0.0, 0.0))
     assert d_mid > 0.5, (d_mid, lm)
+
+
+def test_sigma_bar_bounds_weights_for_all_negative_sigma_prime():
+    # Regression: sb = mx - mn violated the documented |weight| <= 2
+    # bound when sigma' is negative EVERYWHERE (gaussian dome alpha:
+    # sigma' in [-2, -1] gave sb = 1 and weights up to 3, compounding).
+    # The corrected majorant max(mx, 0) - mn restores the bound, and the
+    # solve stays unbiased vs the exact harmonic continuation.
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu import Problem, circle_loop
+
+    prob = Problem(
+        dirichlet=circle_loop(1.0, n=64),
+        bc_dirichlet=lambda x, y: 1.0 + 0.0 * x,
+        alpha=lambda x, y: jnp.exp(-(x * x + y * y)),
+    )
+    # sigma' = r^2 - 2 on the disk: all-negative
+    sp0 = float(prob.sigma_prime(jnp.float32(0.0), jnp.float32(0.0)))
+    assert sp0 < 0
+    assert prob.sigma_bar >= 1.9, prob.sigma_bar  # ~|mn| = 2, not mx-mn = 1
+    s = WoStSolver(prob, SolverOptions(target_slots=4096))
+    r = s.solve(np.array([[0.0, 0.0], [0.5, 0.0]], np.float32),
+                n_walks=3000, max_steps=400, eps=1e-2, seed=2)
+    # exact solution: constant BC with no source/absorption -> u = 1
+    dev = np.abs(r.mean - 1.0) / np.maximum(r.stderr, 1e-12)
+    assert (dev < 4.0).all(), (r.mean, r.stderr)
