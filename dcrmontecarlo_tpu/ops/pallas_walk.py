@@ -142,7 +142,10 @@ def _closest_point_unrolled(segs, px, py):
         uu = max(ux * ux + uy * uy, 1e-30)
         vx = px - ax
         vy = py - ay
-        t = jnp.clip((vx * ux + vy * uy) * (1.0 / uu), 0.0, 1.0)
+        # DIVIDE like queries.closest_point — a reciprocal-multiply can
+        # differ by 1 ulp, flipping dD at the eps shell and chaotically
+        # desynchronizing matched-seed backend walks (CLAUDE.md)
+        t = jnp.clip((vx * ux + vy * uy) / uu, 0.0, 1.0)
         cx = ax + t * ux
         cy = ay + t * uy
         d2 = (cx - px) ** 2 + (cy - py) ** 2
@@ -178,8 +181,15 @@ def _first_hit_unrolled(segs, px, py, dx, dy, r, t_min):
     hys = jnp.zeros_like(px)
     for (ax, ay, bx, by) in segs:
         ux, uy = bx - ax, by - ay
-        ulen = max(float(np.hypot(ux, uy)), 1e-30)
-        nxs, nys = -uy / ulen, ux / ulen  # static CCW normal
+        # static CCW normal in float32 arithmetic, mirroring
+        # queries.first_hit's f32 sqrt/divide bit-for-bit (a float64
+        # np.hypot normal can differ by 1 ulp and rotate the hemisphere
+        # direction of matched-seed walks)
+        ux32, uy32 = np.float32(ux), np.float32(uy)
+        ulen = np.float32(np.sqrt(np.float32(
+            np.maximum(ux32 * ux32 + uy32 * uy32, np.float32(1e-30)))))
+        nxs = float(np.float32(-uy32 / ulen))
+        nys = float(np.float32(ux32 / ulen))
         wx = px - ax
         wy = py - ay
         den = dx * uy - dy * ux
@@ -589,11 +599,16 @@ def make_pallas_walk(
             else:
                 bx, by = px, py
             g_bc = bc(bx, by) * atten
-            wd = walk_done.astype(jnp.float32)
+            # SELECT, not multiply-by-mask: 0 * NaN = NaN, so a non-finite
+            # BC/source eval on an inactive or padded lane (frozen at
+            # p0 = (0,0), possibly outside the domain) would permanently
+            # poison the accumulators; the XLA step uses jnp.where for the
+            # same reason
             for i in range(n_src):
                 contrib = accs[i] + g_bc
-                asums[i] = asums[i] + wd * contrib
-                asqs[i] = asqs[i] + wd * contrib * contrib
+                asums[i] = asums[i] + jnp.where(walk_done, contrib, 0.0)
+                asqs[i] = asqs[i] + jnp.where(
+                    walk_done, contrib * contrib, 0.0)
             ndone = ndone + walk_done.astype(jnp.int32)
             quota = quota - walk_done.astype(jnp.int32)
 
@@ -720,9 +735,11 @@ def make_pallas_walk(
                 else:
                     w_src = greens_norm_2d(r)
                 # one shared NEE sample, one field eval per source
-                w_eff = jnp.where(stepping & ~beyond, w_src, 0.0)
+                live = stepping & ~beyond
+                w_eff = jnp.where(live, w_src, 0.0)
                 for i in range(n_src):
-                    accs[i] = accs[i] + sources[i](sx, sy) * w_eff
+                    accs[i] = accs[i] + jnp.where(
+                        live, sources[i](sx, sy) * w_eff, 0.0)
             elif use_mis:
                 # source-directed MIS NEE (see solver/wost.py): sample from
                 # 0.5 * ball-Green's + 0.5 * static Gaussian mixture
@@ -784,8 +801,11 @@ def make_pallas_walk(
                     a_y = alpha_c(yx, yy)
                     w_mis = w_mis / jnp.sqrt(a_y * a_p) * atten
                 w_mis = jnp.where(stepping, w_mis, 0.0)
+                # (field evals selected below for the same NaN-poison
+                # immunity as the accumulator update)
                 for i in range(n_src):
-                    accs[i] = accs[i] + sources[i](yx, yy) * w_mis
+                    accs[i] = accs[i] + jnp.where(
+                        stepping, sources[i](yx, yy) * w_mis, 0.0)
 
             if use_delta:
                 p_int = screened_interior_prob(r, sbar)

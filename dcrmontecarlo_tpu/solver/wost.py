@@ -866,15 +866,31 @@ class WoStSolver:
         from ..ops.pallas_walk import pallas_supported
 
         ok = pallas_supported(self.problem)
+        # features the kernel does not implement: falling back to them
+        # SILENTLY would break the draw-for-draw backend invariant
+        # (CLAUDE.md) for an option the user explicitly chose
+        blockers = []
+        if self.options.screened_sampler == "table":
+            blockers.append("screened_sampler='table' (the kernel draws "
+                            "via the shared rejection sampler)")
+        if self.options.rng != "fast":
+            blockers.append(f"rng='{self.options.rng}' (the kernel "
+                            "implements the counter-hash RNG only)")
         if mode == "pallas":
             if not ok:
                 raise ValueError(
                     "backend='pallas' requires statically-unrollable "
                     "geometry (see ops/pallas_walk.MAX_UNROLL_SEGMENTS)"
                 )
+            if blockers:
+                raise ValueError(
+                    "backend='pallas' does not support: "
+                    + "; ".join(blockers)
+                    + ". Use backend='xla' or drop the option."
+                )
             return True
         # auto: pallas on TPU only (interpret-mode CPU pallas is slow)
-        return ok and jax.default_backend() == "tpu"
+        return ok and not blockers and jax.default_backend() == "tpu"
 
     def _build_solve_fn(self, n_points: int, n_walks: int, max_steps: int, eps: float):
         # keyed on the problem version so Problem setters (set_source_term,
@@ -1087,6 +1103,18 @@ class WoStSolver:
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
         n_src = max(1, len(pb.source_fields))
+        use_split = (opts.split_threshold is not None
+                     and pb.use_delta_tracking)
+        if opts.split_threshold is not None and not use_split:
+            import warnings
+
+            warnings.warn(
+                "split_threshold is inert here: splitting applies to "
+                "delta-tracking problems (weights stay at 1.0 otherwise "
+                "— and cloning unit-weight walks would double-count their "
+                "source contributions).",
+                stacklevel=3,
+            )
 
         # slot layout: point-major (point i owns slots i*K..(i+1)*K-1), padded
         quotas = np.zeros((W_pad,), np.int32)
@@ -1148,7 +1176,7 @@ class WoStSolver:
             ])
             return sums, sumsq, jnp.sum(state["life"].astype(jnp.float32))
 
-        if not (opts.compaction or opts.split_threshold is not None):
+        if not (opts.compaction or use_split):
             def run(points, key):
                 state, seed_i = init_state(points, key)
 
@@ -1179,9 +1207,10 @@ class WoStSolver:
         moments_j = jax.jit(_moments)
 
         # per-walk state a split clone copies; accumulators (asum/asq/life)
-        # are NOT copied — idle destination lanes hold banked finished-walk
-        # statistics that must survive — and acc (walk_acc) starts at 0 on
-        # the clone so the prefix is counted once, by the original
+        # are NOT copied — the destination lane's finished-walk statistics
+        # are banked to the host carry under their OLD point id first —
+        # and acc (walk_acc) starts at 0 on the clone so the prefix is
+        # counted once, by the original
         _SPLIT_COPY = ["p0x", "p0y", "px", "py", "nx", "ny", "ob",
                        "steps", "ndone", "atten"]
 
@@ -1221,10 +1250,33 @@ class WoStSolver:
                 fresh = sid_base + jnp.arange(n_lanes, dtype=jnp.int32)
                 flat["sid"] = flat["sid"].at[dst].set(
                     jnp.where(do, fresh, flat["sid"][dst]))
+                # BANK the destination lanes' finished-walk statistics
+                # under their OLD point id before relabeling: split pairs
+                # lanes GLOBALLY (unlike the XLA in-graph split's
+                # per-point-block pairing), so a drained point-A lane can
+                # host a point-B clone — without banking, A's walk sums
+                # would be segment-summed into B at the end
+                dsum = jnp.stack([
+                    jax.ops.segment_sum(
+                        jnp.where(is_dst, flat[f"asum{i}"], 0.0), pid,
+                        num_segments=n_points)
+                    for i in range(n_src)
+                ])
+                dsq = jnp.stack([
+                    jax.ops.segment_sum(
+                        jnp.where(is_dst, flat[f"asq{i}"], 0.0), pid,
+                        num_segments=n_points)
+                    for i in range(n_src)
+                ])
+                for i in range(n_src):
+                    flat[f"asum{i}"] = jnp.where(
+                        is_dst, 0.0, flat[f"asum{i}"])
+                    flat[f"asq{i}"] = jnp.where(
+                        is_dst, 0.0, flat[f"asq{i}"])
                 pid = pid.at[dst].set(jnp.where(do, pid[src], pid[dst]))
                 new_state = {k: v.reshape(rows_in, 128)
                              for k, v in flat.items()}
-                return new_state, pid, n
+                return new_state, pid, n, dsum, dsq
 
             return jax.jit(split)
 
@@ -1272,10 +1324,12 @@ class WoStSolver:
                 active = int(count_j(state))
                 if active == 0:
                     break
-                if opts.split_threshold is not None:
-                    state, pid, n_split = split_j(cur_rows)(
+                if use_split:
+                    state, pid, n_split, dsum, dsq = split_j(cur_rows)(
                         state, pid, np.int32(sid_base))
                     sid_base += int(n_split)
+                    carry_sum = carry_sum + dsum
+                    carry_sq = carry_sq + dsq
                     active = int(count_j(state))
                 if not opts.compaction:
                     continue

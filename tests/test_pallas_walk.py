@@ -497,3 +497,31 @@ def test_pallas_matches_xla_local_majorant():
                    max_steps=150, eps=0.02)
     _assert_close(rp, rx)
     assert rp.total_steps == rx.total_steps
+
+
+def test_split_banks_destination_stats_across_points():
+    # Regression: the host-loop split pairs lanes GLOBALLY, so a drained
+    # point-A lane can host a point-B clone; its banked finished-walk
+    # sums were relabeled to B (A's mean biased low, B's high). With
+    # strongly contrasting per-point means the transfer is conspicuous:
+    # split-on must agree with split-off per point.
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    bump = lambda x, y: 1.0 + 3.0 * jnp.exp(-((x * x + y * y) / 0.18))
+    prob = Problem(dirichlet=square_loop(2.0),
+                   bc_dirichlet=lambda x, y: 10.0 * x, alpha=bump)
+    pts = np.array([[-1.2, 0.0], [1.2, 0.0], [0.0, 0.1]])
+    res = {}
+    for thr in (None, 1.2):
+        s = WoStSolver(prob, SolverOptions(
+            backend="pallas", target_slots=512, pallas_inner_steps=8,
+            pallas_block_rows=8, split_threshold=thr, min_quota=2))
+        with pltpu.force_tpu_interpret_mode():
+            res[thr] = s.solve(pts, n_walks=128, max_steps=150, eps=2e-2,
+                               seed=3)
+    a, b = res[None], res[1.2]
+    comb = np.sqrt(a.stderr**2 + b.stderr**2)
+    dev = np.abs(a.mean - b.mean) / np.maximum(comb, 1e-12)
+    assert (dev < 4.0).all(), (a.mean, b.mean, dev)
+    assert b.total_steps > a.total_steps  # clones actually ran
