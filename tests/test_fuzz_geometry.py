@@ -136,3 +136,31 @@ def test_open_dirichlet_boundary_warns():
             bc_dirichlet=lambda x, y: 0 * x,
         )
     assert not any("escape" in str(x.message) for x in w)
+
+
+def test_fuzz_random_neumann_robin_mms():
+    # Randomized mixed-boundary MMS: u = cos(k x) cosh(k y) has zero flux
+    # at y = 0 for ANY k, and alpha = exp(q y) puts a random coefficient
+    # gradient ON the wall — each draw exercises the Robin machinery at a
+    # different bias scale with a wall field that curves along the wall.
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.models import autodiff_manufactured
+
+    rng = np.random.default_rng(21)
+    for trial in range(2):
+        k = float(rng.uniform(0.4, 0.9))
+        q = float(rng.uniform(0.2, 0.6))
+        u = lambda x, y: jnp.cos(k * x) * jnp.cosh(k * y)
+        alpha = lambda x, y: jnp.exp(q * y) + 0.0 * x
+        prob, u_exact = autodiff_manufactured(
+            u, alpha,
+            dirichlet=Polyline.from_points(
+                [[-2.0, 0.0], [-2.0, -3.0], [2.0, -3.0], [2.0, 0.0]]),
+            neumann=Polyline.from_points([[-2.0, 0.0], [2.0, 0.0]]))
+        s = WoStSolver(prob, SolverOptions(target_slots=16384))
+        pts = np.array([[0.3, -0.15], [-1.0, -0.4]], np.float32)
+        r = s.solve(pts, n_walks=8000, max_steps=1500, eps=0.02,
+                    seed=400 + trial)
+        dev = np.abs(r.mean - u_exact(pts)) / np.maximum(r.stderr, 1e-12)
+        assert (dev < 4.5).all(), (trial, k, q, r.mean, u_exact(pts), dev)
