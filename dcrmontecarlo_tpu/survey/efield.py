@@ -30,6 +30,13 @@ class EFieldResult(NamedTuple):
     ex_stderr: np.ndarray  # conservative (quadrature) bounds
     ey_stderr: np.ndarray
     potential: np.ndarray  # (N,) u at the stencil centers
+    ex_batches: np.ndarray = None  # (B, ...) per-batch fields when
+    ey_batches: np.ndarray = None  # n_batches > 1: independent replicas
+                                   # for EMPIRICAL error bars of derived
+                                   # quantities (e.g. the E_s.E_a products
+                                   # of sensitivity maps, whose factor
+                                   # errors are CRN-correlated and defeat
+                                   # first-order propagation)
 
 
 def estimate_field(
@@ -41,6 +48,7 @@ def estimate_field(
     eps: float = 1e-4,
     seed: int = 0,
     options: SolverOptions = None,
+    n_batches: int = 1,
 ) -> EFieldResult:
     """Estimate ``E = -grad u`` at ``points`` with step ``h``.
 
@@ -65,21 +73,44 @@ def estimate_field(
         "rng": "fast",  # CRN streams work on both backends now
     })
     solver = WoStSolver(problem, opts)
-    res = solver.solve(stencil, n_walks=n_walks, max_steps=max_steps,
-                       eps=eps, seed=seed)
-    # single-source solves return (5n,); multi-source (n_src, 5n) — the
-    # stencil axis is always the trailing one
-    multi = res.mean.ndim == 2
-    u = res.mean.reshape(-1, 5, n)
-    se = res.stderr.reshape(-1, 5, n)
-    ex = -(u[:, 1] - u[:, 2]) / (2 * h)
-    ey = -(u[:, 3] - u[:, 4]) / (2 * h)
-    ex_err = np.sqrt(se[:, 1] ** 2 + se[:, 2] ** 2) / (2 * h)
-    ey_err = np.sqrt(se[:, 3] ** 2 + se[:, 4] ** 2) / (2 * h)
-    pot = u[:, 0]
+
+    def one(seed_b, walks_b):
+        res = solver.solve(stencil, n_walks=walks_b, max_steps=max_steps,
+                           eps=eps, seed=seed_b)
+        # single-source solves return (5n,); multi-source (n_src, 5n) —
+        # the stencil axis is always the trailing one
+        multi = res.mean.ndim == 2
+        u = res.mean.reshape(-1, 5, n)
+        se = res.stderr.reshape(-1, 5, n)
+        ex = -(u[:, 1] - u[:, 2]) / (2 * h)
+        ey = -(u[:, 3] - u[:, 4]) / (2 * h)
+        ex_err = np.sqrt(se[:, 1] ** 2 + se[:, 2] ** 2) / (2 * h)
+        ey_err = np.sqrt(se[:, 3] ** 2 + se[:, 4] ** 2) / (2 * h)
+        return multi, ex, ey, ex_err, ey_err, u[:, 0]
+
+    if n_batches <= 1:
+        multi, ex, ey, ex_err, ey_err, pot = one(seed, n_walks)
+        exb = eyb = None
+    else:
+        # independent equal-size batches share ONE compiled solve (same
+        # shapes); their spread yields honest error bars for any derived
+        # quantity, CRN correlations included
+        wb = max(1, n_walks // n_batches)
+        runs = [one(seed + 7919 * b, wb) for b in range(n_batches)]
+        multi = runs[0][0]
+        exb = np.stack([r[1] for r in runs])   # (B, n_src, N)
+        eyb = np.stack([r[2] for r in runs])
+        ex = exb.mean(axis=0)
+        ey = eyb.mean(axis=0)
+        # empirical stderr of the batch mean
+        ex_err = exb.std(axis=0, ddof=1) / np.sqrt(n_batches)
+        ey_err = eyb.std(axis=0, ddof=1) / np.sqrt(n_batches)
+        pot = np.mean([r[5] for r in runs], axis=0)
     if not multi:
         ex, ey, ex_err, ey_err, pot = (
             a[0] for a in (ex, ey, ex_err, ey_err, pot)
         )
+        if exb is not None:
+            exb, eyb = exb[:, 0], eyb[:, 0]
     return EFieldResult(ex=ex, ey=ey, ex_stderr=ex_err, ey_stderr=ey_err,
-                        potential=pot)
+                        potential=pot, ex_batches=exb, ey_batches=eyb)

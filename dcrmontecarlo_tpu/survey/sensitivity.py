@@ -51,19 +51,16 @@ class SensitivityResult(NamedTuple):
     grid: np.ndarray              # (N, 2) evaluation points
     sensitivity: np.ndarray       # (N,) dV/d alpha(x), per unit area
     sensitivity_log: np.ndarray   # (N,) dV/d ln alpha(x) = alpha * S
-    stderr: np.ndarray            # (N,) APPROXIMATE error scale: first-
-                                  # order propagation of the two E-field
-                                  # quadrature bounds. The bounds
-                                  # themselves overestimate CRN-
-                                  # correlated errors ~7x (see
-                                  # efield.py), but the product form
-                                  # drops the E_s/E_a error covariance
-                                  # (both ride ONE ensemble) and the
-                                  # second-order dE*dE term, which
-                                  # under-covers on noise-dominated
-                                  # cells (|E| ~ stderr). Treat as a
-                                  # weighting scale, not a confidence
-                                  # interval.
+    stderr: np.ndarray            # (N,) error scale. With n_batches > 1
+                                  # (recommended): EMPIRICAL stderr from
+                                  # independent batch replicas of the
+                                  # product — an honest error bar that
+                                  # captures the CRN-correlated factor
+                                  # errors. With n_batches = 1:
+                                  # first-order propagation of the two
+                                  # E-field quadrature bounds, which
+                                  # drops the E_s/E_a error covariance —
+                                  # treat only as a weighting scale.
     e_source: tuple               # (ex, ey) of the A/B current field
     e_adjoint: tuple              # (ex, ey) of the unit M/N field
 
@@ -79,6 +76,7 @@ def sensitivity_map(
     eps: float = 0.9,
     seed: int = 0,
     options: SolverOptions = None,
+    n_batches: int = 1,
 ) -> SensitivityResult:
     """Sensitivity of the ``(rx_m, rx_n)`` voltage to ``alpha(x)``.
 
@@ -117,15 +115,25 @@ def sensitivity_map(
 
     f = estimate_field(
         problem, grid_points, h=h, n_walks=n_walks, max_steps=max_steps,
-        eps=eps, seed=seed, options=options,
+        eps=eps, seed=seed, options=options, n_batches=n_batches,
     )
     ex_s, ey_s = f.ex[0], f.ey[0]
     ex_a, ey_a = f.ex[1], f.ey[1]
     sens = -(ex_s * ex_a + ey_s * ey_a)
-    stderr = np.sqrt(
-        (ex_a * f.ex_stderr[0]) ** 2 + (ex_s * f.ex_stderr[1]) ** 2
-        + (ey_a * f.ey_stderr[0]) ** 2 + (ey_s * f.ey_stderr[1]) ** 2
-    )
+    if f.ex_batches is not None:
+        # HONEST error bar: spread of per-batch products over independent
+        # replicas captures the CRN-correlated factor errors that
+        # first-order propagation drops (point estimate stays the
+        # product of the full-ensemble means — less product bias than a
+        # mean of batch products)
+        s_b = -(f.ex_batches[:, 0] * f.ex_batches[:, 1]
+                + f.ey_batches[:, 0] * f.ey_batches[:, 1])
+        stderr = s_b.std(axis=0, ddof=1) / np.sqrt(len(s_b))
+    else:
+        stderr = np.sqrt(
+            (ex_a * f.ex_stderr[0]) ** 2 + (ex_s * f.ex_stderr[1]) ** 2
+            + (ey_a * f.ey_stderr[0]) ** 2 + (ey_s * f.ey_stderr[1]) ** 2
+        )
     pts = np.asarray(grid_points, np.float64).reshape(-1, 2)
     import jax.numpy as jnp
 
@@ -145,8 +153,9 @@ class JacobianResult(NamedTuple):
     grid: np.ndarray          # (N, 2) evaluation points
     rows: np.ndarray          # (M, N) dV_m/d alpha(x) per unit area
     rows_log: np.ndarray      # (M, N) dV_m/d ln alpha(x) = alpha * rows
-    stderr: np.ndarray        # (M, N) approximate error scales (same
-                              # caveats as SensitivityResult.stderr)
+    stderr: np.ndarray        # (M, N) error scales (same semantics as
+                              # SensitivityResult.stderr: empirical with
+                              # n_batches > 1, propagated otherwise)
     src_pairs: list           # (M,) (a, b) electrode-index tuples
     rx_pairs: list            # (M,) (m, n) electrode-index tuples
     fields: tuple             # (ex, ey), each (n_dipoles, N): the shared
@@ -164,6 +173,7 @@ def survey_jacobian(
     eps: float = 0.9,
     seed: int = 0,
     options: SolverOptions = None,
+    n_batches: int = 1,
 ) -> JacobianResult:
     """Fréchet Jacobian of EVERY dipole-dipole voltage in one solve.
 
@@ -207,7 +217,7 @@ def survey_jacobian(
 
     f = estimate_field(
         problem, grid_points, h=h, n_walks=n_walks, max_steps=max_steps,
-        eps=eps, seed=seed, options=options,
+        eps=eps, seed=seed, options=options, n_batches=n_batches,
     )
     ex, ey = f.ex, f.ey                      # (n_dip, N)
     exe, eye = f.ex_stderr, f.ey_stderr
@@ -219,10 +229,17 @@ def survey_jacobian(
         for (m, n) in rxs:
             r = m
             rows.append(-cur * (ex[s] * ex[r] + ey[s] * ey[r]))
-            errs.append(cur * np.sqrt(
-                (ex[r] * exe[s]) ** 2 + (ex[s] * exe[r]) ** 2
-                + (ey[r] * eye[s]) ** 2 + (ey[s] * eye[r]) ** 2
-            ))
+            if f.ex_batches is not None:
+                # empirical: spread of per-batch products (see
+                # sensitivity_map)
+                r_b = -cur * (f.ex_batches[:, s] * f.ex_batches[:, r]
+                              + f.ey_batches[:, s] * f.ey_batches[:, r])
+                errs.append(r_b.std(axis=0, ddof=1) / np.sqrt(len(r_b)))
+            else:
+                errs.append(cur * np.sqrt(
+                    (ex[r] * exe[s]) ** 2 + (ex[s] * exe[r]) ** 2
+                    + (ey[r] * eye[s]) ** 2 + (ey[s] * eye[r]) ** 2
+                ))
             src_pairs.append((a, b))
             rx_pairs.append((m, n))
     rows = np.stack(rows)

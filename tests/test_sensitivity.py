@@ -178,3 +178,35 @@ def test_born_inversion_localizes_anomaly():
     assert abs(gy[pk[1]] - true_center[1]) <= 5.7, (gx[pk[0]], gy[pk[1]])
     corr = np.corrcoef(m, truth)[0, 1]
     assert corr > 0.4, corr
+
+
+def test_batch_error_bars_consistent():
+    # n_batches > 1 switches sensitivity/jacobian stderr to the empirical
+    # spread of independent batch replicas (honest under CRN-correlated
+    # factor errors). The batch-mode estimate must agree with the
+    # single-ensemble one within combined errors, and the bars must be
+    # finite and positive.
+    from dcrmontecarlo_tpu.survey import (
+        sensitivity_map,
+        surface_electrode_line,
+    )
+
+    alpha0 = lambda x, y: 1.0 + 0.0 * x
+    elec = surface_electrode_line((-20.0, 20.0), 10.0)
+    survey = DCRSurvey(half_width=80.0, depth=80.0,
+                       current_a=tuple(elec[0]), current_b=tuple(elec[1]),
+                       conductivity=alpha0, source_width=2.0,
+                       source_mis=True)
+    grid = np.array([[0.0, -8.0], [5.0, -15.0]], np.float32)
+    one = sensitivity_map(survey, tuple(elec[2]), tuple(elec[3]), grid,
+                          h=3.0, n_walks=2400, max_steps=400, eps=0.5,
+                          seed=4,
+                          options=SolverOptions(target_slots=1 << 15))
+    bat = sensitivity_map(survey, tuple(elec[2]), tuple(elec[3]), grid,
+                          h=3.0, n_walks=2400, max_steps=400, eps=0.5,
+                          seed=4, n_batches=6,
+                          options=SolverOptions(target_slots=1 << 15))
+    assert np.isfinite(bat.stderr).all() and (bat.stderr > 0).all()
+    comb = np.sqrt(one.stderr ** 2 + bat.stderr ** 2)
+    dev = np.abs(one.sensitivity - bat.sensitivity) / np.maximum(comb, 1e-12)
+    assert (dev < 4.0).all(), (one.sensitivity, bat.sensitivity, dev)
