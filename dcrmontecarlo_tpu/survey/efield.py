@@ -27,8 +27,11 @@ __all__ = ["EFieldResult", "estimate_field"]
 class EFieldResult(NamedTuple):
     ex: np.ndarray        # (N,) E_x = -du/dx; (n_src, N) for multi-source
     ey: np.ndarray        # (N,) E_y = -du/dy; (n_src, N) for multi-source
-    ex_stderr: np.ndarray  # conservative (quadrature) bounds
-    ey_stderr: np.ndarray
+    ex_stderr: np.ndarray  # n_batches <= 1: conservative quadrature
+    ey_stderr: np.ndarray  # BOUNDS; n_batches > 1: EMPIRICAL stderr of
+                           # the batch mean (B-sample estimate — itself
+                           # ~1/sqrt(2(B-1)) relatively noisy, and no
+                           # longer an upper bound)
     potential: np.ndarray  # (N,) u at the stencil centers
     ex_batches: np.ndarray = None  # (B, ...) per-batch fields when
     ey_batches: np.ndarray = None  # n_batches > 1: independent replicas
@@ -56,6 +59,12 @@ def estimate_field(
     and solves all stencil points in ONE CRN-correlated solve (stencil
     points sit adjacent in the slot layout, so slot-matched RNG streams
     correlate their walks maximally).
+
+    ``n_batches > 1`` splits the walk budget (exactly — remainders go to
+    the first batches) into independent replicas with hashed seeds,
+    switching ``ex_stderr``/``ey_stderr`` to the EMPIRICAL stderr of the
+    batch mean and filling ``ex_batches``/``ey_batches`` for derived-
+    quantity error bars (see ``SensitivityResult.stderr``).
     """
     pts = np.asarray(points, np.float32).reshape(-1, 2)
     n = len(pts)
@@ -84,19 +93,28 @@ def estimate_field(
         se = res.stderr.reshape(-1, 5, n)
         ex = -(u[:, 1] - u[:, 2]) / (2 * h)
         ey = -(u[:, 3] - u[:, 4]) / (2 * h)
-        ex_err = np.sqrt(se[:, 1] ** 2 + se[:, 2] ** 2) / (2 * h)
-        ey_err = np.sqrt(se[:, 3] ** 2 + se[:, 4] ** 2) / (2 * h)
-        return multi, ex, ey, ex_err, ey_err, u[:, 0]
+        return multi, ex, ey, se, u[:, 0]
 
     if n_batches <= 1:
-        multi, ex, ey, ex_err, ey_err, pot = one(seed, n_walks)
+        multi, ex, ey, se, pot = one(seed, n_walks)
+        ex_err = np.sqrt(se[:, 1] ** 2 + se[:, 2] ** 2) / (2 * h)
+        ey_err = np.sqrt(se[:, 3] ** 2 + se[:, 4] ** 2) / (2 * h)
         exb = eyb = None
     else:
-        # independent equal-size batches share ONE compiled solve (same
-        # shapes); their spread yields honest error bars for any derived
-        # quantity, CRN correlations included
-        wb = max(1, n_walks // n_batches)
-        runs = [one(seed + 7919 * b, wb) for b in range(n_batches)]
+        # independent batches share ONE compiled solve per walk count;
+        # their spread yields honest error bars for any derived
+        # quantity, CRN correlations included. Batch seeds are HASHED
+        # (not arithmetically spaced) so distinct user seeds can never
+        # alias onto each other's batch streams.
+        from ..sampling.rng import mix32
+
+        n_batches = min(n_batches, max(1, n_walks))
+        base, rem = divmod(n_walks, n_batches)  # exact total walk budget
+        runs = []
+        for b in range(n_batches):
+            seed_b = int(mix32(np.uint32(seed) ^ np.uint32(
+                (0xB5297A4D * (b + 1)) & 0xFFFFFFFF)))
+            runs.append(one(seed_b, base + (1 if b < rem else 0)))
         multi = runs[0][0]
         exb = np.stack([r[1] for r in runs])   # (B, n_src, N)
         eyb = np.stack([r[2] for r in runs])
@@ -105,7 +123,7 @@ def estimate_field(
         # empirical stderr of the batch mean
         ex_err = exb.std(axis=0, ddof=1) / np.sqrt(n_batches)
         ey_err = eyb.std(axis=0, ddof=1) / np.sqrt(n_batches)
-        pot = np.mean([r[5] for r in runs], axis=0)
+        pot = np.mean([r[4] for r in runs], axis=0)
     if not multi:
         ex, ey, ex_err, ey_err, pot = (
             a[0] for a in (ex, ey, ex_err, ey_err, pot)

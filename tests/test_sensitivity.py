@@ -210,3 +210,14 @@ def test_batch_error_bars_consistent():
     comb = np.sqrt(one.stderr ** 2 + bat.stderr ** 2)
     dev = np.abs(one.sensitivity - bat.sensitivity) / np.maximum(comb, 1e-12)
     assert (dev < 4.0).all(), (one.sensitivity, bat.sensitivity, dev)
+
+    # the jacobian's empirical branch too (per-batch row products)
+    from dcrmontecarlo_tpu.survey import survey_jacobian
+
+    jac = survey_jacobian(survey, elec, grid, num_rx_per_src=2, h=3.0,
+                          n_walks=2400, max_steps=400, eps=0.5, seed=4,
+                          n_batches=6,
+                          options=SolverOptions(target_slots=1 << 15))
+    assert np.isfinite(jac.rows).all()
+    assert np.isfinite(jac.stderr).all() and (jac.stderr > 0).all()
+    assert jac.stderr.shape == jac.rows.shape
