@@ -110,11 +110,9 @@ def notebook_survey(sharpness: float = 0.1) -> Tuple[DCRSurvey, np.ndarray]:
         # local_majorant="auto" is worth switching on for ABSOLUTE-
         # potential estimates here (sigma' confined to ~8% of the 1000 m
         # domain; measured 2.5x better |err|^2 x time vs the FDM oracle,
-        # 8-seed median) — but left OFF because the survey's primary
-        # observables are CRN dipole DIFFERENCES, and the majorant's
-        # position-dependent ball bifurcation decoheres CRN pairs
-        # (measured dV sig*sqrt(t): 18.4 with CRN alone vs 43.6 with the
-        # majorant added; THEORY.md §4d).
+        # 8-seed median). Left OFF as the pinned-oracle-test default
+        # only because the dV/CRN effect measures neutral (THEORY.md
+        # §4d) — users chasing absolute potentials should enable it.
     )
     electrodes = surface_electrode_line((-400.0, 400.0), 40.0, y=-0.1)
     return survey, electrodes
