@@ -41,7 +41,8 @@ def accuracy_preset():
         survey.source_mis = mis
         opts = SolverOptions(target_slots=1 << 17,
                              common_random_numbers=crn,
-                             compaction=True)
+                             compaction=True,
+                             roulette_threshold=0.05)  # survey default
         # ONE solver per config: rebuilding it per rep (as survey.run does)
         # would re-trace and re-compile every solve
         problem = survey.build_problem()
