@@ -54,24 +54,14 @@ class ShardedWoStSolver(WoStSolver):
         super().__init__(problem, options)
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
-        inert = []
-        if options.split_threshold is not None:
-            inert.append(
-                "split_threshold (splitting pairs lanes within a device's "
-                "slot block; the sharded layouts don't carry per-lane "
-                "stream state — use roulette_threshold / max_attenuation, "
-                "or solve per-shard with WoStSolver)")
         if options.compaction:
-            inert.append(
-                "compaction (the sharded builders run one jitted "
-                "while-loop per device; there is no host-driven launch "
-                "loop to permute lanes into smaller grids)")
-        if inert:
             import warnings
 
             warnings.warn(
-                "options ignored on the sharded solver: "
-                + "; ".join(inert),
+                "compaction is ignored on the sharded solver (the sharded "
+                "builders run one jitted while-loop per device; there is "
+                "no host-driven launch loop to permute lanes into smaller "
+                "grids)",
                 stacklevel=2,
             )
 
@@ -114,6 +104,19 @@ class ShardedWoStSolver(WoStSolver):
         step_cap = max_quota * (max_steps + 1) + 2
         axis = self.axis
         n_src = max(1, len(self.problem.source_fields))
+        use_split = (
+            self.options.split_threshold is not None
+            and self.problem.use_delta_tracking
+            and self.options.rng == "fast"
+        )
+        if self.options.split_threshold is not None and not use_split:
+            import warnings
+
+            warnings.warn(
+                "split_threshold is inert here: splitting applies to "
+                "delta-tracking problems with rng='fast'.",
+                stacklevel=3,
+            )
         # lay slots out walker-major so the sharded axis is contiguous:
         # (K, n_points) with K split over devices
         quotas_km = jnp.asarray(np.tile(quota_row[:, None], (1, n_points)))
@@ -145,14 +148,20 @@ class ShardedWoStSolver(WoStSolver):
                 step_idx=pv(state.step_idx),
             )
 
-            def cond(s):
-                return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
+            if not use_split:
+                def cond(s):
+                    return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
 
-            def body(s):
-                s2, _ = step(s, p0x, p0y, shard_key)
-                return s2
+                def body(s):
+                    s2, _ = step(s, p0x, p0y, shard_key)
+                    return s2
 
-            final = jax.lax.while_loop(cond, body, state)
+                final = jax.lax.while_loop(cond, body, state)
+            else:
+                final = self._sharded_split_loop(
+                    step, state, p0x, p0y, shard_key, pv, dev,
+                    k_local, n_points, n_src, step_cap,
+                )
             sums = final.acc_sum.reshape(n_src, k_local, n_points).sum(axis=1)
             sumsq = final.acc_sumsq.reshape(n_src, k_local, n_points).sum(axis=1)
             steps = final.total_steps
@@ -180,9 +189,106 @@ class ShardedWoStSolver(WoStSolver):
 
         return run
 
+    def _sharded_split_loop(self, step, state, p0x, p0y, shard_key, pv,
+                            dev, k_local, n_points, n_src, step_cap):
+        """While-loop with in-graph high-weight splitting, slot-major.
+
+        The shard's state is slot-major (``lane = slot * n_points +
+        point``), so heavy/idle pairing happens within each COLUMN of the
+        ``(k_local, n_points)`` view — the sharded mirror of the base
+        solver's point-block pairing (``wost.py``, point-major rows).
+        Per-lane stream ids ride in the carry; clone ids are allocated
+        from a per-device range ``2^30 + dev * 2^24`` so shards never
+        collide with each other or with the lane/CRN ids.
+        """
+        import jax.numpy as jnp
+
+        thr = float(self.options.split_threshold)
+        W_local = k_local * n_points
+        # dev is already axis-varying, so deriving from it makes these
+        # varying too (pv() on an already-varying value is an error)
+        sid0 = step.lane_ids(W_local) + 0 * dev.astype(jnp.uint32)
+        nsid0 = (jnp.uint32(1 << 30)
+                 + dev.astype(jnp.uint32) * jnp.uint32(1 << 24))
+        rows_idx = jnp.arange(k_local)[:, None]
+        col_idx = jnp.arange(n_points)[None, :]
+        SPLIT_EVERY = 16
+
+        def do_split(s, sid, nsid):
+            rs = lambda v: v.reshape(k_local, n_points)
+            act = rs(s.quota > 0)
+            heavy = act & (rs(jnp.abs(s.atten)) > thr)
+            idle = ~act
+            # pair within each point's COLUMN: heavy lanes first / idle
+            # lanes first along the slot axis
+            src = jnp.argsort(~heavy, axis=0, stable=True)
+            dst = jnp.argsort(~idle, axis=0, stable=True)
+            n = jnp.minimum(heavy.sum(0), idle.sum(0))    # per point col
+            do = rows_idx < n[None, :]
+
+            def pair_copy(v):
+                m = rs(v)
+                return m.at[dst, col_idx].set(
+                    jnp.where(do, m[src, col_idx], m[dst, col_idx])
+                ).reshape(-1)
+
+            is_src = jnp.zeros((k_local, n_points), bool).at[
+                src, col_idx].set(do)
+            is_dst = jnp.zeros((k_local, n_points), bool).at[
+                dst, col_idx].set(do)
+            halve = (is_src | is_dst).reshape(-1)
+            dst_flat = is_dst.reshape(-1)
+            att_p = pair_copy(s.atten)
+            atten = jnp.where(halve, att_p * 0.5, att_p)
+            wacc = jnp.where(dst_flat[None, :], 0.0, s.walk_acc)
+            clone_rank = jnp.cumsum(n) - n
+            rank = (clone_rank[None, :] + rows_idx).astype(jnp.uint32)
+            fresh_rows = nsid + jnp.zeros(
+                (k_local, n_points), jnp.uint32).at[dst, col_idx].set(rank)
+            fresh = fresh_rows.reshape(-1)
+            new = s._replace(
+                px=pair_copy(s.px), py=pair_copy(s.py),
+                on_bdry=pair_copy(s.on_bdry),
+                nx=pair_copy(s.nx), ny=pair_copy(s.ny),
+                atten=atten, walk_acc=wacc,
+                steps_cur=pair_copy(s.steps_cur),
+                n_done=pair_copy(s.n_done),
+                quota=jnp.where(dst_flat, 1, s.quota),
+            )
+            sid = jnp.where(dst_flat, fresh, sid)
+            return new, sid, nsid + n.sum().astype(jnp.uint32)
+
+        def cond(c):
+            s = c[0]
+            return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
+
+        def body(c):
+            s, sid, nsid = c
+            s2, _ = step(s, p0x, p0y, shard_key, sid=sid)
+            return jax.lax.cond(
+                s2.step_idx % SPLIT_EVERY == 0,
+                do_split,
+                lambda a, b, c_: (a, b, c_),
+                s2, sid, nsid,
+            )
+
+        final, _, _ = jax.lax.while_loop(
+            cond, body, (state, sid0, nsid0)
+        )
+        return final
+
     def _build_solve_fn_pallas_sharded(
         self, n_points: int, n_walks: int, max_steps: int, eps: float
     ):
+        if self.options.split_threshold is not None:
+            import warnings
+
+            warnings.warn(
+                "split_threshold is not applied on the sharded PALLAS "
+                "path (only the sharded XLA path splits in-graph); use "
+                "backend='xla' to combine sharding with splitting.",
+                stacklevel=3,
+            )
         """shard_map around the fused Pallas launch loop: each device runs
         the multi-step kernel on its walker shard independently; one psum
         combines per-point sums at the end (same collective pattern as the

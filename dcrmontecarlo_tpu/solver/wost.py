@@ -147,8 +147,12 @@ class SolverOptions:
                                        # split in-graph every 16 steps,
                                        # paired within each point's slot
                                        # block (delta-tracking problems,
-                                       # rng='fast'; ignored on the
-                                       # sharded solver). Caveats: stderr
+                                       # rng='fast'; the sharded XLA path
+                                       # splits too — slot-major column
+                                       # pairing with per-device clone
+                                       # stream ranges; only the sharded
+                                       # PALLAS path warns). Caveats:
+                                       # stderr
                                        # becomes a mild underestimate
                                        # when split pieces correlate
                                        # (pieces enter sumsq separately),

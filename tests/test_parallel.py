@@ -111,3 +111,30 @@ def test_sharded_crn_tightens_differences():
     assert abs(d_est - d_exact) < max(0.7 * quad, 1e-3), (
         d_est, d_exact, quad
     )
+
+
+def test_sharded_split_threshold_unbiased():
+    # In-graph high-weight splitting on the sharded XLA path (slot-major
+    # column pairing; per-device clone stream ranges): split-on must
+    # agree with split-off within combined MC error while actually
+    # splitting.
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu import Problem, square_loop
+
+    bump = lambda x, y: 1.0 + 3.0 * jnp.exp(-((x * x + y * y) / 0.18))
+    prob = Problem(dirichlet=square_loop(2.0),
+                   bc_dirichlet=lambda x, y: 1.0 + x * y, alpha=bump)
+    mesh = make_mesh(4)
+    pts = np.array([[0.0, 0.0], [0.4, 0.2]], np.float32)
+    res = {}
+    for thr in (None, 1.5):
+        s = ShardedWoStSolver(prob, mesh, SolverOptions(
+            target_slots=2048, split_threshold=thr))
+        res[thr] = s.solve(pts, n_walks=3000, max_steps=200, eps=2e-2,
+                           seed=9)
+    a, b = res[None], res[1.5]
+    comb = np.sqrt(a.stderr**2 + b.stderr**2)
+    dev = np.abs(a.mean - b.mean) / np.maximum(comb, 1e-12)
+    assert (dev < 4.0).all(), (a.mean, b.mean, dev)
+    assert b.total_steps > a.total_steps
