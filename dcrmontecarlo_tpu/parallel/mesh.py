@@ -159,8 +159,8 @@ class ShardedWoStSolver(WoStSolver):
                 final = jax.lax.while_loop(cond, body, state)
             else:
                 final = self._sharded_split_loop(
-                    step, state, p0x, p0y, shard_key, pv, dev,
-                    k_local, n_points, n_src, step_cap,
+                    step, state, p0x, p0y, shard_key, dev,
+                    k_local, n_points, step_cap,
                 )
             sums = final.acc_sum.reshape(n_src, k_local, n_points).sum(axis=1)
             sumsq = final.acc_sumsq.reshape(n_src, k_local, n_points).sum(axis=1)
@@ -189,8 +189,8 @@ class ShardedWoStSolver(WoStSolver):
 
         return run
 
-    def _sharded_split_loop(self, step, state, p0x, p0y, shard_key, pv,
-                            dev, k_local, n_points, n_src, step_cap):
+    def _sharded_split_loop(self, step, state, p0x, p0y, shard_key,
+                            dev, k_local, n_points, step_cap):
         """While-loop with in-graph high-weight splitting, slot-major.
 
         The shard's state is slot-major (``lane = slot * n_points +
@@ -206,7 +206,7 @@ class ShardedWoStSolver(WoStSolver):
         thr = float(self.options.split_threshold)
         W_local = k_local * n_points
         # dev is already axis-varying, so deriving from it makes these
-        # varying too (pv() on an already-varying value is an error)
+        # varying too (re-pcasting an already-varying value is an error)
         sid0 = step.lane_ids(W_local) + 0 * dev.astype(jnp.uint32)
         nsid0 = (jnp.uint32(1 << 30)
                  + dev.astype(jnp.uint32) * jnp.uint32(1 << 24))
