@@ -160,7 +160,7 @@ class ShardedWoStSolver(WoStSolver):
             else:
                 final = self._sharded_split_loop(
                     step, state, p0x, p0y, shard_key, dev,
-                    k_local, n_points, step_cap,
+                    k_local, n_points, step_cap, max_steps,
                 )
             sums = final.acc_sum.reshape(n_src, k_local, n_points).sum(axis=1)
             sumsq = final.acc_sumsq.reshape(n_src, k_local, n_points).sum(axis=1)
@@ -190,26 +190,32 @@ class ShardedWoStSolver(WoStSolver):
         return run
 
     def _sharded_split_loop(self, step, state, p0x, p0y, shard_key,
-                            dev, k_local, n_points, step_cap):
+                            dev, k_local, n_points, step_cap, max_steps):
         """While-loop with in-graph high-weight splitting, slot-major.
 
-        The shard's state is slot-major (``lane = slot * n_points +
-        point``), so heavy/idle pairing happens within each COLUMN of the
+        KEEP IN LOCKSTEP with the base in-graph split in
+        ``solver/wost.py::_build_solve_fn_xla`` — same pairing/halving/
+        stream-allocation logic with the axes transposed. The shard's
+        state is slot-major (``lane = slot * n_points + point``), so
+        heavy/idle pairing happens within each COLUMN of the
         ``(k_local, n_points)`` view — the sharded mirror of the base
-        solver's point-block pairing (``wost.py``, point-major rows).
+        solver's point-block pairing (point-major rows).
         Per-lane stream ids ride in the carry; clone ids are allocated
         from a per-device range ``2^30 + dev * 2^24`` so shards never
         collide with each other or with the lane/CRN ids.
         """
-        import jax.numpy as jnp
-
         thr = float(self.options.split_threshold)
         W_local = k_local * n_points
         # dev is already axis-varying, so deriving from it makes these
-        # varying too (re-pcasting an already-varying value is an error)
+        # varying too (re-pcasting an already-varying value is an error).
+        # Per-device clone ranges partition [2^30, 2^32) by the STATIC
+        # mesh size — a fixed 2^24 stride overflowed uint32 at dev >= 192,
+        # wrapping device 192's clone ids onto live lane/CRN stream ids
+        n_dev = int(self.mesh.devices.size)
+        stride = ((1 << 32) - (1 << 30)) // max(n_dev, 1)
         sid0 = step.lane_ids(W_local) + 0 * dev.astype(jnp.uint32)
         nsid0 = (jnp.uint32(1 << 30)
-                 + dev.astype(jnp.uint32) * jnp.uint32(1 << 24))
+                 + dev.astype(jnp.uint32) * jnp.uint32(stride))
         rows_idx = jnp.arange(k_local)[:, None]
         col_idx = jnp.arange(n_points)[None, :]
         SPLIT_EVERY = 16
@@ -258,15 +264,21 @@ class ShardedWoStSolver(WoStSolver):
             sid = jnp.where(dst_flat, fresh, sid)
             return new, sid, nsid + n.sum().astype(jnp.uint32)
 
+        # same clone-truncation-exact cap as the base split loop: splits
+        # stop at step_cap, the loop runs max_steps + 2 longer so every
+        # clone provably finishes
+        split_cap = step_cap + max_steps + 2
+
         def cond(c):
             s = c[0]
-            return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
+            return (s.step_idx < split_cap) & jnp.any(s.quota > 0)
 
         def body(c):
             s, sid, nsid = c
             s2, _ = step(s, p0x, p0y, shard_key, sid=sid)
             return jax.lax.cond(
-                s2.step_idx % SPLIT_EVERY == 0,
+                (s2.step_idx % SPLIT_EVERY == 0)
+                & (s2.step_idx < step_cap),
                 do_split,
                 lambda a, b, c_: (a, b, c_),
                 s2, sid, nsid,
@@ -280,6 +292,10 @@ class ShardedWoStSolver(WoStSolver):
     def _build_solve_fn_pallas_sharded(
         self, n_points: int, n_walks: int, max_steps: int, eps: float
     ):
+        """shard_map around the fused Pallas launch loop: each device runs
+        the multi-step kernel on its walker shard independently; one psum
+        combines per-point sums at the end (same collective pattern as the
+        XLA sharded path)."""
         if self.options.split_threshold is not None:
             import warnings
 
@@ -289,10 +305,6 @@ class ShardedWoStSolver(WoStSolver):
                 "backend='xla' to combine sharding with splitting.",
                 stacklevel=3,
             )
-        """shard_map around the fused Pallas launch loop: each device runs
-        the multi-step kernel on its walker shard independently; one psum
-        combines per-point sums at the end (same collective pattern as the
-        XLA sharded path)."""
         from ..ops.pallas_walk import make_pallas_walk, stream_ids
 
         opts = self.options

@@ -970,6 +970,10 @@ class WoStSolver:
             return jax.jit(run)
 
         # ---- in-graph high-weight splitting (unbiased; THEORY.md §5) ---- #
+        # KEEP IN LOCKSTEP with parallel/mesh.py::_sharded_split_loop —
+        # the same pairing/halving/stream logic transposed to the sharded
+        # slot-major layout; a change here that misses the mirror breaks
+        # split unbiasedness there (both copies are gated by split tests).
         # Every SPLIT_EVERY steps, heavy mid-walk lanes (|atten| > thr)
         # clone into idle lanes (quota exhausted) of the SAME point block —
         # the point-major slot layout makes point identity positional, so
@@ -1041,15 +1045,24 @@ class WoStSolver:
             p0y = jnp.repeat(points[:, 1], K)
             state = init_state(p0x, p0y, quotas, n_src=n_src)
 
+            # step_cap bounds ORIGINAL walks (quota * (max_steps + 1)); a
+            # clone created near it needs up to max_steps more iterations,
+            # so splits stop at step_cap and the loop runs max_steps + 2
+            # longer — every clone (and clone-of-clone: splits only occur
+            # below step_cap) provably finishes, keeping the split exactly
+            # unbiased instead of truncating late clones' half-weights
+            split_cap = step_cap + max_steps + 2
+
             def cond(c):
                 s = c[0]
-                return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
+                return (s.step_idx < split_cap) & jnp.any(s.quota > 0)
 
             def body(c):
                 s, sid, nsid = c
                 s2, _ = step(s, p0x, p0y, key, sid=sid)
                 return jax.lax.cond(
-                    s2.step_idx % SPLIT_EVERY == 0,
+                    (s2.step_idx % SPLIT_EVERY == 0)
+                    & (s2.step_idx < step_cap),
                     do_split,
                     lambda a, b, c_: (a, b, c_),
                     s2, sid, nsid,
