@@ -193,18 +193,17 @@ class ShardedWoStSolver(WoStSolver):
                             dev, k_local, n_points, step_cap, max_steps):
         """While-loop with in-graph high-weight splitting, slot-major.
 
-        KEEP IN LOCKSTEP with the base in-graph split in
-        ``solver/wost.py::_build_solve_fn_xla`` — same pairing/halving/
-        stream-allocation logic with the axes transposed. The shard's
-        state is slot-major (``lane = slot * n_points + point``), so
-        heavy/idle pairing happens within each COLUMN of the
-        ``(k_local, n_points)`` view — the sharded mirror of the base
-        solver's point-block pairing (point-major rows).
+        The pairing/halving/stream-allocation logic is the shared
+        ``solver/split.py`` helper (same implementation as the base
+        solver's point-major split, viewed slot-major: the shard's state
+        is ``lane = slot * n_points + point``, so heavy/idle pairing
+        happens within each point's slot column).
         Per-lane stream ids ride in the carry; clone ids are allocated
-        from a per-device range ``2^30 + dev * 2^24`` so shards never
-        collide with each other or with the lane/CRN ids.
+        from a per-device range so shards never collide with each other
+        or with the lane/CRN ids.
         """
-        thr = float(self.options.split_threshold)
+        from ..solver.split import make_ingraph_split, run_split_while
+
         W_local = k_local * n_points
         # dev is already axis-varying, so deriving from it makes these
         # varying too (re-pcasting an already-varying value is an error).
@@ -216,78 +215,13 @@ class ShardedWoStSolver(WoStSolver):
         sid0 = step.lane_ids(W_local) + 0 * dev.astype(jnp.uint32)
         nsid0 = (jnp.uint32(1 << 30)
                  + dev.astype(jnp.uint32) * jnp.uint32(stride))
-        rows_idx = jnp.arange(k_local)[:, None]
-        col_idx = jnp.arange(n_points)[None, :]
-        SPLIT_EVERY = 16
-
-        def do_split(s, sid, nsid):
-            rs = lambda v: v.reshape(k_local, n_points)
-            act = rs(s.quota > 0)
-            heavy = act & (rs(jnp.abs(s.atten)) > thr)
-            idle = ~act
-            # pair within each point's COLUMN: heavy lanes first / idle
-            # lanes first along the slot axis
-            src = jnp.argsort(~heavy, axis=0, stable=True)
-            dst = jnp.argsort(~idle, axis=0, stable=True)
-            n = jnp.minimum(heavy.sum(0), idle.sum(0))    # per point col
-            do = rows_idx < n[None, :]
-
-            def pair_copy(v):
-                m = rs(v)
-                return m.at[dst, col_idx].set(
-                    jnp.where(do, m[src, col_idx], m[dst, col_idx])
-                ).reshape(-1)
-
-            is_src = jnp.zeros((k_local, n_points), bool).at[
-                src, col_idx].set(do)
-            is_dst = jnp.zeros((k_local, n_points), bool).at[
-                dst, col_idx].set(do)
-            halve = (is_src | is_dst).reshape(-1)
-            dst_flat = is_dst.reshape(-1)
-            att_p = pair_copy(s.atten)
-            atten = jnp.where(halve, att_p * 0.5, att_p)
-            wacc = jnp.where(dst_flat[None, :], 0.0, s.walk_acc)
-            clone_rank = jnp.cumsum(n) - n
-            rank = (clone_rank[None, :] + rows_idx).astype(jnp.uint32)
-            fresh_rows = nsid + jnp.zeros(
-                (k_local, n_points), jnp.uint32).at[dst, col_idx].set(rank)
-            fresh = fresh_rows.reshape(-1)
-            new = s._replace(
-                px=pair_copy(s.px), py=pair_copy(s.py),
-                on_bdry=pair_copy(s.on_bdry),
-                nx=pair_copy(s.nx), ny=pair_copy(s.ny),
-                atten=atten, walk_acc=wacc,
-                steps_cur=pair_copy(s.steps_cur),
-                n_done=pair_copy(s.n_done),
-                quota=jnp.where(dst_flat, 1, s.quota),
-            )
-            sid = jnp.where(dst_flat, fresh, sid)
-            return new, sid, nsid + n.sum().astype(jnp.uint32)
-
-        # same clone-truncation-exact cap as the base split loop: splits
-        # stop at step_cap, the loop runs max_steps + 2 longer so every
-        # clone provably finishes
-        split_cap = step_cap + max_steps + 2
-
-        def cond(c):
-            s = c[0]
-            return (s.step_idx < split_cap) & jnp.any(s.quota > 0)
-
-        def body(c):
-            s, sid, nsid = c
-            s2, _ = step(s, p0x, p0y, shard_key, sid=sid)
-            return jax.lax.cond(
-                (s2.step_idx % SPLIT_EVERY == 0)
-                & (s2.step_idx < step_cap),
-                do_split,
-                lambda a, b, c_: (a, b, c_),
-                s2, sid, nsid,
-            )
-
-        final, _, _ = jax.lax.while_loop(
-            cond, body, (state, sid0, nsid0)
+        do_split = make_ingraph_split(
+            self.options.split_threshold, n_points, k_local, slot_major=True
         )
-        return final
+        return run_split_while(
+            step, do_split, state, p0x, p0y, shard_key,
+            sid0, nsid0, step_cap, max_steps,
+        )
 
     def _build_solve_fn_pallas_sharded(
         self, n_points: int, n_walks: int, max_steps: int, eps: float

@@ -212,6 +212,19 @@ class Problem:
                         raise ValueError(
                             "sigma' could not be evaluated at any grid point"
                         )
+                    if finite.size < v.size:
+                        import warnings
+
+                        warnings.warn(
+                            f"sigma' is non-finite at {v.size - finite.size}"
+                            f"/{v.size} grid points; the global majorant is "
+                            "priced from the finite cells only, so walks "
+                            "entering the non-finite regions may exceed it "
+                            "and the clamped null-collision weight "
+                            "max(1 - sigma'/sigma_bar, 0) silently biases "
+                            "there. Smooth the coefficient field or set "
+                            "sigma_bar_override."
+                        )
                     mn, mx = float(finite.min()), float(finite.max())
                 else:
                     mn, mx, _, _ = grid_min_max(
@@ -245,7 +258,13 @@ class Problem:
 
     @staticmethod
     def _open_endpoints(poly) -> int:
-        """Count boundary endpoints used by an odd number of segments."""
+        """Count boundary endpoints used by exactly ONE segment.
+
+        Only degree-1 vertices are gaps a walker can escape through; a
+        T-junction (three segments meeting, e.g. an interior partition
+        wall on a closed loop) is odd-degree but geometrically closed, so
+        flagging odd degree would warn spuriously there.
+        """
         valid = np.asarray(poly.seg_valid)
         a = np.asarray(poly.seg_a)[valid]
         b = np.asarray(poly.seg_b)[valid]
@@ -255,7 +274,7 @@ class Problem:
         span = max(float(np.ptp(pts[:, 0])), float(np.ptp(pts[:, 1])), 1e-30)
         key = np.round(pts / (1e-6 * span)).astype(np.int64)
         _, counts = np.unique(key, axis=0, return_counts=True)
-        return int((counts % 2 == 1).sum())
+        return int((counts == 1).sum())
 
     def _grid_axes(self):
         (x0, x1), (y0, y1) = self.domain_bounds

@@ -1,0 +1,142 @@
+"""In-graph high-weight splitting: the ONE pairing/halving/stream helper.
+
+Unbiased variance control for delta-tracking weight compounding
+(THEORY.md §5): every ``SPLIT_EVERY`` steps, a mid-walk lane whose
+``|atten|`` exceeds the threshold clones into an idle lane (quota
+exhausted) of the SAME evaluation point; original and clone continue at
+half weight with independent RNG streams, and the clone retires after
+finishing this one walk (quota exactly 1, ``walk_acc`` reset so the walk
+prefix is counted once, by the original). ``E[sum of halves]`` equals the
+unsplit walk exactly.
+
+Both in-graph split sites use this builder — the base XLA solve
+(``solver/wost.py::_build_solve_fn_xla``, point-major slot layout:
+``lane = point * K + slot``) and the sharded XLA solve
+(``parallel/mesh.py::_sharded_split_loop``, slot-major:
+``lane = slot * n_points + point``). They were previously two transposed
+copies marked KEEP IN LOCKSTEP; the layouts now differ only in the
+``slot_major`` flag, which picks the (point, slot) view of the flat lane
+axis. Pairing always happens within a point's slot group, so point
+identity stays positional and the accumulator reshape stays valid with no
+per-lane point-id array.
+
+Stream allocation: clone ids are handed out from ``nsid`` upward in
+point-group order (rank-in-group + group offset), and ``nsid`` advances by
+the ACTUAL clone count — uint32 wraparound stays out of reach for any
+realistic solve. Callers start ``nsid`` at ``2**30`` (above all lane/CRN
+ids); the sharded path additionally offsets per device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SPLIT_EVERY", "make_ingraph_split", "run_split_while"]
+
+SPLIT_EVERY = 16  # steps between split sweeps: bounds weight compounding
+                  # at 16 steps of (1 - sigma'/sigma_bar) growth
+
+
+def make_ingraph_split(threshold: float, n_points: int, n_slots: int,
+                       slot_major: bool):
+    """Build ``do_split(state, sid, nsid) -> (state, sid, nsid)``.
+
+    Args:
+        threshold: ``|atten|`` above which an active lane is split.
+        n_points: evaluation-point groups (pairing never crosses one).
+        n_slots: walker slots per point group.
+        slot_major: lane layout — ``False`` for ``point * n_slots + slot``
+            (base solver), ``True`` for ``slot * n_points + point``
+            (sharded shards).
+    """
+    thr = float(threshold)
+    rows_idx = jnp.arange(n_points)[:, None]
+    col_idx = jnp.arange(n_slots)[None, :]
+
+    if slot_major:
+        def view(v):
+            return v.reshape(n_slots, n_points).T
+
+        def unview(m):
+            return m.T.reshape(-1)
+    else:
+        def view(v):
+            return v.reshape(n_points, n_slots)
+
+        def unview(m):
+            return m.reshape(-1)
+
+    def do_split(s, sid, nsid):
+        act = view(s.quota > 0)
+        heavy = act & (view(jnp.abs(s.atten)) > thr)
+        idle = ~act
+        src = jnp.argsort(~heavy, axis=1, stable=True)  # heavy slots first
+        dst = jnp.argsort(~idle, axis=1, stable=True)   # idle slots first
+        n = jnp.minimum(heavy.sum(1), idle.sum(1))      # per point group
+        do = col_idx < n[:, None]
+
+        def pair_copy(v):
+            m = view(v)
+            return unview(m.at[rows_idx, dst].set(
+                jnp.where(do, m[rows_idx, src], m[rows_idx, dst])))
+
+        is_src = unview(
+            jnp.zeros((n_points, n_slots), bool).at[rows_idx, src].set(do))
+        is_dst = unview(
+            jnp.zeros((n_points, n_slots), bool).at[rows_idx, dst].set(do))
+        halve = is_src | is_dst
+        att_p = pair_copy(s.atten)
+        atten = jnp.where(halve, att_p * 0.5, att_p)
+        # clone accumulates only the walk's remainder, counted once
+        wacc = jnp.where(is_dst[None, :], 0.0, s.walk_acc)
+        # fresh, unique streams: rank-in-group + group offset, advancing
+        # nsid by the actual clone count
+        clone_rank = jnp.cumsum(n) - n  # clones in earlier point groups
+        rank = (clone_rank[:, None] + col_idx).astype(jnp.uint32)
+        fresh = unview(nsid + jnp.zeros(
+            (n_points, n_slots), jnp.uint32).at[rows_idx, dst].set(rank))
+        new = s._replace(
+            px=pair_copy(s.px), py=pair_copy(s.py),
+            on_bdry=pair_copy(s.on_bdry),
+            nx=pair_copy(s.nx), ny=pair_copy(s.ny),
+            atten=atten, walk_acc=wacc,
+            steps_cur=pair_copy(s.steps_cur),
+            n_done=pair_copy(s.n_done),
+            quota=jnp.where(is_dst, 1, s.quota),
+        )
+        sid = jnp.where(is_dst, fresh, sid)
+        return new, sid, nsid + n.sum().astype(jnp.uint32)
+
+    return do_split
+
+
+def run_split_while(step, do_split, state, p0x, p0y, key, sid0, nsid0,
+                    step_cap: int, max_steps: int):
+    """The split-enabled while-loop both solve paths share.
+
+    ``step_cap`` bounds ORIGINAL walks (``quota * (max_steps + 1)``); a
+    clone created near it needs up to ``max_steps`` more iterations, so
+    splits stop at ``step_cap`` and the loop runs ``max_steps + 2``
+    longer — every clone (and clone-of-clone: splits only occur below
+    ``step_cap``) provably finishes, keeping the split exactly unbiased
+    instead of truncating late clones' half-weights.
+    """
+    split_cap = step_cap + max_steps + 2
+
+    def cond(c):
+        s = c[0]
+        return (s.step_idx < split_cap) & jnp.any(s.quota > 0)
+
+    def body(c):
+        s, sid, nsid = c
+        s2, _ = step(s, p0x, p0y, key, sid=sid)
+        return jax.lax.cond(
+            (s2.step_idx % SPLIT_EVERY == 0) & (s2.step_idx < step_cap),
+            do_split,
+            lambda a, b, c_: (a, b, c_),
+            s2, sid, nsid,
+        )
+
+    final, _, _ = jax.lax.while_loop(cond, body, (state, sid0, nsid0))
+    return final

@@ -144,6 +144,7 @@ def solve_to_tolerance(
     points,
     target_stderr: float,
     relative: bool = False,
+    relative_floor: float = 0.0,
     batch_walks: int = 4096,
     max_walks: int = 1 << 20,
     max_steps: int = 1000,
@@ -163,6 +164,13 @@ def solve_to_tolerance(
     near-zero-potential electrodes). ``max_walks`` bounds the budget;
     the returned result reports whatever accuracy that budget bought.
 
+    Relative mode needs a nonzero signal: when every point's mean is ~0
+    (symmetric dipole layouts, early noisy batches) the threshold is ~0
+    and the loop runs to ``max_walks``. ``relative_floor`` (an absolute
+    solution-units scale) floors the signal estimate so such runs still
+    terminate: the effective threshold is
+    ``target_stderr * max(max|mean|, relative_floor)``.
+
     The running :class:`StreamState` is stored on
     ``solver._stream_state`` exactly like :func:`solve_stream`, so a
     tolerance run can be checkpointed, resumed, or topped up later with
@@ -177,7 +185,8 @@ def solve_to_tolerance(
         if state is not None:
             res = state.result()
             thr = target_stderr * (
-                np.max(np.abs(res.mean)) if relative else 1.0
+                max(float(np.max(np.abs(res.mean))), relative_floor)
+                if relative else 1.0
             )
             if np.max(res.stderr) <= thr:
                 break

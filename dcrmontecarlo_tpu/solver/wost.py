@@ -970,106 +970,29 @@ class WoStSolver:
             return jax.jit(run)
 
         # ---- in-graph high-weight splitting (unbiased; THEORY.md §5) ---- #
-        # KEEP IN LOCKSTEP with parallel/mesh.py::_sharded_split_loop —
-        # the same pairing/halving/stream logic transposed to the sharded
-        # slot-major layout; a change here that misses the mirror breaks
-        # split unbiasedness there (both copies are gated by split tests).
-        # Every SPLIT_EVERY steps, heavy mid-walk lanes (|atten| > thr)
-        # clone into idle lanes (quota exhausted) of the SAME point block —
-        # the point-major slot layout makes point identity positional, so
-        # pairing within each K-slot row keeps the accumulator reshape
-        # valid with no per-lane point-id array. Original and clone each
-        # carry half the weight with independent RNG streams; the clone
-        # re-runs only the walk's remainder (walk_acc starts at 0, quota
-        # exactly 1), so the mean is exactly that of the unsplit walk.
-        # Unlike the Pallas host loop (split at launch boundaries), this
-        # bounds weight compounding at SPLIT_EVERY steps.
-        SPLIT_EVERY = 16
-        thr = float(self.options.split_threshold)
-        rows_idx = jnp.arange(n_points)[:, None]
-        col_idx = jnp.arange(K)[None, :]
-        W_total = n_points * K
+        # One shared pairing/halving/stream-allocation implementation
+        # serves this point-major layout AND the sharded slot-major one
+        # (see solver/split.py). Unlike the Pallas host loop (split at
+        # launch boundaries), this bounds weight compounding at
+        # SPLIT_EVERY steps.
+        from .split import make_ingraph_split, run_split_while
+
+        do_split = make_ingraph_split(
+            self.options.split_threshold, n_points, K, slot_major=False
+        )
         # the step core's own stream layout (exposed as step.lane_ids) is
         # the single source of truth — re-deriving it here would silently
         # diverge if the crn tuple's mode ever changes
-        sid0 = step.lane_ids(W_total)
-
-        def do_split(s, sid, nsid):
-            rs = lambda v: v.reshape(n_points, K)
-            act = rs(s.quota > 0)
-            heavy = act & (rs(jnp.abs(s.atten)) > thr)
-            idle = ~act
-            src = jnp.argsort(~heavy, axis=1, stable=True)  # heavy first
-            dst = jnp.argsort(~idle, axis=1, stable=True)   # idle first
-            n = jnp.minimum(heavy.sum(1), idle.sum(1))      # per point row
-            do = col_idx < n[:, None]
-
-            def pair_copy(v):
-                m = rs(v)
-                return m.at[rows_idx, dst].set(
-                    jnp.where(do, m[rows_idx, src], m[rows_idx, dst])
-                ).reshape(-1)
-
-            is_src = jnp.zeros((n_points, K), bool).at[rows_idx, src].set(do)
-            is_dst = jnp.zeros((n_points, K), bool).at[rows_idx, dst].set(do)
-            halve = (is_src | is_dst).reshape(-1)
-            dst_flat = is_dst.reshape(-1)
-            att_p = pair_copy(s.atten)
-            atten = jnp.where(halve, att_p * 0.5, att_p)
-            # clone accumulates only the walk's remainder, counted once
-            wacc = jnp.where(dst_flat[None, :], 0.0, s.walk_acc)
-            # fresh, unique streams (>= 2^30, above lane/CRN ids). dst is
-            # a per-row permutation, so rank-in-row + row offset gives the
-            # paired dst lanes the first sum(n) ids after nsid — nsid then
-            # advances by the ACTUAL clone count (not W_total), keeping
-            # uint32 wraparound out of reach for any realistic solve
-            clone_rank = jnp.cumsum(n) - n  # clones in earlier rows
-            rank = (clone_rank[:, None] + col_idx).astype(jnp.uint32)
-            fresh_rows = nsid + jnp.zeros((n_points, K), jnp.uint32).at[
-                rows_idx, dst].set(rank)
-            fresh = fresh_rows.reshape(-1)
-            new = s._replace(
-                px=pair_copy(s.px), py=pair_copy(s.py),
-                on_bdry=pair_copy(s.on_bdry),
-                nx=pair_copy(s.nx), ny=pair_copy(s.ny),
-                atten=atten, walk_acc=wacc,
-                steps_cur=pair_copy(s.steps_cur),
-                n_done=pair_copy(s.n_done),
-                quota=jnp.where(dst_flat, 1, s.quota),
-            )
-            sid = jnp.where(dst_flat, fresh, sid)
-            return new, sid, nsid + n.sum().astype(jnp.uint32)
+        sid0 = step.lane_ids(n_points * K)
 
         def run(points, key):
             p0x = jnp.repeat(points[:, 0], K)
             p0y = jnp.repeat(points[:, 1], K)
             state = init_state(p0x, p0y, quotas, n_src=n_src)
-
-            # step_cap bounds ORIGINAL walks (quota * (max_steps + 1)); a
-            # clone created near it needs up to max_steps more iterations,
-            # so splits stop at step_cap and the loop runs max_steps + 2
-            # longer — every clone (and clone-of-clone: splits only occur
-            # below step_cap) provably finishes, keeping the split exactly
-            # unbiased instead of truncating late clones' half-weights
-            split_cap = step_cap + max_steps + 2
-
-            def cond(c):
-                s = c[0]
-                return (s.step_idx < split_cap) & jnp.any(s.quota > 0)
-
-            def body(c):
-                s, sid, nsid = c
-                s2, _ = step(s, p0x, p0y, key, sid=sid)
-                return jax.lax.cond(
-                    (s2.step_idx % SPLIT_EVERY == 0)
-                    & (s2.step_idx < step_cap),
-                    do_split,
-                    lambda a, b, c_: (a, b, c_),
-                    s2, sid, nsid,
-                )
-
-            final, _, _ = jax.lax.while_loop(
-                cond, body, (state, sid0, jnp.uint32(1 << 30))
+            # clone streams start at 2^30, above all lane/CRN ids
+            final = run_split_while(
+                step, do_split, state, p0x, p0y, key,
+                sid0, jnp.uint32(1 << 30), step_cap, max_steps,
             )
             return _finish(final)
 

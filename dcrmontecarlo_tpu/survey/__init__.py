@@ -17,6 +17,7 @@ from .dcr import (
     halfspace_domain,
     dipole_dipole_pairs,
     run_pseudosection,
+    survey_default_options,
 )
 
 __all__ = [
@@ -37,4 +38,5 @@ __all__ = [
     "halfspace_domain",
     "dipole_dipole_pairs",
     "run_pseudosection",
+    "survey_default_options",
 ]

@@ -42,7 +42,38 @@ __all__ = [
     "halfspace_domain",
     "dipole_dipole_pairs",
     "run_pseudosection",
+    "survey_default_options",
 ]
+
+
+def survey_default_options(**overrides) -> SolverOptions:
+    """The survey pipelines' default :class:`SolverOptions` — every knob at
+    its MEASURED optimum for the DCR workload, so default runs reproduce
+    the published numbers:
+
+    * ``common_random_numbers=True`` — dipole voltages are differences;
+      slot-matched streams cancel the shared MC noise (2.3x with MIS on
+      err*sqrt(t), ``bench.py --preset accuracy``).
+    * ``compaction=True`` — the 1000 m survey is straggler-bound (~15%
+      occupancy tail); banked-permutation compaction is severalfold there.
+    * ``roulette_threshold=0.05`` — unbiased low-weight kill, measured
+      1.75x on the notebook survey at identical accuracy vs the oracle.
+    * ``rejection_rounds=2`` — the measured stderr^2*time optimum of the
+      screened-radius rejection cap on TPU (1 is ~18% faster per step but
+      pays more weight variance than it saves; 64 wastes rounds).
+
+    Any keyword overrides the tuned value (e.g.
+    ``survey_default_options(compaction=False)`` for end-to-end jittable
+    solves).
+    """
+    base = dict(
+        common_random_numbers=True,
+        compaction=True,
+        roulette_threshold=0.05,
+        rejection_rounds=2,
+    )
+    base.update(overrides)
+    return SolverOptions(**base)
 
 
 def surface_electrode_line(x_range, spacing: float, y: float = 0.0) -> np.ndarray:
@@ -51,10 +82,12 @@ def surface_electrode_line(x_range, spacing: float, y: float = 0.0) -> np.ndarra
     Rebuild of ``create_surface_measurement_grid``
     (``tests/testGeophysicalScenario.py:58-74``).
     """
-    # linspace with a rounded count: float arange overshoots the stop by
-    # a full spacing on ~half of spacing/extent combinations, silently
-    # appending an electrode OUTSIDE the requested line
-    n = int(round((x_range[1] - x_range[0]) / spacing)) + 1
+    # linspace with a floored count (float-tolerant): float arange
+    # overshoots the stop by a full spacing on ~half of spacing/extent
+    # combinations, and a ROUNDED count still overshoots by up to
+    # spacing/2 when the extent is not a multiple of spacing — the last
+    # electrode must never exceed x_range[1]
+    n = int(np.floor((x_range[1] - x_range[0]) / spacing + 1e-6)) + 1
     x = np.linspace(x_range[0], x_range[0] + (n - 1) * spacing, n,
                     dtype=np.float32)
     return np.stack([x, np.full_like(x, y)], axis=1)
@@ -213,21 +246,19 @@ class DCRSurvey:
             y = self.surface_y - depth
         return (x, y)
 
-    def make_solver(
-        self,
-        options: SolverOptions = SolverOptions(
-            common_random_numbers=True, compaction=True,
-        # low-weight roulette: unbiased, measured 1.75x faster on the
-        # notebook survey with identical accuracy vs the FDM oracle
-        roulette_threshold=0.05),
-    ) -> WoStSolver:
+    def make_solver(self, options: SolverOptions = None) -> WoStSolver:
         """Build a reusable solver for this survey.
 
         ``run()`` constructs a fresh Problem + solver per call, which
         re-traces and re-compiles the walk; loops over seeds or repeated
         surveys should build ONE solver here and pass it to
         ``run(..., solver=...)`` (compiled solves are cached per shape).
+
+        ``options`` defaults to :func:`survey_default_options` (the
+        measured optima).
         """
+        if options is None:
+            options = survey_default_options()
         return WoStSolver(self.build_problem(), options)
 
     def build_problem(self) -> Problem:
@@ -260,21 +291,20 @@ class DCRSurvey:
         max_steps: int = 500,
         eps: float = 0.9,
         seed: int = 0,
-        options: SolverOptions = SolverOptions(
-        common_random_numbers=True, compaction=True,
-        # low-weight roulette: unbiased, measured 1.75x faster on the
-        # notebook survey with identical accuracy vs the FDM oracle
-        roulette_threshold=0.05),
+        options: SolverOptions = None,
         solver: WoStSolver = None,
     ) -> SurveyResult:
         """Solve the survey at ``electrodes``.
 
-        Common random numbers default ON: the survey's observables are
-        dipole voltage DIFFERENCES, and slot-matched streams cancel most
-        of the shared MC noise between adjacent electrodes (works on both
-        the XLA and Pallas backends). Pass explicit ``options`` to opt out.
+        ``options`` defaults to :func:`survey_default_options` — notably
+        common random numbers ON: the survey's observables are dipole
+        voltage DIFFERENCES, and slot-matched streams cancel most of the
+        shared MC noise between adjacent electrodes (works on both the
+        XLA and Pallas backends). Pass explicit ``options`` to opt out.
         """
         if solver is None:
+            if options is None:
+                options = survey_default_options()
             solver = WoStSolver(self.build_problem(), options)
         # Electrodes sitting exactly on the Neumann surface start their
         # first step with a uniform (not hemisphere) direction and can leak
@@ -363,11 +393,7 @@ def run_pseudosection(
     max_steps: int = 500,
     eps: float = 0.9,
     seed: int = 0,
-    options: SolverOptions = SolverOptions(
-    common_random_numbers=True, compaction=True,
-        # low-weight roulette: unbiased, measured 1.75x faster on the
-        # notebook survey with identical accuracy vs the FDM oracle
-        roulette_threshold=0.05),
+    options: SolverOptions = None,
 ) -> Pseudosection:
     """Full dipole-dipole sweep from ONE walker ensemble.
 
@@ -392,14 +418,19 @@ def run_pseudosection(
                         survey.source_width)
         for a, b in sources
     ]
+    if options is None:
+        options = survey_default_options()
     problem = survey.build_problem()
-    problem.source = source_fields
+    # version-bumping setters, NOT raw attribute assignment: solvers key
+    # their compiled-solve caches on problem.version, so raw mutation
+    # would leave any solver already holding this problem silently stale
+    problem.set_source_term(source_fields)
     if survey.source_mis:
         # one mixture covering every electrode of the line
         used = sorted({i for ab in sources for i in ab})
-        problem.source_importance = GaussianMixture.from_components([
+        problem.set_source_importance(GaussianMixture.from_components([
             (tuple(src_pos[i]), survey.source_width, 1.0) for i in used
-        ])
+        ]))
 
     solver = WoStSolver(problem, options)
     pts = electrodes.copy()

@@ -75,7 +75,14 @@ def estimate_field(
         pts + [0.0, h],
         pts - [0.0, h],
     ]).astype(np.float32)
-    base = options or SolverOptions()
+    if options is None:
+        # the survey pipelines' measured-optimum defaults (roulette and
+        # compaction are no-ops on problems that can't use them)
+        from .dcr import survey_default_options
+
+        base = survey_default_options()
+    else:
+        base = options
     opts = SolverOptions(**{
         **base.__dict__,
         "common_random_numbers": True,

@@ -52,7 +52,7 @@ class SensitivityResult(NamedTuple):
     sensitivity: np.ndarray       # (N,) dV/d alpha(x), per unit area
     sensitivity_log: np.ndarray   # (N,) dV/d ln alpha(x) = alpha * S
     stderr: np.ndarray            # (N,) error scale. With n_batches > 1
-                                  # (recommended): EMPIRICAL stderr from
+                                  # (the default): EMPIRICAL stderr from
                                   # independent batch replicas of the
                                   # product — an honest error bar that
                                   # captures the CRN-correlated factor
@@ -76,7 +76,7 @@ def sensitivity_map(
     eps: float = 0.9,
     seed: int = 0,
     options: SolverOptions = None,
-    n_batches: int = 1,
+    n_batches: int = 4,
 ) -> SensitivityResult:
     """Sensitivity of the ``(rx_m, rx_n)`` voltage to ``alpha(x)``.
 
@@ -173,7 +173,7 @@ def survey_jacobian(
     eps: float = 0.9,
     seed: int = 0,
     options: SolverOptions = None,
-    n_batches: int = 1,
+    n_batches: int = 4,
 ) -> JacobianResult:
     """Fréchet Jacobian of EVERY dipole-dipole voltage in one solve.
 

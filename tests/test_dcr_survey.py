@@ -24,6 +24,32 @@ def test_surface_electrode_line():
     assert e[0, 0] == -40 and e[-1, 0] == 40 and (e[:, 1] == 0).all()
 
 
+def test_surface_electrode_line_never_overshoots():
+    # Non-multiple extents must truncate, not round past x_range[1]: a
+    # rounded count placed the last electrode up to spacing/2 OUTSIDE the
+    # requested line (e.g. outside the domain walls)
+    e = surface_electrode_line((-40, 44), 10.0)  # extent 84 = 8.4 spacings
+    assert e[-1, 0] <= 44 + 1e-5
+    assert e.shape[0] == 9  # -40 .. 40
+    # exact multiples (incl. float-noise ratios) still reach the endpoint
+    e2 = surface_electrode_line((-4.5, 4.5), 0.3)
+    assert abs(e2[-1, 0] - 4.5) < 1e-5
+
+
+def test_survey_default_options_are_measured_optima():
+    # the shipped defaults must reproduce the published profile
+    # (VERDICT r2 #7): rejection_rounds=2 is the measured stderr^2*time
+    # optimum, CRN/compaction/roulette are the survey-pipeline defaults
+    from dcrmontecarlo_tpu.survey import survey_default_options
+
+    o = survey_default_options()
+    assert o.rejection_rounds == 2
+    assert o.common_random_numbers and o.compaction
+    assert o.roulette_threshold == 0.05
+    o2 = survey_default_options(compaction=False, rejection_rounds=8)
+    assert not o2.compaction and o2.rejection_rounds == 8
+
+
 def test_apparent_resistivity_homogeneous_recovers_rho():
     # In a homogeneous half-plane with line sources, rho_a == rho for any
     # electrode layout: build exact 2D potentials and invert.

@@ -137,6 +137,22 @@ def test_open_dirichlet_boundary_warns():
         )
     assert not any("escape" in str(x.message) for x in w)
 
+    # a T-junction (interior partition wall meeting a closed loop) is
+    # odd-degree at the junction vertices but geometrically closed: no
+    # gap, no warning (only degree-1 endpoints are escapes)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Problem(
+            dirichlet=Polyline.concat([
+                Polyline.from_points(  # closed loop w/ vertices at (+-1, 0)
+                    [[-1, -1], [1, -1], [1, 0], [1, 1],
+                     [-1, 1], [-1, 0], [-1, -1]]),
+                Polyline.from_points([[-1.0, 0.0], [1.0, 0.0]]),
+            ]),
+            bc_dirichlet=lambda x, y: 0 * x,
+        )
+    assert not any("escape" in str(x.message) for x in w)
+
 
 def test_fuzz_random_neumann_robin_mms():
     # Randomized mixed-boundary MMS: u = cos(k x) cosh(k y) has zero flux

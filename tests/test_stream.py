@@ -95,6 +95,24 @@ def test_solve_to_tolerance_reaches_target():
     assert (dev < 4.0).all(), (res.mean, exact, dev)
 
 
+def test_solve_to_tolerance_relative_floor_terminates():
+    # An antisymmetric BC gives mean ~ 0 with nonzero variance: relative
+    # mode's threshold ~ 0 would run the full max_walks budget; the
+    # absolute relative_floor lets the criterion engage and stop early.
+    from dcrmontecarlo_tpu.solver import solve_to_tolerance
+
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x)
+    solver = WoStSolver(prob, SolverOptions(target_slots=4096))
+    pts = np.array([[0.0, 0.0]], np.float32)  # mean is exactly 0
+    res = solve_to_tolerance(solver, pts, target_stderr=0.05, relative=True,
+                             relative_floor=1.0, batch_walks=512,
+                             max_walks=1 << 16, max_steps=300, eps=1e-3,
+                             seed=7)
+    assert res.stderr.max() <= 0.05  # floor scale 1.0 * target 0.05
+    assert res.n_walks < (1 << 16)  # stopped before the budget cap
+
+
 def test_solve_to_tolerance_budget_cap_and_resume():
     # max_walks bounds the budget; resuming with a looser target returns
     # immediately, and topping up with a tighter target continues from
