@@ -39,15 +39,37 @@ class WalkHistory:
     d_dirichlet: np.ndarray      # (n_walks, T)
     d_silhouette: np.ndarray     # (n_walks, T) +inf without Neumann
     radius: np.ndarray           # (n_walks, T) star radius
-    source_contrib: np.ndarray   # (n_walks, T)
+    source_contrib: np.ndarray   # (n_walks, T) source field 0 (see _all)
     boundary_contrib: np.ndarray  # (n_walks,) terminal BC contribution
+                                  # (source-independent: paths don't
+                                  # depend on f)
     active: np.ndarray           # (n_walks, T) bool
     walk_length: np.ndarray      # (n_walks,) steps taken
-    total: np.ndarray            # (n_walks,) total walk contribution
+    total: np.ndarray            # (n_walks,) walk total, source field 0
+    source_contrib_all: np.ndarray = None  # (n_src, n_walks, T): per-
+                                  # source NEE record — multi-source
+                                  # ensembles (pseudosection sweeps,
+                                  # sensitivity adjoints) trace every
+                                  # current dipole from the ONE shared
+                                  # walk set (reference records per-walk
+                                  # contributions at WoStSolver.py:261-267
+                                  # but is single-source)
+    total_all: np.ndarray = None  # (n_src, n_walks) walk totals per source
 
-    def to_dict(self) -> Dict[int, List[dict]]:
+    @property
+    def n_src(self) -> int:
+        return 1 if self.source_contrib_all is None else \
+            self.source_contrib_all.shape[0]
+
+    def to_dict(self, source: int = 0) -> Dict[int, List[dict]]:
         """Reference history schema (``WoStSolver.py:330-349``) for a single
-        point index 0."""
+        point index 0; ``source`` selects which source field's
+        contributions/totals are reported (multi-source ensembles)."""
+        if source == 0 or self.source_contrib_all is None:
+            src_c, tot = self.source_contrib, self.total
+        else:
+            src_c = self.source_contrib_all[source]
+            tot = self.total_all[source]
         walks = []
         for w in range(self.positions.shape[0]):
             T = int(self.walk_length[w]) + 1
@@ -68,10 +90,10 @@ class WalkHistory:
                     "step": t,
                     "type": "source",
                     "point": self.positions[w, t],
-                    "contribution": float(self.source_contrib[w, t]),
+                    "contribution": float(src_c[w, t]),
                 }
                 for t in range(self.positions.shape[1])
-                if self.source_contrib[w, t] != 0.0
+                if src_c[w, t] != 0.0
             ]
             contributions.append(
                 {
@@ -86,7 +108,7 @@ class WalkHistory:
                     "walk_id": w,
                     "path": path,
                     "contributions": contributions,
-                    "total_contribution": float(self.total[w]),
+                    "total_contribution": float(tot[w]),
                 }
             )
         return {0: walks}
@@ -130,7 +152,10 @@ def trace_walks(
         [np.asarray(recs["px"]).T, np.asarray(recs["py"]).T], axis=-1
     )
     active = np.asarray(recs["active"]).T
-    total = np.asarray(final.acc_sum)[0]  # source axis: first (or only) field
+    total_all = np.asarray(final.acc_sum)      # (n_src, n_walks)
+    # recs["src"] is (T, n_src, n_walks): scan stacked the per-step
+    # (n_src, W) records along a leading step axis
+    src_all = np.transpose(np.asarray(recs["src"]), (1, 2, 0))
     boundary = np.asarray(recs["bnd"]).T.sum(axis=1)
     walk_length = np.maximum(active.sum(axis=1) - 1, 0)
     return WalkHistory(
@@ -139,9 +164,11 @@ def trace_walks(
         d_dirichlet=np.asarray(recs["dD"]).T,
         d_silhouette=np.asarray(recs["dS"]).T,
         radius=np.asarray(recs["r"]).T,
-        source_contrib=np.asarray(recs["src"]).T,
+        source_contrib=src_all[0],
         boundary_contrib=boundary,
         active=active,
         walk_length=walk_length,
-        total=total,
+        total=total_all[0],
+        source_contrib_all=src_all,
+        total_all=total_all,
     )

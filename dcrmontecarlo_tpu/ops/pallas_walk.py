@@ -933,7 +933,25 @@ def make_pallas_walk(
             tuple(ref[:] for ref in asq_refs),
             quota_ref[:], steps_ref[:], ndone_ref[:], ob_ref[:], life_ref[:],
         )
-        carry = jax.lax.fori_loop(0, n_inner, step, carry)
+
+        # early exit when THIS block's quota is fully drained: a step with
+        # no active lane mutates nothing (all updates are stepping/act
+        # masked), so skipping the remaining inner iterations is exactly
+        # the same computation — but short-walk workloads (total quota *
+        # walk length << n_inner) previously burned the whole fixed
+        # n_inner budget as dead steps, collapsing to ~0.2 G steps/s
+        # (VERDICT r2 #5). The per-iteration jnp.max reduction is ~free
+        # next to the unrolled geometry scans.
+        def inner_cond(c):
+            i, cr = c
+            return (i < n_inner) & (jnp.max(cr[8]) > 0)  # cr[8] = quota
+
+        def inner_body(c):
+            i, cr = c
+            return i + 1, step(i, cr)
+
+        _, carry = jax.lax.while_loop(inner_cond, inner_body,
+                                      (jnp.int32(0), carry))
         (px, py, nxv, nyv, atten, accs, asums, asqs, quota, steps, ndone,
          obi, life) = carry
         opx_ref[:] = px

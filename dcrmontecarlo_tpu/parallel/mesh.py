@@ -81,6 +81,16 @@ class ShardedWoStSolver(WoStSolver):
     def _build_solve_fn_uncached(
         self, n_points: int, n_walks: int, max_steps: int, eps: float
     ):
+        if self._progress_cb is not None:
+            import warnings
+
+            warnings.warn(
+                "progress callbacks are not supported on the sharded "
+                "solver (per-device loops have no shared host hook); "
+                "use solve_stream for batch-level progress.",
+                stacklevel=3,
+            )
+            self._progress_cb = None
         if self._use_pallas():
             return self._build_solve_fn_pallas_sharded(
                 n_points, n_walks, max_steps, eps
@@ -229,16 +239,16 @@ class ShardedWoStSolver(WoStSolver):
         """shard_map around the fused Pallas launch loop: each device runs
         the multi-step kernel on its walker shard independently; one psum
         combines per-point sums at the end (same collective pattern as the
-        XLA sharded path)."""
-        if self.options.split_threshold is not None:
-            import warnings
+        XLA sharded path).
 
-            warnings.warn(
-                "split_threshold is not applied on the sharded PALLAS "
-                "path (only the sharded XLA path splits in-graph); use "
-                "backend='xla' to combine sharding with splitting.",
-                stacklevel=3,
-            )
+        High-weight splitting works here too: the launch-boundary split
+        (``solver/split.py::make_launch_split`` — the same implementation
+        the single-device Pallas host loop runs) executes IN-GRAPH between
+        kernel launches inside each device's while-loop, with per-device
+        clone stream ranges partitioning [2^30, 2^32) so shards never
+        collide. The fast path carries the full variance-control set
+        across chips (VERDICT r2 #4).
+        """
         from ..ops.pallas_walk import make_pallas_walk, stream_ids
 
         opts = self.options
@@ -279,6 +289,25 @@ class ShardedWoStSolver(WoStSolver):
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
         n_src_p = max(1, len(pb.source_fields))
+        use_split = (opts.split_threshold is not None
+                     and pb.use_delta_tracking)
+        if opts.split_threshold is not None and not use_split:
+            import warnings
+
+            warnings.warn(
+                "split_threshold is inert here: splitting applies to "
+                "delta-tracking problems (weights stay at 1.0 otherwise).",
+                stacklevel=3,
+            )
+        if use_split:
+            from ..solver.split import make_launch_split
+
+            split_fn = make_launch_split(
+                opts.split_threshold, n_src_p, n_points)
+            # splits stop at launch_cap; the loop runs long enough after
+            # that for every clone (remaining walk <= max_steps) to
+            # finish, so no clone half-weight is truncated
+            split_reserve = max_steps // n_inner + 1
 
         # quotas laid out (K, n_points) so the slot axis shards evenly
         quotas_km = jnp.asarray(
@@ -333,28 +362,96 @@ class ShardedWoStSolver(WoStSolver):
                 state[f"asum{i}"] = f0
                 state[f"asq{i}"] = f0
 
-            def cond(c):
-                state, launches = c
-                return (launches < launch_cap) & jnp.any(state["quota"] > 0)
+            # the launch loops' stop decision is GLOBAL (a psum'd
+            # active-count flag carried from the previous iteration), not
+            # per-device: every device must execute the same number of
+            # pallas_call invocations — interpret mode takes a hard
+            # cross-device barrier per call, and lockstep launches also
+            # keep real-TPU shards from idling at the final psum. Extra
+            # launches on an early-drained device are ~free: the kernel's
+            # early exit returns immediately when its quota is gone.
+            def _global_active(state):
+                return jax.lax.psum(
+                    jnp.sum((state["quota"] > 0).astype(jnp.int32)), axis
+                ) > 0
 
-            def body(c):
-                state, launches = c
-                new_state = plan.run(state, seed_i)
-                return new_state, launches + 1
+            if not use_split:
+                def cond(c):
+                    _, launches, g_active = c
+                    return (launches < launch_cap) & g_active
 
-            state, launches = jax.lax.while_loop(
-                cond, body, (state, pv(jnp.int32(0)))
-            )
-            sums = jnp.stack([
+                def body(c):
+                    state, launches, _ = c
+                    new_state = plan.run(state, seed_i)
+                    return (new_state, launches + 1,
+                            _global_active(new_state))
+
+                state, launches, _ = jax.lax.while_loop(
+                    cond, body,
+                    (state, pv(jnp.int32(0)), _global_active(state)),
+                )
+                pid = pid_local_j
+                bank_sum = jnp.zeros((n_src_p, n_points), jnp.float32)
+                bank_sq = jnp.zeros((n_src_p, n_points), jnp.float32)
+            else:
+                # launch loop with the in-graph launch-boundary split:
+                # after each kernel launch, heavy lanes clone into idle
+                # lanes (any point: per-lane pid rides the carry, banked
+                # stats accumulate in bank_sum/bank_sq). Per-device clone
+                # stream ranges partition [2^30, 2^32) by the static mesh
+                # size (the XLA sharded path's scheme; int32 lanes of the
+                # kernel state hold the same bit patterns)
+                n_dev_s = int(self.mesh.devices.size)
+                stride = ((1 << 32) - (1 << 30)) // max(n_dev_s, 1)
+                nsid0_u = (jnp.uint32(1 << 30)
+                           + dev.astype(jnp.uint32) * jnp.uint32(stride))
+                nsid0 = jax.lax.bitcast_convert_type(nsid0_u, jnp.int32)
+
+                def cond(c):
+                    launches, g_active = c[5], c[6]
+                    return (launches < launch_cap + split_reserve) & g_active
+
+                def body(c):
+                    state, pid, nsid, bsum, bsq, launches, _ = c
+                    state = plan.run(state, seed_i)
+
+                    def dosplit(state, pid, nsid, bsum, bsq):
+                        state, pid, n, dsum, dsq = split_fn(
+                            state, pid, nsid)
+                        return (state, pid, nsid + n.astype(jnp.int32),
+                                bsum + dsum, bsq + dsq)
+
+                    state, pid, nsid, bsum, bsq = jax.lax.cond(
+                        launches + 1 < launch_cap,
+                        dosplit,
+                        lambda *a: a,
+                        state, pid, nsid, bsum, bsq,
+                    )
+                    return (state, pid, nsid, bsum, bsq, launches + 1,
+                            _global_active(state))
+
+                # nsid0 derives from dev and is ALREADY axis-varying
+                # (re-pcasting a varying value is an error); the others
+                # are replicated constants that the loop body makes
+                # device-dependent
+                state, pid, _, bank_sum, bank_sq, launches, _ = \
+                    jax.lax.while_loop(
+                        cond, body,
+                        (state, pv(pid_local_j), nsid0,
+                         pv(jnp.zeros((n_src_p, n_points), jnp.float32)),
+                         pv(jnp.zeros((n_src_p, n_points), jnp.float32)),
+                         pv(jnp.int32(0)), _global_active(state)),
+                    )
+            sums = bank_sum + jnp.stack([
                 jax.ops.segment_sum(
-                    state[f"asum{i}"].reshape(-1), pid_local_j,
+                    state[f"asum{i}"].reshape(-1), pid,
                     num_segments=n_points,
                 )
                 for i in range(n_src_p)
             ])
-            sumsq = jnp.stack([
+            sumsq = bank_sq + jnp.stack([
                 jax.ops.segment_sum(
-                    state[f"asq{i}"].reshape(-1), pid_local_j,
+                    state[f"asq{i}"].reshape(-1), pid,
                     num_segments=n_points,
                 )
                 for i in range(n_src_p)

@@ -32,7 +32,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SPLIT_EVERY", "make_ingraph_split", "run_split_while"]
+__all__ = ["SPLIT_EVERY", "make_ingraph_split", "run_split_while",
+           "make_launch_split", "LAUNCH_SPLIT_COPY"]
 
 SPLIT_EVERY = 16  # steps between split sweeps: bounds weight compounding
                   # at 16 steps of (1 - sigma'/sigma_bar) growth
@@ -109,6 +110,90 @@ def make_ingraph_split(threshold: float, n_points: int, n_slots: int,
         return new, sid, nsid + n.sum().astype(jnp.uint32)
 
     return do_split
+
+
+# per-walk state a launch-boundary split clone copies; accumulators
+# (asum/asq/life) are NOT copied — the destination lane's finished-walk
+# statistics are banked under their OLD point id first — and acc
+# (walk_acc) starts at 0 on the clone so the walk prefix is counted once,
+# by the original
+LAUNCH_SPLIT_COPY = ["p0x", "p0y", "px", "py", "nx", "ny", "ob",
+                     "steps", "ndone", "atten"]
+
+
+def make_launch_split(threshold: float, n_src: int, n_points: int):
+    """Build the launch-boundary split for the Pallas dict state:
+    ``split(state, pid, sid_base) -> (state, pid, n, dsum, dsq)``.
+
+    Pairs heavy/idle lanes GLOBALLY across the whole (rows, 128) state
+    (unlike the in-graph split's per-point-block pairing): the Pallas
+    layouts carry an explicit per-lane point id, so a drained point-A
+    lane can host a point-B clone as long as the destination lane's
+    finished-walk statistics are banked under A first (returned as
+    ``dsum``/``dsq`` (n_src, n_points) for the caller's carry). Fresh
+    stream ids are ``sid_base + lane-rank``; the caller advances its base
+    by ``n`` (the actual clone count). Used by the Pallas host launch
+    loop (``solver/wost.py``) and, jitted in-graph, by the sharded Pallas
+    path (``parallel/mesh.py``) with per-device ``sid_base`` ranges.
+
+    Shape-polymorphic: re-jitting per state shape (compaction shrinks
+    rows) retraces automatically.
+    """
+    thr = float(threshold)
+
+    def split(state, pid, sid_base):
+        shapes = {k: v.shape for k, v in state.items()}
+        flat = {k: v.reshape(-1) for k, v in state.items()}
+        n_lanes = flat["quota"].shape[0]
+        active = flat["quota"] > 0
+        heavy = active & (jnp.abs(flat["atten"]) > thr)
+        idle = ~active
+        src = jnp.argsort(~heavy, stable=True)  # heavy lanes first
+        dst = jnp.argsort(~idle, stable=True)   # idle lanes first
+        n = jnp.minimum(heavy.sum(), idle.sum())
+        do = jnp.arange(n_lanes) < n
+        # dst is a permutation of all lanes, so one masked scatter per
+        # field rewrites exactly the paired idle lanes
+        for key in LAUNCH_SPLIT_COPY:
+            v = flat[key]
+            flat[key] = v.at[dst].set(jnp.where(do, v[src], v[dst]))
+        for i in range(n_src):
+            v = flat[f"acc{i}"]
+            flat[f"acc{i}"] = v.at[dst].set(jnp.where(do, 0.0, v[dst]))
+        is_src = jnp.zeros(n_lanes, bool).at[src].set(do)
+        is_dst = jnp.zeros(n_lanes, bool).at[dst].set(do)
+        flat["atten"] = jnp.where(
+            is_src | is_dst, flat["atten"] * 0.5, flat["atten"])
+        # clone runs exactly its current walk to completion
+        flat["quota"] = flat["quota"].at[dst].set(
+            jnp.where(do, 1, flat["quota"][dst]))
+        # fresh, unique RNG stream per clone (collision-free with
+        # lane/CRN stream ids, which are < 2^30)
+        fresh = sid_base + jnp.arange(n_lanes, dtype=jnp.int32)
+        flat["sid"] = flat["sid"].at[dst].set(
+            jnp.where(do, fresh, flat["sid"][dst]))
+        # BANK the destination lanes' finished-walk statistics under
+        # their OLD point id before relabeling
+        dsum = jnp.stack([
+            jax.ops.segment_sum(
+                jnp.where(is_dst, flat[f"asum{i}"], 0.0), pid,
+                num_segments=n_points)
+            for i in range(n_src)
+        ])
+        dsq = jnp.stack([
+            jax.ops.segment_sum(
+                jnp.where(is_dst, flat[f"asq{i}"], 0.0), pid,
+                num_segments=n_points)
+            for i in range(n_src)
+        ])
+        for i in range(n_src):
+            flat[f"asum{i}"] = jnp.where(is_dst, 0.0, flat[f"asum{i}"])
+            flat[f"asq{i}"] = jnp.where(is_dst, 0.0, flat[f"asq{i}"])
+        pid = pid.at[dst].set(jnp.where(do, pid[src], pid[dst]))
+        new_state = {k: v.reshape(shapes[k]) for k, v in flat.items()}
+        return new_state, pid, n, dsum, dsq
+
+    return split
 
 
 def run_split_while(step, do_split, state, p0x, p0y, key, sid0, nsid0,

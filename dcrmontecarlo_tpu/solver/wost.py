@@ -143,15 +143,15 @@ class SolverOptions:
                                        # clipped into parallel sub-walks.
                                        # Pallas backend: split between
                                        # kernel launches (every
-                                       # pallas_inner_steps). XLA backend:
+                                       # pallas_inner_steps), sharded or
+                                       # not. XLA backend:
                                        # split in-graph every 16 steps,
                                        # paired within each point's slot
                                        # block (delta-tracking problems,
                                        # rng='fast'; the sharded XLA path
                                        # splits too — slot-major column
                                        # pairing with per-device clone
-                                       # stream ranges; only the sharded
-                                       # PALLAS path warns). Caveats:
+                                       # stream ranges). Caveats:
                                        # stderr
                                        # becomes a mild underestimate
                                        # when split pieces correlate
@@ -272,6 +272,10 @@ class WoStSolver:
             self._table = build_screened_radial_table(z_max=z_max)
         self._solve_cache = {}
         self._robin_cache = None  # (problem.version, False | "chain")
+        self._progress_cb = None  # set per-solve; read at CALL time by the
+                                  # compiled fns' host trampolines, so
+                                  # changing the callback between solves
+                                  # does not recompile
 
     def _robin_enabled(self):
         """Resolve ``SolverOptions.robin_correction`` to a realization mode.
@@ -832,10 +836,16 @@ class WoStSolver:
                 "d_silhouette": d_sil_diag,
                 "stepping": stepping,
                 "walk_done": walk_done,
+                # the boundary term bc * atten is source-INDEPENDENT (walk
+                # paths don't depend on f), so every row of
+                # contrib - walk_acc is identical; [0] is a squeeze, not a
+                # restriction
                 "boundary_contrib": jnp.where(
                     walk_done, (contrib - state.walk_acc)[0], 0.0
                 ),
-                "source_contrib": src_contrib[0],
+                "source_contrib": src_contrib,  # (n_src, W): full per-
+                # source NEE record (multi-source ensembles trace every
+                # current dipole, not just field 0)
                 # plain star radius (before any Robin/majorant shrink)
                 "radius": jnp.maximum(rmin, jnp.minimum(dD, d_sil_diag)),
             }
@@ -903,7 +913,8 @@ class WoStSolver:
         # that would share hit/miss stats across every solver and pin each
         # solver — and its traced problem closures — alive for the process
         # lifetime).
-        key = (n_points, n_walks, max_steps, eps, self.problem.version)
+        key = (n_points, n_walks, max_steps, eps, self.problem.version,
+               self._progress_cb is not None)
         fn = self._solve_cache.pop(key, None)
         if fn is None:
             fn = self._build_solve_fn_uncached(n_points, n_walks, max_steps, eps)
@@ -919,10 +930,41 @@ class WoStSolver:
             return self._build_solve_fn_pallas(n_points, n_walks, max_steps, eps)
         return self._build_solve_fn_xla(n_points, n_walks, max_steps, eps)
 
+    def _wrap_step_progress(self, step, total_walks: int, every: int = 64):
+        """Wrap a step fn to report progress from inside the compiled loop.
+
+        Every ``every`` iterations a ``jax.debug.callback`` ships
+        ``(walks done, iteration)`` to the host trampoline, which calls
+        the CURRENT ``self._progress_cb`` — the reference's per-point tqdm
+        (``WoStSolver.py:182``) reimagined for a solver whose whole solve
+        is one device loop. Walks-done is total quota minus remaining
+        quota (approximate while split clones hold temporary quota).
+        """
+        def _report(done, it):
+            cb = self._progress_cb
+            if cb is not None:
+                cb(int(done), total_walks, int(it))
+
+        def wrapped(s, p0x, p0y, key, sid=None):
+            s2, d = step(s, p0x, p0y, key, sid=sid)
+            jax.lax.cond(
+                s2.step_idx % every == 0,
+                lambda done, it: jax.debug.callback(_report, done, it),
+                lambda done, it: None,
+                jnp.maximum(total_walks - jnp.sum(s2.quota), 0),
+                s2.step_idx,
+            )
+            return s2, d
+
+        wrapped.lane_ids = step.lane_ids
+        return wrapped
+
     def _build_solve_fn_xla(self, n_points: int, n_walks: int, max_steps: int, eps: float):
         K, quota_row = self._slot_layout(n_points, n_walks)
         crn = ("tile", K, n_points) if self.options.common_random_numbers else None
         step = self._make_step_core(eps, max_steps, crn=crn)
+        if self._progress_cb is not None:
+            step = self._wrap_step_progress(step, n_points * n_walks)
         quotas = jnp.asarray(np.tile(quota_row, n_points))
         max_quota = int(quota_row.max())
         step_cap = max_quota * (max_steps + 1) + 2
@@ -1116,7 +1158,9 @@ class WoStSolver:
             ])
             return sums, sumsq, jnp.sum(state["life"].astype(jnp.float32))
 
-        if not (opts.compaction or use_split):
+        want_progress = self._progress_cb is not None
+
+        if not (opts.compaction or use_split or want_progress):
             def run(points, key):
                 state, seed_i = init_state(points, key)
 
@@ -1140,85 +1184,22 @@ class WoStSolver:
 
             return jax.jit(run)
 
-        # ---- host-driven launch loop: compaction and/or splitting ---- #
+        # ---- host-driven launch loop: compaction/splitting/progress ---- #
         init_j = jax.jit(init_state)
         launch_j = jax.jit(plan.run)
         count_j = jax.jit(lambda st: (st["quota"] > 0).sum())
+        qsum_j = jax.jit(lambda st: jnp.sum(st["quota"]))
         moments_j = jax.jit(_moments)
+        total_walks = n_points * n_walks
 
-        # per-walk state a split clone copies; accumulators (asum/asq/life)
-        # are NOT copied — the destination lane's finished-walk statistics
-        # are banked to the host carry under their OLD point id first —
-        # and acc (walk_acc) starts at 0 on the clone so the prefix is
-        # counted once, by the original
-        _SPLIT_COPY = ["p0x", "p0y", "px", "py", "nx", "ny", "ob",
-                       "steps", "ndone", "atten"]
+        # ONE shared launch-boundary split implementation (solver/split.py)
+        # serves this host loop and the sharded Pallas path; jit retraces
+        # per state shape as compaction shrinks rows
+        if use_split:
+            from .split import make_launch_split
 
-        @functools.lru_cache(maxsize=None)
-        def split_j(rows_in: int):
-            thr = float(opts.split_threshold)
-
-            def split(state, pid, sid_base):
-                flat = {k: v.reshape(-1) for k, v in state.items()}
-                n_lanes = rows_in * 128
-                active = flat["quota"] > 0
-                heavy = active & (jnp.abs(flat["atten"]) > thr)
-                idle = ~active
-                src = jnp.argsort(~heavy, stable=True)  # heavy lanes first
-                dst = jnp.argsort(~idle, stable=True)   # idle lanes first
-                n = jnp.minimum(heavy.sum(), idle.sum())
-                do = jnp.arange(n_lanes) < n
-                # dst is a permutation of all lanes, so one masked scatter
-                # per field rewrites exactly the paired idle lanes
-                for key in _SPLIT_COPY:
-                    v = flat[key]
-                    flat[key] = v.at[dst].set(
-                        jnp.where(do, v[src], v[dst]))
-                for i in range(n_src):
-                    v = flat[f"acc{i}"]
-                    flat[f"acc{i}"] = v.at[dst].set(
-                        jnp.where(do, 0.0, v[dst]))
-                is_src = jnp.zeros(n_lanes, bool).at[src].set(do)
-                is_dst = jnp.zeros(n_lanes, bool).at[dst].set(do)
-                flat["atten"] = jnp.where(
-                    is_src | is_dst, flat["atten"] * 0.5, flat["atten"])
-                # clone runs exactly its current walk to completion
-                flat["quota"] = flat["quota"].at[dst].set(
-                    jnp.where(do, 1, flat["quota"][dst]))
-                # fresh, unique RNG stream per clone (collision-free with
-                # lane/CRN stream ids, which are < 2^30)
-                fresh = sid_base + jnp.arange(n_lanes, dtype=jnp.int32)
-                flat["sid"] = flat["sid"].at[dst].set(
-                    jnp.where(do, fresh, flat["sid"][dst]))
-                # BANK the destination lanes' finished-walk statistics
-                # under their OLD point id before relabeling: split pairs
-                # lanes GLOBALLY (unlike the XLA in-graph split's
-                # per-point-block pairing), so a drained point-A lane can
-                # host a point-B clone — without banking, A's walk sums
-                # would be segment-summed into B at the end
-                dsum = jnp.stack([
-                    jax.ops.segment_sum(
-                        jnp.where(is_dst, flat[f"asum{i}"], 0.0), pid,
-                        num_segments=n_points)
-                    for i in range(n_src)
-                ])
-                dsq = jnp.stack([
-                    jax.ops.segment_sum(
-                        jnp.where(is_dst, flat[f"asq{i}"], 0.0), pid,
-                        num_segments=n_points)
-                    for i in range(n_src)
-                ])
-                for i in range(n_src):
-                    flat[f"asum{i}"] = jnp.where(
-                        is_dst, 0.0, flat[f"asum{i}"])
-                    flat[f"asq{i}"] = jnp.where(
-                        is_dst, 0.0, flat[f"asq{i}"])
-                pid = pid.at[dst].set(jnp.where(do, pid[src], pid[dst]))
-                new_state = {k: v.reshape(rows_in, 128)
-                             for k, v in flat.items()}
-                return new_state, pid, n, dsum, dsq
-
-            return jax.jit(split)
+            split_j = jax.jit(make_launch_split(
+                opts.split_threshold, n_src, n_points))
 
         @functools.lru_cache(maxsize=None)
         def compact_j(rows_out: int):
@@ -1258,14 +1239,23 @@ class WoStSolver:
             cur_rows = rows
             launches = 0
             sid_base = 1 << 30  # clone stream ids live above all lane ids
-            while launches < launch_cap:
+            # splits stop at launch_cap; the loop then runs long enough
+            # for every clone (remaining walk <= max_steps) to finish, so
+            # no clone half-weight is truncated (the in-graph split's
+            # exactness contract at launch granularity)
+            split_reserve = (max_steps // n_inner + 1) if use_split else 0
+            while launches < launch_cap + split_reserve:
                 state = launch_j(state, seed_i)
                 launches += 1
                 active = int(count_j(state))
+                cb = self._progress_cb
+                if cb is not None:
+                    done = max(total_walks - int(qsum_j(state)), 0)
+                    cb(done, total_walks, launches * n_inner)
                 if active == 0:
                     break
-                if use_split:
-                    state, pid, n_split, dsum, dsq = split_j(cur_rows)(
+                if use_split and launches < launch_cap:
+                    state, pid, n_split, dsum, dsq = split_j(
                         state, pid, np.int32(sid_base))
                     sid_base += int(n_split)
                     carry_sum = carry_sum + dsum
@@ -1306,12 +1296,21 @@ class WoStSolver:
         seed: int = 0,
         return_history: bool = False,
         history_walks: int = 16,
+        progress: Callable = None,
     ):
         """Estimate the PDE solution at ``points``.
 
         Mirror of reference ``solve`` (``solvers/WoStSolver.py:319-353``)
         with the same knobs; additionally returns the per-point empirical
         standard error (the reference returns only the mean).
+
+        ``progress``: optional ``callback(done_walks, total_walks,
+        iteration)`` — the reference's tqdm affordance
+        (``WoStSolver.py:182``) for a compiled solver: fired from inside
+        the device loop every ~64 steps (XLA backend, via
+        ``jax.debug.callback``) or once per kernel launch (Pallas
+        backend, whose launch loop runs on the host when progress is
+        requested). Not supported on the sharded solver.
 
         Args:
             points: ``(N, 2)`` evaluation points.
@@ -1332,6 +1331,7 @@ class WoStSolver:
         """
         pts = jnp.asarray(np.asarray(points, np.float32).reshape(-1, 2))
         n_points = int(pts.shape[0])
+        self._progress_cb = progress
         fn = self._build_solve_fn(n_points, int(n_walks), int(max_steps), float(eps))
         key = jax.random.PRNGKey(seed)
         mean, stderr, sums, sumsq, total_steps, iters = fn(pts, key)

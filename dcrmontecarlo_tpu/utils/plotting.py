@@ -34,9 +34,14 @@ def _draw_boundaries(ax, problem):
 
 
 def plot_walk_history(history, walk_id: int = 0, problem=None, show_circles=True,
-                      save_path=None):
+                      save_path=None, source: int = 0):
     """Single walk: path, step circles, contribution markers
-    (reference ``plot_walk_history``, ``utils.py:237-431``)."""
+    (reference ``plot_walk_history``, ``utils.py:237-431``).
+
+    ``source`` selects which source field's contributions/total are drawn
+    for multi-source ensembles (pseudosection sweeps trace every current
+    dipole from the one shared walk set).
+    """
     plt = _mpl()
     fig, ax = plt.subplots(figsize=(8, 8))
     _draw_boundaries(ax, problem)
@@ -53,14 +58,20 @@ def plot_walk_history(history, walk_id: int = 0, problem=None, show_circles=True
                 Circle(path[t], float(history.radius[walk_id, t]),
                        fill=False, alpha=0.15, color="gray", lw=0.5)
             )
-    src = history.source_contrib[walk_id, :T]
+    if source and history.source_contrib_all is not None:
+        src = history.source_contrib_all[source][walk_id, :T]
+        total = float(history.total_all[source][walk_id])
+    else:
+        src = history.source_contrib[walk_id, :T]
+        total = float(history.total[walk_id])
     nz = np.nonzero(src)[0]
     if len(nz):
         ax.scatter(path[nz, 0], path[nz, 1], c="orange", s=25, zorder=5,
                    label="source contributions")
     ax.set_title(
         f"walk {walk_id}: {T - 1} steps, "
-        f"total {float(history.total[walk_id]):.4g}"
+        f"total {total:.4g}"
+        + (f" (source {source})" if source else "")
     )
     ax.legend(loc="best", fontsize=8)
     ax.set_aspect("equal")

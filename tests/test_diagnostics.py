@@ -100,6 +100,57 @@ def test_survey_figures_build(tmp_path):
     assert f2.stat().st_size > 10_000
 
 
+def test_trace_walks_multi_source_contributions():
+    # The history capture carries the FULL n_src axis (VERDICT r2 #8):
+    # a two-source ensemble must trace both fields' NEE contributions
+    # from the one shared walk set, and the source-0 views must equal
+    # slice 0 of the full arrays.
+    prob = Problem(
+        dirichlet=square_loop(2.0),
+        bc_dirichlet=lambda x, y: 0.0 * x,
+        source=[lambda x, y: 1.0 + 0.0 * x, lambda x, y: 3.0 + 0.0 * x],
+    )
+    solver = WoStSolver(prob, SolverOptions(target_slots=64))
+    h = trace_walks(solver, (0.1, 0.2), n_walks=6, max_steps=60)
+    assert h.n_src == 2
+    assert h.source_contrib_all.shape[0] == 2
+    assert h.total_all.shape == (2, 6)
+    np.testing.assert_array_equal(h.source_contrib, h.source_contrib_all[0])
+    np.testing.assert_array_equal(h.total, h.total_all[0])
+    # same walks, so source 1's contributions are exactly 3x source 0's
+    np.testing.assert_allclose(
+        h.source_contrib_all[1], 3.0 * h.source_contrib_all[0], rtol=1e-5
+    )
+    d0 = h.to_dict(source=0)[0]
+    d1 = h.to_dict(source=1)[0]
+    assert len(d0) == len(d1) == 6
+    t0 = [w["total_contribution"] for w in d0]
+    t1 = [w["total_contribution"] for w in d1]
+    np.testing.assert_allclose(t1, [3.0 * t for t in t0], rtol=1e-5)
+
+
+def test_solve_progress_callback():
+    # solve(progress=...) reports monotonically increasing walks-done
+    # from inside the compiled loop, ending at the full walk count
+    prob, solver = _solver()
+    seen = []
+    res = solver.solve(
+        np.array([[0.1, 0.1], [0.2, -0.3]]), n_walks=64, max_steps=200,
+        eps=1e-3, progress=lambda d, t, i: seen.append((d, t, i)),
+    )
+    assert len(seen) >= 1
+    done = [d for d, _, _ in seen]
+    assert done == sorted(done)
+    assert all(t == 128 for _, t, _ in seen)
+    assert done[-1] <= 128
+    # a subsequent solve WITHOUT progress reuses the cache cleanly and
+    # fires nothing
+    n_seen = len(seen)
+    solver.solve(np.array([[0.1, 0.1], [0.2, -0.3]]), n_walks=64,
+                 max_steps=200, eps=1e-3)
+    assert len(seen) == n_seen
+
+
 def test_diagnostics_multi_source_problems():
     # Regression: trace_walks / profile_occupancy built their state with
     # the default n_src=1, so any multi-source problem (survey sweeps,

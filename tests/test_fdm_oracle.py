@@ -92,3 +92,70 @@ def test_fdm_neumann_top_is_second_order():
         errs.append(np.abs(sol.u - u_exact(X, Y)).max())
     assert errs[0] / errs[1] > 3.4, errs  # ~4 for O(h^2); ~2 if first-order
     assert errs[1] / errs[2] > 3.4, errs
+
+
+# --------------------------------------------------------------------- #
+# P1 FEM — the second, structurally independent oracle                   #
+# --------------------------------------------------------------------- #
+
+def test_fem_matches_analytic_and_converges_second_order():
+    # Same gates as the FDM's: manufactured solutions + convergence order.
+    from dcrmontecarlo_tpu.validation import fem_solve
+
+    # Poisson quadratic
+    sol = fem_solve(
+        bounds=((-2, 2), (-2, 2)),
+        alpha=lambda X, Y: np.ones_like(X),
+        source=lambda X, Y: -4.0 * np.ones_like(X),
+        bc=lambda X, Y: X**2 + Y**2,
+        nx=129, ny=129,
+    )
+    pts = np.array([[0.0, 0.0], [1.0, 0.5], [-1.2, -0.7]])
+    np.testing.assert_allclose(
+        sol(pts), pts[:, 0] ** 2 + pts[:, 1] ** 2, atol=2e-3)
+
+    # natural-Neumann convergence order on the zero-flux harmonic solution
+    u_exact = lambda X, Y: np.cos(np.pi * X) * np.cosh(np.pi * (Y - 1.0))
+    errs = []
+    for n in (33, 65, 129):
+        sol = fem_solve(
+            bounds=((0.0, 1.0), (0.0, 1.0)),
+            alpha=lambda X, Y: np.ones_like(X),
+            source=lambda X, Y: np.zeros_like(X),
+            bc=u_exact,
+            neumann_top=True,
+            nx=n, ny=n,
+        )
+        X, Y = np.meshgrid(sol.xs, sol.ys, indexing="ij")
+        errs.append(np.abs(sol.u - u_exact(X, Y)).max())
+    assert errs[0] / errs[1] > 3.4, errs
+    assert errs[1] / errs[2] > 3.4, errs
+
+
+def test_fem_variable_coefficient_manufactured():
+    from dcrmontecarlo_tpu.validation import fem_solve
+
+    def alpha(X, Y):
+        return 2.0 + 0.5 * X + 0.5 * Y
+
+    def sigma(X, Y):
+        return 2.0 + X * Y
+
+    def source(X, Y):
+        u = (1 - X**2) * (1 - Y**2)
+        lap_u = -2 * (2 - X**2 - Y**2)
+        D = alpha(X, Y)
+        gdot = -X * (1 - Y**2) - Y * (1 - X**2)
+        return -(D * lap_u + gdot) + sigma(X, Y) * u
+
+    sol = fem_solve(
+        bounds=((-1, 1), (-1, 1)),
+        alpha=alpha,
+        source=source,
+        sigma=sigma,
+        bc=lambda X, Y: (1 - X**2) * (1 - Y**2),
+        nx=161, ny=161,
+    )
+    pts = np.array([[0.0, 0.0], [0.5, -0.3], [-0.7, 0.7]])
+    exact = (1 - pts[:, 0] ** 2) * (1 - pts[:, 1] ** 2)
+    np.testing.assert_allclose(sol(pts), exact, atol=3e-3)

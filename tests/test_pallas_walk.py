@@ -275,6 +275,37 @@ def test_pallas_sharded_interpret():
     assert res.total_steps > 0
 
 
+def test_pallas_sharded_split_interpret():
+    # Sharded Pallas + high-weight splitting (VERDICT r2 #4): the launch-
+    # boundary split runs in-graph between kernel launches inside each
+    # device's loop, with per-device clone stream ranges. Split-on must
+    # agree with split-off within combined MC error while actually
+    # cloning (more executed walker-steps at identical walk count).
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dcrmontecarlo_tpu.parallel import ShardedWoStSolver, make_mesh
+
+    bump = lambda x, y: 1.0 + 3.0 * jnp.exp(-((x * x + y * y) / 0.18))
+    prob = Problem(dirichlet=square_loop(2.0),
+                   bc_dirichlet=lambda x, y: 1.0 + x * y, alpha=bump)
+    pts = np.array([[0.0, 0.0], [0.4, 0.2]], np.float32)
+    res = {}
+    for thr in (None, 1.5):
+        s = ShardedWoStSolver(prob, make_mesh(2), SolverOptions(
+            backend="pallas", target_slots=512,
+            pallas_inner_steps=16, pallas_block_rows=8,
+            split_threshold=thr))
+        with pltpu.force_tpu_interpret_mode():
+            res[thr] = s.solve(pts, n_walks=800, max_steps=150, eps=2e-2,
+                               seed=9)
+    a, b = res[None], res[1.5]
+    comb = np.sqrt(a.stderr**2 + b.stderr**2)
+    dev = np.abs(a.mean - b.mean) / np.maximum(comb, 1e-12)
+    assert (dev < 4.0).all(), (a.mean, b.mean, dev)
+    assert b.total_steps > a.total_steps  # clones actually ran
+
+
 # --------------------------------------------------------------------- #
 # full-walk-count statistical gates (real TPU)                          #
 # --------------------------------------------------------------------- #
