@@ -9,11 +9,32 @@ walk when one terminates, keeping VPU occupancy high despite the heavy
 tail of the walk-length distribution (SURVEY.md §7 hard part 3).
 """
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-__all__ = ["WalkerState", "init_state"]
+__all__ = ["WalkerState", "ChordRequest", "init_state"]
+
+
+class ChordRequest(NamedTuple):
+    """Per-lane buffer of ONE pending Robin residual-chord clone-pair
+    request (``robin_correction="residual"``, THEORY.md §4e).
+
+    An on-boundary visit that draws the residual branch stores its chord
+    geometry here; the periodic split sweep services it by cloning an
+    antithetic walker PAIR into two idle lanes of the same point group
+    (+walk from the chord point ``z``, −walk from ``x``, one shared fresh
+    RNG stream so the difference walks cancel). ``w == 0`` means empty.
+    A lane whose buffer is occupied realizes further visits with the
+    unbiased chain fallback, so one slot per lane loses nothing.
+    """
+
+    xx: jnp.ndarray   # f32 on-boundary position x at request time
+    xy: jnp.ndarray   # f32
+    nx: jnp.ndarray   # f32 wall normal at request time
+    ny: jnp.ndarray   # f32
+    zeta: jnp.ndarray  # f32 signed chord offset along the wall tangent
+    w: jnp.ndarray    # f32 pair weight (0 = no pending request)
 
 
 class WalkerState(NamedTuple):
@@ -41,13 +62,23 @@ class WalkerState(NamedTuple):
     n_done: jnp.ndarray      # i32 finished walks
     total_steps: jnp.ndarray  # () f32 active walker-steps taken (diagnostic)
     step_idx: jnp.ndarray    # () i32 global loop iteration (RNG counter)
+    chord: Optional[ChordRequest] = None  # residual-Robin request buffer;
+                                          # None (an empty pytree node)
+                                          # unless the solve runs
+                                          # robin_correction="residual",
+                                          # so other configs carry no
+                                          # extra state through the loop
 
 
-def init_state(p0x, p0y, quotas, n_src: int = 1) -> WalkerState:
+def init_state(p0x, p0y, quotas, n_src: int = 1,
+               with_chord: bool = False) -> WalkerState:
     w = p0x.shape[0]
     f0 = jnp.zeros((w,), jnp.float32)
     acc0 = jnp.zeros((n_src, w), jnp.float32)
+    chord = ChordRequest(xx=f0, xy=f0, nx=f0, ny=f0, zeta=f0, w=f0) \
+        if with_chord else None
     return WalkerState(
+        chord=chord,
         px=p0x.astype(jnp.float32),
         py=p0y.astype(jnp.float32),
         on_bdry=jnp.zeros((w,), bool),

@@ -193,6 +193,19 @@ class SolverOptions:
                                        #   notebook survey (the pre-J
                                        #   q = |gamma|/sqrt(sigma_bar)
                                        #   scaling cost 14x).
+                                       # * "residual" — strictly unbiased
+                                       #   resummation: fold the frozen
+                                       #   chord mass 1/(1-c) like
+                                       #   reflectance, estimate only the
+                                       #   residual by antithetic
+                                       #   two-leg clone pairs on the
+                                       #   split infrastructure
+                                       #   (THEORY.md §4e). XLA backend
+                                       #   only; measured WORSE than
+                                       #   chain on wall-hugging
+                                       #   problems (leg decoherence),
+                                       #   competitive on few-visit
+                                       #   long-chord regimes.
                                        # * "reflectance" — deterministic
                                        #   resummation: the chord integral
                                        #   with u~ frozen at the walker is
@@ -281,8 +294,10 @@ class WoStSolver:
         """Resolve ``SolverOptions.robin_correction`` to a realization mode.
 
         Returns ``False`` (plain reflection), ``"chain"`` (strictly
-        unbiased signed chord branch; legacy ``True``), or
-        ``"reflectance"`` (deterministic chord resummation, THEORY.md §4).
+        unbiased signed chord branch; legacy ``True``), ``"residual"``
+        (strictly unbiased resummation + antithetic residual clone
+        pairs, THEORY.md §4e), or ``"reflectance"`` (deterministic chord
+        resummation, THEORY.md §4c).
 
         Auto probes max |gamma| along the Neumann boundary and evaluates
         the dimensionless scale ``s = gamma * min(diameter,
@@ -301,8 +316,8 @@ class WoStSolver:
             return False
         if not (pb.use_delta_tracking and pb.neumann is not None):
             return False
-        if mode == "reflectance":
-            return "reflectance"
+        if mode in ("reflectance", "residual"):
+            return mode
         if mode != "auto":
             return "chain"  # True / "chain" / other truthy values
         if self._robin_cache is not None and self._robin_cache[0] == pb.version:
@@ -317,12 +332,21 @@ class WoStSolver:
     # step function                                                      #
     # ------------------------------------------------------------------ #
 
-    def _make_step_core(self, eps: float, max_steps: int, crn=None):
+    def _make_step_core(self, eps: float, max_steps: int, crn=None,
+                        req_cap: int = None):
         """Build the branchless SoA step: ``(state, p0x, p0y, key) -> state``.
 
         Also returns a per-step diagnostics dict for the history-tracing
         path (``diagnostics/history.py``); the while-loop driver discards
         it.
+
+        ``req_cap``: iteration bound below which ``robin_correction=
+        "residual"`` may file chord clone-pair requests (the solve
+        builders pass their ``step_cap`` so late requests cannot outrun
+        the loop bound). ``None`` with residual mode resolves the chord
+        via the chain realization instead — the standalone steppers
+        (history tracing, occupancy profiling) have no split sweep to
+        service requests, and the chain is equally unbiased.
 
         ``crn``: optional ``(mode, period, reps)`` common-random-numbers
         layout — slot ``j`` of EVERY evaluation point draws the same
@@ -347,9 +371,13 @@ class WoStSolver:
         sources = [jax.vmap(_lift(f)) for f in source_fields]
         alpha_c = jax.vmap(_lift(pb.alpha_c)) if use_delta else None
         sigma_prime = jax.vmap(_lift(pb.sigma_prime)) if use_delta else None
-        robin_mode = self._robin_enabled()  # False | "chain" | "reflectance"
+        robin_mode = self._robin_enabled()
+        # False | "chain" | "residual" | "reflectance"
+        if robin_mode == "residual" and req_cap is None:
+            robin_mode = "chain"  # standalone steppers: see docstring
         use_robin = bool(robin_mode)
         robin_chain = robin_mode == "chain"
+        robin_resid = robin_mode == "residual"
         if use_robin:
             grad_log_alpha_x = jax.vmap(_lift(
                 lambda x, y: pb.grad_log_alpha(x, y)[0]))
@@ -375,7 +403,7 @@ class WoStSolver:
             raise ValueError("common random numbers require rng='fast'")
 
         n_u = 8 if use_mis else 4
-        if robin_chain:
+        if robin_chain or robin_resid:
             n_u = 11  # three extra streams for the on-boundary chord branch
             # (the reflectance mode is draw-free: no extra streams)
 
@@ -421,10 +449,31 @@ class WoStSolver:
             else:
                 bx, by = state.px, state.py
             contrib = state.walk_acc + bc(bx, by) * state.atten
-            acc_sum = state.acc_sum + jnp.where(walk_done, contrib, 0.0)
-            acc_sumsq = state.acc_sumsq + jnp.where(walk_done, contrib * contrib, 0.0)
-            n_done = state.n_done + walk_done.astype(jnp.int32)
-            quota = state.quota - walk_done.astype(jnp.int32)
+
+            if robin_resid:
+                # Residual-chord clone legs (THEORY.md §4e): a clone lane
+                # (stream id >= 2^30) whose chord buffer is non-empty is
+                # mid-PAIR — when leg A (+w from the chord point z)
+                # terminates, it does NOT bank: it restarts as leg B
+                # (-w from x, start state from its buffer), carrying leg
+                # A's total forward, and only the COMBINED two-leg
+                # contribution banks. steps_cur resets with n_done
+                # unchanged on the same stream, so both legs draw
+                # identical uniforms: the realized pair value is the
+                # coupled difference u~(z) - u~(x), in the banked square
+                # too (no stderr inflation from two cancelling halves).
+                lane_sid = lane_ids if sid is None else sid
+                is_clone = lane_sid >= jnp.uint32(1 << 30)
+                leg2 = is_clone & (state.chord.w != 0.0)
+                bank = walk_done & ~leg2
+                trans = walk_done & leg2
+            else:
+                bank = walk_done
+                trans = None
+            acc_sum = state.acc_sum + jnp.where(bank, contrib, 0.0)
+            acc_sumsq = state.acc_sumsq + jnp.where(bank, contrib * contrib, 0.0)
+            n_done = state.n_done + bank.astype(jnp.int32)
+            quota = state.quota - bank.astype(jnp.int32)
 
             # -- recycle finished slots into their next walk -------------- #
             px = jnp.where(walk_done, p0x, state.px)
@@ -433,6 +482,13 @@ class WoStSolver:
             atten = jnp.where(walk_done, 1.0, state.atten)
             on_bdry = jnp.where(walk_done, False, state.on_bdry)
             steps_cur = jnp.where(walk_done, 0, state.steps_cur)
+            if robin_resid:
+                ch0 = state.chord
+                px = jnp.where(trans, ch0.xx, px)
+                py = jnp.where(trans, ch0.xy, py)
+                walk_acc = jnp.where(trans, contrib, walk_acc)
+                atten = jnp.where(trans, ch0.w, atten)
+                on_bdry = jnp.where(trans, True, on_bdry)
             stepping = act & ~walk_done
 
             # -- star radius (WoStSolver.py:210-215) ---------------------- #
@@ -496,7 +552,29 @@ class WoStSolver:
                 # rmin can floor the shrink; keep the factor bounded
                 c_ch = jnp.where(
                     on_bdry, jnp.clip(c_ch, -0.9, 0.9), 0.0)
-                if not robin_chain:
+                if robin_resid:
+                    # THEORY.md §4e: per visit u~(x) = (H + R)/(1 - c) —
+                    # fold the frozen-u~ chord mass DETERMINISTICALLY
+                    # (like reflectance) and estimate only the residual
+                    # R = int 2 gamma G_s (u~(z) - u~(x)) dzeta by a rare
+                    # antithetic clone-pair branch (below). Lanes whose
+                    # one-request buffer is occupied (or past req_cap)
+                    # realize this visit via the chain instead — both
+                    # realizations are unbiased, so the mixture is.
+                    # CRITICAL: clone lanes themselves (is_clone, from
+                    # the termination block) never file requests — pairs
+                    # spawning pairs is a supercritical branching process
+                    # on wall-hugging walks (measured 100x step blowup);
+                    # with the chain realizing the clones' own chord
+                    # terms the cascade is single-generation and the
+                    # walk population stays linear in the request rate.
+                    buf_free = state.chord.w == 0.0
+                    can_req = (buf_free & ~is_clone
+                               & (state.step_idx < jnp.int32(req_cap)))
+                    atten = jnp.where(
+                        stepping & on_bdry & can_req,
+                        atten / (1.0 - c_ch), atten)
+                elif not robin_chain:
                     atten = jnp.where(
                         stepping & on_bdry, atten / (1.0 - c_ch), atten)
 
@@ -705,7 +783,7 @@ class WoStSolver:
                 newx = jnp.where(collide, sx, hx)
                 newy = jnp.where(collide, sy, hy)
                 new_on_bdry = hit & ~collide
-                if robin_chain:
+                if robin_chain or robin_resid:
                     # On-boundary CHORD continuation: for a walker standing
                     # ON the wall the Robin term int_flat gamma G_refl u~
                     # (G_refl = 2 G_s on the wall) is realized by branching
@@ -733,7 +811,7 @@ class WoStSolver:
                     q_c = jnp.where(
                         on_bdry,
                         jnp.minimum(0.5, jnp.abs(c_ch)), 0.0)
-                    branch = stepping & (u[8] < q_c) & (q_c > 1e-6)
+                    fire = stepping & (u[8] < q_c) & (q_c > 1e-6)
                     side = jnp.where(u[9] < 0.5, -1.0, 1.0)
                     v = jnp.abs(2.0 * u[9] - 1.0)      # U1
                     tech_log = u[10] < 0.5             # technique selector
@@ -754,15 +832,47 @@ class WoStSolver:
                     # chord point along the wall tangent
                     zx = px + zeta * (-state.ny)
                     zy = py + zeta * state.nx
+                    if robin_resid:
+                        # residual mode: a firing buffer-free lane FILES a
+                        # clone-pair request (+walk from z, -walk from x,
+                        # serviced by the split sweep) instead of moving;
+                        # its own continuation proceeds normally under the
+                        # 1/(1-c) fold, with NO non-branch upweight (the
+                        # pair is an additive estimator of R, not a
+                        # replacement of the continuation). Occupied /
+                        # post-cap lanes realize the visit via the chain.
+                        branch = fire & ~can_req
+                        chain_visit = on_bdry & ~can_req
+                    else:
+                        branch = fire
+                        chain_visit = on_bdry
+                    new_on_bdry = new_on_bdry | branch
                     newx = jnp.where(branch, zx, newx)
                     newy = jnp.where(branch, zy, newy)
-                    new_on_bdry = new_on_bdry | branch
                     atten = jnp.where(
                         branch,
                         atten_pre * w_ch / jnp.maximum(q_c, 1e-6),
                         atten * jnp.where(
-                            stepping & on_bdry & (q_c > 1e-6),
+                            stepping & chain_visit & (q_c > 1e-6),
                             1.0 / (1.0 - q_c), 1.0))
+                    if robin_resid:
+                        w_pair = atten_pre * w_ch / jnp.maximum(q_c, 1e-6)
+                        req_new = (fire & can_req) & (w_pair != 0.0)
+                        ch = state.chord
+                        # trans lanes consumed their second-leg marker
+                        # this iteration; req_new lanes file a fresh
+                        # request (disjoint: trans lanes are not
+                        # stepping, so fire is False there)
+                        chord_new = ch._replace(
+                            xx=jnp.where(req_new, px, ch.xx),
+                            xy=jnp.where(req_new, py, ch.xy),
+                            nx=jnp.where(req_new, state.nx, ch.nx),
+                            ny=jnp.where(req_new, state.ny, ch.ny),
+                            zeta=jnp.where(req_new, zeta, ch.zeta),
+                            w=jnp.where(
+                                trans, 0.0,
+                                jnp.where(req_new, w_pair, ch.w)),
+                        )
                 # cap AFTER the chord rewrite (matching the Pallas kernel)
                 # so it actually bounds the signed chord weights; symmetric
                 # clip because chord weights can be negative
@@ -777,10 +887,14 @@ class WoStSolver:
             py = jnp.where(stepping, newy, py)
             on_bdry = jnp.where(stepping, new_on_bdry, on_bdry)
             upd_n = stepping & hit
-            if robin_chain:
+            if robin_chain or robin_resid:
                 upd_n = upd_n & ~branch  # chord stays on its own wall
             nxx = jnp.where(upd_n, hnx, state.nx)
             nyy = jnp.where(upd_n, hny, state.ny)
+            if robin_resid:
+                # leg-B restart stands on the request's wall
+                nxx = jnp.where(trans, state.chord.nx, nxx)
+                nyy = jnp.where(trans, state.chord.ny, nyy)
             steps_cur = steps_cur + stepping.astype(jnp.int32)
 
             if use_delta and opts.roulette_threshold is not None:
@@ -820,6 +934,7 @@ class WoStSolver:
                 n_done=n_done,
                 total_steps=state.total_steps + jnp.sum(stepping.astype(jnp.float32)),
                 step_idx=state.step_idx + 1,
+                chord=chord_new if robin_resid else state.chord,
             )
             # diagnostics are computed at the PRE-recycle positions so a
             # walk's terminal record pairs its recorded position with its
@@ -890,6 +1005,11 @@ class WoStSolver:
         if self.options.rng != "fast":
             blockers.append(f"rng='{self.options.rng}' (the kernel "
                             "implements the counter-hash RNG only)")
+        if self._robin_enabled() == "residual":
+            blockers.append(
+                "robin_correction='residual' (the chord clone-pair "
+                "request buffer is realized on the XLA sweep loop; the "
+                "kernel implements chain/reflectance)")
         if mode == "pallas":
             if not ok:
                 raise ValueError(
@@ -962,12 +1082,24 @@ class WoStSolver:
     def _build_solve_fn_xla(self, n_points: int, n_walks: int, max_steps: int, eps: float):
         K, quota_row = self._slot_layout(n_points, n_walks)
         crn = ("tile", K, n_points) if self.options.common_random_numbers else None
-        step = self._make_step_core(eps, max_steps, crn=crn)
-        if self._progress_cb is not None:
-            step = self._wrap_step_progress(step, n_points * n_walks)
         quotas = jnp.asarray(np.tile(quota_row, n_points))
         max_quota = int(quota_row.max())
         step_cap = max_quota * (max_steps + 1) + 2
+        # Robin residual mode files chord clone-pair requests, serviced by
+        # the periodic sweep — it needs the sweep loop and fresh hash
+        # streams even without high-weight splitting
+        use_requests = self._robin_enabled() == "residual"
+        if use_requests and self.options.rng != "fast":
+            raise ValueError(
+                "robin_correction='residual' requires rng='fast' (chord "
+                "clone pairs draw from fresh counter-hash streams)"
+            )
+        step = self._make_step_core(
+            eps, max_steps, crn=crn,
+            req_cap=step_cap if use_requests else None,
+        )
+        if self._progress_cb is not None:
+            step = self._wrap_step_progress(step, n_points * n_walks)
 
         n_src = max(1, len(self.problem.source_fields))
         use_split = (
@@ -993,7 +1125,7 @@ class WoStSolver:
             stderr = jnp.sqrt(var / n_walks)
             return mean, stderr, sums, sumsq, final.total_steps, final.step_idx
 
-        if not use_split:
+        if not (use_split or use_requests):
             def run(points, key):
                 p0x = jnp.repeat(points[:, 0], K)
                 p0y = jnp.repeat(points[:, 1], K)
@@ -1011,17 +1143,25 @@ class WoStSolver:
 
             return jax.jit(run)
 
-        # ---- in-graph high-weight splitting (unbiased; THEORY.md §5) ---- #
+        # ---- sweep loop: in-graph high-weight splitting (THEORY.md §5) -- #
+        # and/or Robin residual-chord pair service (THEORY.md §4e).
         # One shared pairing/halving/stream-allocation implementation
         # serves this point-major layout AND the sharded slot-major one
         # (see solver/split.py). Unlike the Pallas host loop (split at
         # launch boundaries), this bounds weight compounding at
         # SPLIT_EVERY steps.
-        from .split import make_ingraph_split, run_split_while
+        from .split import (
+            make_chord_service,
+            make_ingraph_split,
+            run_split_while,
+        )
 
         do_split = make_ingraph_split(
             self.options.split_threshold, n_points, K, slot_major=False
-        )
+        ) if use_split else None
+        service = make_chord_service(
+            n_points, K, slot_major=False
+        ) if use_requests else None
         # the step core's own stream layout (exposed as step.lane_ids) is
         # the single source of truth — re-deriving it here would silently
         # diverge if the crn tuple's mode ever changes
@@ -1030,11 +1170,13 @@ class WoStSolver:
         def run(points, key):
             p0x = jnp.repeat(points[:, 0], K)
             p0y = jnp.repeat(points[:, 1], K)
-            state = init_state(p0x, p0y, quotas, n_src=n_src)
+            state = init_state(p0x, p0y, quotas, n_src=n_src,
+                               with_chord=use_requests)
             # clone streams start at 2^30, above all lane/CRN ids
             final = run_split_while(
                 step, do_split, state, p0x, p0y, key,
                 sid0, jnp.uint32(1 << 30), step_cap, max_steps,
+                service=service,
             )
             return _finish(final)
 

@@ -126,6 +126,49 @@ def test_dcr_voltage_antisymmetry(scenario_run):
     assert v[np.argmin(np.abs(x - 10))] < 0
 
 
+def test_notebook_oracles_agree():
+    # The reference's richest check is THIRD-PARTY FEM (SimPEG, notebook
+    # cells 5-15) — structurally independent of the MC code. Here two
+    # in-repo discretizations from different families (cell FVM with
+    # harmonic faces + mirror ghosts vs nodal P1 FEM with centroid
+    # coefficients + natural Neumann) are compared ON the flagship
+    # notebook model: their electrode-potential disagreement bounds the
+    # oracle error term of the flagship gate. Measured (2026-08-17):
+    # max|fdm-fem| at the 21 electrodes = 0.152 (201^2), 0.0385 (401^2),
+    # 0.0096 (801^2) — clean O(h^2) mutual convergence, ~40x below the
+    # gate's MC slack.
+    import jax
+
+    survey, electrodes = notebook_survey()
+    prob = survey.build_problem()
+    alpha_v = jax.vmap(lambda x, y: prob.alpha(x, y))
+    src_v = jax.vmap(lambda x, y: prob.source(x, y))
+
+    def alpha_np(X, Y):
+        return np.asarray(alpha_v(
+            X.ravel().astype(np.float32),
+            Y.ravel().astype(np.float32))).reshape(X.shape)
+
+    def source_np(X, Y):
+        return np.asarray(src_v(
+            X.ravel().astype(np.float32),
+            Y.ravel().astype(np.float32))).reshape(X.shape)
+
+    from dcrmontecarlo_tpu.validation import fem_solve
+
+    bounds = ((-500.0, 500.0), (-1000.0, 1.0))
+    el = np.asarray(electrodes, np.float32)
+    d = {}
+    for n in (201, 401):
+        fdm = fdm_solve(bounds=bounds, alpha=alpha_np, source=source_np,
+                        neumann_top=True, nx=n, ny=n)
+        fem = fem_solve(bounds=bounds, alpha=alpha_np, source=source_np,
+                        neumann_top=True, nx=n, ny=n)
+        d[n] = np.abs(fdm(el) - fem(el)).max()
+    assert d[401] < 0.08, d       # 2x headroom over the measured 0.0385
+    assert d[201] / d[401] > 2.5, d  # mutual second-order convergence
+
+
 def test_notebook_survey_matches_fdm_oracle():
     # C18 closed: the reference cross-validates its heterogeneous 1000 m
     # model against SimPEG FEM by eye (testNotebook.ipynb cells 13-21);
