@@ -75,15 +75,62 @@ def accuracy_preset():
     )
 
 
+def short_walk_preset(repeats: int):
+    """Launch-bound regime: the harmonic workload's walks last ~17 steps,
+    so a fixed 256-step kernel launch used to burn ~15x dead work
+    (~0.2e9 steps/s measured before the in-kernel early exit; the exit
+    fires once a block's quota drains, so short-walk throughput now
+    tracks useful steps)."""
+    import time
+
+    import jax
+
+    from dcrmontecarlo_tpu import Problem, WoStSolver, square_loop
+    from dcrmontecarlo_tpu.solver import SolverOptions
+
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x + 2.0 * y)
+    solver = WoStSolver(prob, SolverOptions(target_slots=1 << 21,
+                                            min_quota=8))
+    pts = np.array([[0.0, 0.0], [0.5, 0.3], [-0.4, 0.6]], np.float32)
+    n_walks = 1 << 21
+    solver.solve(pts, n_walks=n_walks, max_steps=200, eps=1e-3, seed=0)
+    fn = solver._build_solve_fn(len(pts), n_walks, 200, 1e-3)
+    out = fn(jax.numpy.asarray(pts), jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    steps_total = 0.0
+    t0 = time.perf_counter()
+    for rep in range(repeats):
+        _, _, _, _, total_steps, _ = fn(jax.numpy.asarray(pts),
+                                        jax.random.PRNGKey(rep + 1))
+        jax.block_until_ready(total_steps)
+        steps_total += float(total_steps)
+    dt = time.perf_counter() - t0
+    rate = steps_total / dt
+    print(json.dumps({
+        "metric": "short_walk_harmonic_steps_per_sec_per_chip",
+        "value": rate,
+        "unit": "walker-steps/s",
+        "vs_baseline": rate / 1e4,
+    }))
+    print(f"short preset: steps={steps_total:.3g} time={dt:.2f}s "
+          f"mean_len={steps_total / (repeats * 3 * n_walks):.1f}",
+          file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", choices=["smoke", "full", "accuracy"],
+    ap.add_argument("--preset", choices=["smoke", "full", "accuracy",
+                                         "short"],
                     default="full")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     if args.preset == "accuracy":
         accuracy_preset()
+        return
+    if args.preset == "short":
+        short_walk_preset(args.repeats)
         return
 
     import jax

@@ -109,9 +109,18 @@ class ShardedWoStSolver(WoStSolver):
             ("repeat", K, n_points)
             if self.options.common_random_numbers else None
         )
-        step = self._make_step_core(eps, max_steps, crn=crn)
         max_quota = int(quota_row.max())
         step_cap = max_quota * (max_steps + 1) + 2
+        # Robin residual mode needs the sweep loop (chord clone-pair
+        # service) on every shard, exactly like the base XLA path
+        use_requests = self._robin_enabled() == "residual"
+        if use_requests and self.options.rng != "fast":
+            raise ValueError(
+                "robin_correction='residual' requires rng='fast'")
+        step = self._make_step_core(
+            eps, max_steps, crn=crn,
+            req_cap=step_cap if use_requests else None,
+        )
         axis = self.axis
         n_src = max(1, len(self.problem.source_fields))
         use_split = (
@@ -143,7 +152,7 @@ class ShardedWoStSolver(WoStSolver):
             p0x = pv(jnp.tile(points[:, 0], (k_local,)))
             p0y = pv(jnp.tile(points[:, 1], (k_local,)))
             state = init_state(p0x, p0y, quotas_shard.reshape(-1),
-                               n_src=n_src)
+                               n_src=n_src, with_chord=use_requests)
             state = state._replace(
                 on_bdry=pv(state.on_bdry),
                 nx=pv(state.nx),
@@ -156,9 +165,11 @@ class ShardedWoStSolver(WoStSolver):
                 n_done=pv(state.n_done),
                 total_steps=pv(state.total_steps),
                 step_idx=pv(state.step_idx),
+                chord=(None if state.chord is None
+                       else jax.tree.map(pv, state.chord)),
             )
 
-            if not use_split:
+            if not (use_split or use_requests):
                 def cond(s):
                     return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
 
@@ -171,6 +182,7 @@ class ShardedWoStSolver(WoStSolver):
                 final = self._sharded_split_loop(
                     step, state, p0x, p0y, shard_key, dev,
                     k_local, n_points, step_cap, max_steps,
+                    use_split=use_split, use_requests=use_requests,
                 )
             sums = final.acc_sum.reshape(n_src, k_local, n_points).sum(axis=1)
             sumsq = final.acc_sumsq.reshape(n_src, k_local, n_points).sum(axis=1)
@@ -200,8 +212,10 @@ class ShardedWoStSolver(WoStSolver):
         return run
 
     def _sharded_split_loop(self, step, state, p0x, p0y, shard_key,
-                            dev, k_local, n_points, step_cap, max_steps):
-        """While-loop with in-graph high-weight splitting, slot-major.
+                            dev, k_local, n_points, step_cap, max_steps,
+                            use_split=True, use_requests=False):
+        """Sweep while-loop, slot-major: in-graph high-weight splitting
+        and/or Robin residual-chord service.
 
         The pairing/halving/stream-allocation logic is the shared
         ``solver/split.py`` helper (same implementation as the base
@@ -212,7 +226,11 @@ class ShardedWoStSolver(WoStSolver):
         from a per-device range so shards never collide with each other
         or with the lane/CRN ids.
         """
-        from ..solver.split import make_ingraph_split, run_split_while
+        from ..solver.split import (
+            make_chord_service,
+            make_ingraph_split,
+            run_split_while,
+        )
 
         W_local = k_local * n_points
         # dev is already axis-varying, so deriving from it makes these
@@ -226,11 +244,15 @@ class ShardedWoStSolver(WoStSolver):
         nsid0 = (jnp.uint32(1 << 30)
                  + dev.astype(jnp.uint32) * jnp.uint32(stride))
         do_split = make_ingraph_split(
-            self.options.split_threshold, n_points, k_local, slot_major=True
-        )
+            self.options.split_threshold, n_points, k_local,
+            slot_major=True,
+        ) if use_split else None
+        service = make_chord_service(
+            n_points, k_local, slot_major=True,
+        ) if use_requests else None
         return run_split_while(
             step, do_split, state, p0x, p0y, shard_key,
-            sid0, nsid0, step_cap, max_steps,
+            sid0, nsid0, step_cap, max_steps, service=service,
         )
 
     def _build_solve_fn_pallas_sharded(

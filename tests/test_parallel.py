@@ -138,3 +138,32 @@ def test_sharded_split_threshold_unbiased():
     dev = np.abs(a.mean - b.mean) / np.maximum(comb, 1e-12)
     assert (dev < 4.0).all(), (a.mean, b.mean, dev)
     assert b.total_steps > a.total_steps
+
+
+def test_sharded_residual_robin_unbiased():
+    # sharded XLA + robin_correction='residual': the chord clone-pair
+    # service (solver/split.py, slot-major view) runs inside every
+    # shard's sweep loop with per-device clone stream ranges; gate the
+    # result against the separable exact solution (u = x/5 with
+    # alpha = exp(k y): zero-flux forces the y-profile constant).
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.geometry import Polyline
+
+    k = 0.5
+    alpha = lambda x, y: jnp.exp(k * y) + 0.0 * x
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-5.0, 0.0], [-5.0, -10.0], [5.0, -10.0], [5.0, 0.0]]),
+        neumann=Polyline.from_points([[-5.0, 0.0], [5.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x / 5.0,
+        alpha=alpha,
+    )
+    pts = np.array([[-3.0, -0.05], [3.0, -0.05]], np.float32)
+    s = ShardedWoStSolver(prob, make_mesh(4), SolverOptions(
+        target_slots=8192, robin_correction="residual"))
+    r = s.solve(pts, n_walks=4000, max_steps=1500, eps=0.02, seed=3)
+    exact = pts[:, 0] / 5.0
+    dev = np.abs(r.mean - exact) / np.maximum(r.stderr, 1e-12)
+    assert (dev < 4.0).all(), (r.mean, exact, r.stderr, dev)
+    assert r.total_steps > 0
