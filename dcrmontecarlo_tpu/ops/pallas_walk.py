@@ -502,6 +502,10 @@ def make_pallas_walk(
     # python-float constants (pallas kernels may not capture array consts)
     eps_f = float(eps)
     rmin_f = float(rmin)
+    # same static branch-rate floor as solver/wost.py (deterministic
+    # probe, so both backends see the identical value)
+    gamma_floor_f = float(0.25 * pb.max_boundary_gamma()) \
+        if use_robin else 0.0
     t_min_f = float(t_min)
 
     # stream indices mirroring the XLA path's u[i] <-> stream i+1 layout
@@ -650,18 +654,23 @@ def make_pallas_walk(
                 glx0 = grad_log_alpha_x(px, py)
                 gly0 = grad_log_alpha_y(px, py)
                 gamma0 = -0.5 * (nxv * glx0 + nyv * gly0)
+                # rate floor + gamma(z) branch weight: mirrors
+                # solver/wost.py op-for-op (see the rationale there)
+                g_eff = jnp.maximum(jnp.abs(gamma0), gamma_floor_f)
                 chord_j = screened_chord_integral(r, sbar)
-                c_ch = 4.0 * gamma0 * chord_j
+                c_mag = 4.0 * g_eff * chord_j
                 for _ in range(4):
-                    shrink = ob & (jnp.abs(c_ch) > 0.5)
+                    shrink = ob & (c_mag > 0.5)
                     r_new = jnp.maximum(
                         rmin_f,
-                        r * (0.5 / jnp.maximum(jnp.abs(c_ch), 1e-12)))
+                        r * (0.5 / jnp.maximum(c_mag, 1e-12)))
                     r = jnp.where(shrink, r_new, r)
                     chord_j = jnp.where(
                         shrink, screened_chord_integral(r, sbar),
                         chord_j)
-                    c_ch = jnp.where(shrink, 4.0 * gamma0 * chord_j, c_ch)
+                    c_mag = jnp.where(shrink, 4.0 * g_eff * chord_j, c_mag)
+                c_ch = 4.0 * gamma0 * chord_j
+                c_mag = jnp.where(ob, jnp.minimum(c_mag, 0.9), 0.0)
                 c_ch = jnp.where(ob, jnp.clip(c_ch, -0.9, 0.9), 0.0)
                 if not robin_chain:
                     atten = jnp.where(
@@ -818,9 +827,10 @@ def make_pallas_walk(
                 a_s_mv = a_s  # alpha at (sx, sy), computed once above
                 a_h = alpha_c(hx, hy)
                 sp_s = sigma_prime(sx, sy)
-                scale_int = jnp.sqrt(a_s_mv / a_p) * jnp.maximum(
-                    1.0 - sp_s / sbar, 0.0
-                )
+                # SIGNED null-collision factor — NO zero clamp, exactly as
+                # solver/wost.py (weighted delta tracking: unbiased even
+                # when sigma' locally exceeds the majorant)
+                scale_int = jnp.sqrt(a_s_mv / a_p) * (1.0 - sp_s / sbar)
                 scale_edge = jnp.sqrt(a_h / a_p)
                 atten_pre = atten  # chord-branch lanes skip the move scale
                 if use_robin:
@@ -831,10 +841,10 @@ def make_pallas_walk(
                     gamma = -0.5 * (hnx * glx + hny * gly)
                     cosphi = jnp.maximum(-(dx * hnx + dy * hny), 0.1)
                     rho = screened_greens_wall_ratio(t_hit, r, sbar)
+                    # SIGNED arrival weight (no zero clamp), exactly as
+                    # solver/wost.py
                     w_rob = jnp.where(
-                        hit,
-                        jnp.maximum(1.0 + gamma * rho / cosphi, 0.0),
-                        1.0,
+                        hit, 1.0 + gamma * rho / cosphi, 1.0,
                     )
                     scale_edge = scale_edge * w_rob
                 atten = jnp.where(
@@ -852,7 +862,7 @@ def make_pallas_walk(
                     # |c|) branch rate from the chord mass computed above)
                     q_scr = jnp.sqrt(jnp.maximum(sbar, 1e-12))
                     q_c = jnp.where(
-                        ob, jnp.minimum(0.5, jnp.abs(c_ch)), 0.0)
+                        ob, jnp.minimum(0.5, c_mag), 0.0)
                     branch = stepping & (u[9] < q_c) & (q_c > 1e-6)
                     side = jnp.where(u[10] < 0.5, -1.0, 1.0)
                     v = jnp.abs(2.0 * u[10] - 1.0)      # U1
@@ -870,9 +880,15 @@ def make_pallas_walk(
                     p_mix = 0.5 * (p_log + p_exp)
                     g_ch = jnp.maximum(
                         screened_greens_2d(az, r, sbar), 0.0)
-                    w_ch = 2.0 * gamma0 * g_ch / jnp.maximum(p_mix, 1e-30)
                     zx = px + zeta * (-nyv)
                     zy = py + zeta * nxv
+                    # gamma AT the sampled chord point z (the identity's
+                    # integrand is gamma(z) 2 G_s u~(z); freezing gamma
+                    # at the walker biases varying-gamma walls)
+                    glxz = grad_log_alpha_x(zx, zy)
+                    glyz = grad_log_alpha_y(zx, zy)
+                    gamma_z = -0.5 * (nxv * glxz + nyv * glyz)
+                    w_ch = 2.0 * gamma_z * g_ch / jnp.maximum(p_mix, 1e-30)
                     newx = jnp.where(branch, zx, newx)
                     newy = jnp.where(branch, zy, newy)
                     new_ob = new_ob | branch

@@ -165,6 +165,8 @@ class ShardedWoStSolver(WoStSolver):
                 n_done=pv(state.n_done),
                 total_steps=pv(state.total_steps),
                 step_idx=pv(state.step_idx),
+                trunc_n=pv(state.trunc_n),
+                trunc_absw=pv(state.trunc_absw),
                 chord=(None if state.chord is None
                        else jax.tree.map(pv, state.chord)),
             )
@@ -192,22 +194,26 @@ class ShardedWoStSolver(WoStSolver):
             sumsq = jax.lax.psum(sumsq, axis)
             steps = jax.lax.psum(steps, axis)
             iters = jax.lax.pmax(final.step_idx, axis)
-            return sums, sumsq, steps, iters
+            trunc_n = jax.lax.psum(final.trunc_n, axis)
+            trunc_absw = jax.lax.psum(final.trunc_absw, axis)
+            return sums, sumsq, steps, iters, trunc_n, trunc_absw
 
         mapped = jax.shard_map(
             shard_body,
             mesh=self.mesh,
             in_specs=(P(), P(axis, None), P()),
-            out_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P()),
         )
 
         @jax.jit
         def run(points, key):
-            sums, sumsq, steps, iters = mapped(points, quotas_km, key)
+            (sums, sumsq, steps, iters,
+             trunc_n, trunc_absw) = mapped(points, quotas_km, key)
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            return mean, stderr, sums, sumsq, steps, iters
+            return (mean, stderr, sums, sumsq, steps, iters,
+                    trunc_n, trunc_absw)
 
         return run
 
@@ -499,6 +505,9 @@ class ShardedWoStSolver(WoStSolver):
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            return mean, stderr, sums, sumsq, steps, iters
+            # the fused kernel tracks no truncation counter (see the
+            # single-chip Pallas path); NaN = "not tracked"
+            nan = jnp.float32(jnp.nan)
+            return mean, stderr, sums, sumsq, steps, iters, nan, nan
 
         return run

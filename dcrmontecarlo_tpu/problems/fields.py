@@ -83,15 +83,30 @@ def smooth_circle(center, radius, sharpness: float = 100.0):
     """Sigmoid-smoothed circle indicator: 1 inside, 0 outside.
 
     Rebuild of ``torch_smooth_circle`` (reference ``utils.py:123-129``):
-    ``sigmoid(-sharpness * sdf)`` with ``sdf = |x - c| - radius``.
-    Uses ``jax.nn.sigmoid`` (overflow-safe with stable derivatives) — a
-    naive ``1/(1+exp(-v))`` produces NaN gradients wherever the indicator
-    saturates, which poisons the delta-tracking sigma' grid scan.
+    ``sigmoid(-sharpness * sdf)``. Two deliberate deviations:
+
+    * ``jax.nn.sigmoid`` (overflow-safe with stable derivatives) — a
+      naive ``1/(1+exp(-v))`` produces NaN gradients wherever the
+      indicator saturates, which poisons the delta-tracking sigma' grid
+      scan.
+    * the sdf is the REGULARIZED ``sqrt(|x-c|^2 + w^2) - radius`` with
+      ``w = min(1/sharpness, radius/2)`` instead of the exact distance:
+      the exact ``hypot``'s Laplacian diverges like ``1/rho`` at the
+      center, so ``sigma' ~ (Delta alpha)/alpha`` is UNBOUNDED there
+      (measured 0.057 at 1 m from the notebook resistor's center vs
+      0.0018 on a 128^2 scan) — no finite delta-tracking majorant
+      exists and the collision-weight variance is log-divergent. The
+      regularization changes the indicator only deep inside the circle
+      where it is saturated anyway (max change ``~ sharpness * w *
+      e^{-sharpness * radius}`` at the center — 0.25% for the notebook
+      anomalies, and the reference's sharpness=100 default makes it
+      ~e^{-100 r}), and bounds ``|Delta sdf| <= 1/w``.
     """
     cx, cy = float(center[0]), float(center[1])
+    w2 = float(min(1.0 / sharpness, radius / 2.0)) ** 2
 
     def f(x, y):
-        sdf = jnp.sqrt((x - cx) ** 2 + (y - cy) ** 2) - radius
+        sdf = jnp.sqrt((x - cx) ** 2 + (y - cy) ** 2 + w2) - radius
         return jax.nn.sigmoid(-sharpness * sdf)
 
     return f

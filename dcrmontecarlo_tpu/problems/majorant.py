@@ -89,6 +89,7 @@ def derive_local_majorant(
     max_boxes: int = 8,
     margin_cells: float = 1.5,
     band_width_frac: float = 0.85,
+    extra_points=None,
 ) -> Optional[LocalMajorant]:
     """Build containment regions from a ``sigma'`` grid scan.
 
@@ -98,6 +99,13 @@ def derive_local_majorant(
         xs, ys: grid coordinates.
         global_sigma_bar: the already-priced global majorant; used to
             decide whether localization is worth enabling.
+        extra_points: optional ``(qx, qy, qv)`` off-grid ``sigma'``
+            samples (the extrema-refinement pass of
+            ``Problem._refine_sigma_extrema``); those falling OUTSIDE
+            the chosen regions tighten the background-majorant pricing
+            the same way the refinement tightens the global one — the
+            base grid alone aliases shell tails that leak past the box
+            margins.
 
     Returns ``None`` when localization cannot help: load spread evenly,
     regions would cover most of the domain, or the leftover background
@@ -145,8 +153,21 @@ def derive_local_majorant(
     if not out.any():
         return None
     v_out = v[out]
-    sb_bg = float(v_out.max() - min(v_out.min(), 0.0))
-    sb_bg = max(sb_bg, 0.0)
+    bg_mx = float(v_out.max())
+    bg_mn = float(v_out.min())
+    if extra_points is not None and len(extra_points[0]):
+        qx = np.asarray(extra_points[0], np.float64)
+        qy = np.asarray(extra_points[1], np.float64)
+        qv = np.asarray(extra_points[2], np.float64)
+        outside = np.isfinite(qv)
+        for (x0, x1, y0, y1) in boxes:
+            outside &= ~((qx >= x0) & (qx <= x1) & (qy >= y0) & (qy <= y1))
+        for (y_lo, y_hi) in bands:
+            outside &= ~((qy >= y_lo) & (qy <= y_hi))
+        if outside.any():
+            bg_mx = max(bg_mx, float(qv[outside].max()))
+            bg_mn = min(bg_mn, float(qv[outside].min()))
+    sb_bg = max(bg_mx - min(bg_mn, 0.0), 0.0)
     if sb_bg > 0.5 * global_sigma_bar:
         return None  # background barely below global: not worth the selects
     return LocalMajorant(

@@ -64,7 +64,20 @@ class Problem:
                                                   # (bounds the heavy-tailed
                                                   # weights of near-point
                                                   # sources)
-    sigma_bar_resolution: int = 50                # grid scan res (WoStSolver.py:130)
+    sigma_bar_resolution: int = 128               # base grid scan res.
+                                                  # Deliberately raised from
+                                                  # the reference's 50
+                                                  # (WoStSolver.py:130): one
+                                                  # vmapped eval is ~free,
+                                                  # and thin sigma' shells
+                                                  # alias badly at 50 (the
+                                                  # notebook survey's true
+                                                  # max is 4.9x the 50^2
+                                                  # value). A subgrid
+                                                  # refinement pass around
+                                                  # the extrema runs on top
+                                                  # (see _refine_sigma_
+                                                  # extrema).
     sigma_bar_override: Optional[float] = None    # skip the grid scan
     local_majorant: object = None                 # None | "auto" |
                                                   # problems.majorant.
@@ -203,33 +216,28 @@ class Problem:
                 #     to 3),
                 #   * sigma' ~ 0 everywhere: sigma_bar -> 0 recovers plain
                 #     WoSt edge moves.
-                if self.local_majorant == "auto":
-                    # ONE sigma' grid evaluation serves both the global
-                    # majorant and the containment-region derivation
-                    v = self._sigma_prime_grid()
-                    finite = v[np.isfinite(v)]
-                    if finite.size == 0:
-                        raise ValueError(
-                            "sigma' could not be evaluated at any grid point"
-                        )
-                    if finite.size < v.size:
-                        import warnings
-
-                        warnings.warn(
-                            f"sigma' is non-finite at {v.size - finite.size}"
-                            f"/{v.size} grid points; the global majorant is "
-                            "priced from the finite cells only, so walks "
-                            "entering the non-finite regions may exceed it "
-                            "and the clamped null-collision weight "
-                            "max(1 - sigma'/sigma_bar, 0) silently biases "
-                            "there. Smooth the coefficient field or set "
-                            "sigma_bar_override."
-                        )
-                    mn, mx = float(finite.min()), float(finite.max())
-                else:
-                    mn, mx, _, _ = grid_min_max(
-                        sigma_prime, bounds, self.sigma_bar_resolution
+                # ONE sigma' grid evaluation serves the global majorant,
+                # the extrema refinement, and (with local_majorant="auto")
+                # the containment-region derivation
+                v = self._sigma_prime_grid()
+                finite = v[np.isfinite(v)]
+                if finite.size == 0:
+                    raise ValueError(
+                        "sigma' could not be evaluated at any grid point"
                     )
+                if finite.size < v.size:
+                    import warnings
+
+                    warnings.warn(
+                        f"sigma' is non-finite at {v.size - finite.size}"
+                        f"/{v.size} grid points; the global majorant is "
+                        "priced from the finite cells only. Walks entering "
+                        "the non-finite regions exceed it — since the "
+                        "round-3 signed-weight fix that costs variance, "
+                        "not bias, but expect noisy estimates. Smooth the "
+                        "coefficient field or set sigma_bar_override."
+                    )
+                mn, mx, refined_pts = self._refine_sigma_extrema(v)
                 sb = (max(mx, 0.0) - mn) if mn < 0 else mx
                 if sb <= 1e-12:
                     sb = 1e-6  # unscreened limit: pure WoSt
@@ -249,9 +257,10 @@ class Problem:
 
                 if self.sigma_bar_override is not None:
                     v = self._sigma_prime_grid()  # override skipped the scan
+                    _, _, refined_pts = self._refine_sigma_extrema(v)
                 xs, ys = self._grid_axes()
                 self.local_majorant = derive_local_majorant(
-                    v, xs, ys, self.sigma_bar
+                    v, xs, ys, self.sigma_bar, extra_points=refined_pts
                 )
         else:
             self.local_majorant = None  # meaningless without delta tracking
@@ -289,6 +298,71 @@ class Problem:
             jnp.asarray(X.ravel(), jnp.float32),
             jnp.asarray(Y.ravel(), jnp.float32),
         )).reshape(len(xs), len(ys))
+
+    def _refine_sigma_extrema(self, v, rounds: int = 2, sub: int = 9,
+                              top_k: int = 64):
+        """Subgrid-refine the ``sigma'`` extrema of the base scan.
+
+        Thin coefficient-transition shells alias at ANY fixed grid
+        resolution: on the notebook survey the 50^2 scan under-read the
+        true ``sigma'`` max 4.9x, so the delta-tracking majorant was
+        silently violated 5x in the anomaly shells (negative null-
+        collision weights clamped to 0 -> electrode potentials biased
+        toward the background solution, and ~1.5x/collision weight
+        growth in the negative-``sigma'`` lobes -> the catastrophic
+        cross-seed error tail). Each round rescans a ``sub x sub``
+        neighborhood of the ``top_k`` largest / smallest finite points
+        at 4x finer spacing (2 rounds at base 128 resolve ~0.5 m
+        structure on a 1000 m domain).
+
+        Returns ``(mn, mx, (qx, qy, qv))`` — the refined extrema plus
+        every refinement sample, so the local-majorant derivation can
+        price its background majorant against them too.
+        """
+        xs, ys = self._grid_axes()
+        (x0, x1), (y0, y1) = self.domain_bounds
+        X, Y = np.meshgrid(xs, ys, indexing="ij")
+        px, py = X.ravel(), Y.ravel()
+        vals = np.where(np.isfinite(v), v, np.nan).ravel()
+        mn, mx = float(np.nanmin(vals)), float(np.nanmax(vals))
+        eval_fn = jax.vmap(self.sigma_prime)
+        hx = float(xs[1] - xs[0]) if len(xs) > 1 else 0.0
+        hy = float(ys[1] - ys[0]) if len(ys) > 1 else 0.0
+        all_qx, all_qy, all_qv = [], [], []
+        for _ in range(rounds):
+            if not (hx > 0 or hy > 0):
+                break
+            order = np.argsort(vals)  # NaNs sort last
+            n_fin = int(np.isfinite(vals).sum())
+            if n_fin == 0:
+                break
+            lo = order[: min(top_k, n_fin)]
+            hi = order[max(0, n_fin - top_k): n_fin]
+            idx = np.unique(np.concatenate([lo, hi]))
+            offs = np.linspace(-1.0, 1.0, sub)
+            ox, oy = np.meshgrid(offs * hx, offs * hy, indexing="ij")
+            qx = np.clip((px[idx, None] + ox.ravel()[None, :]).ravel(),
+                         x0, x1)
+            qy = np.clip((py[idx, None] + oy.ravel()[None, :]).ravel(),
+                         y0, y1)
+            qv = np.asarray(eval_fn(jnp.asarray(qx, jnp.float32),
+                                    jnp.asarray(qy, jnp.float32)))
+            keep = np.isfinite(qv)
+            if keep.any():
+                mn = min(mn, float(qv[keep].min()))
+                mx = max(mx, float(qv[keep].max()))
+            all_qx.append(qx); all_qy.append(qy); all_qv.append(qv)
+            px, py = qx, qy
+            vals = np.where(keep, qv, np.nan)
+            # next round spans +-(this round's spacing)
+            hx = 2.0 * hx / (sub - 1)
+            hy = 2.0 * hy / (sub - 1)
+        if all_qx:
+            pts = (np.concatenate(all_qx), np.concatenate(all_qy),
+                   np.concatenate(all_qv))
+        else:
+            pts = (np.empty(0), np.empty(0), np.empty(0))
+        return mn, mx, pts
 
     def max_boundary_gamma(self, samples_per_segment: int = 8) -> float:
         """Max |gamma| = |d(ln sqrt alpha)/dn| probed along the Neumann

@@ -77,7 +77,7 @@ def make_ingraph_split(threshold: float, n_points: int, n_slots: int,
             # marker) is NOT a valid clone host: the split clone's
             # walk_done would be mistaken for a leg-A termination and
             # hijack the buffered restart
-            idle = idle & view(s.chord.w == 0.0)
+            idle = idle & view((s.chord.w == 0.0) & (s.chord.wb == 0.0))
         src = jnp.argsort(~heavy, axis=1, stable=True)  # heavy slots first
         dst = jnp.argsort(~idle, axis=1, stable=True)   # idle slots first
         n = jnp.minimum(heavy.sum(1), idle.sum(1))      # per point group
@@ -162,7 +162,7 @@ def make_chord_service(n_points: int, n_slots: int, slot_major: bool):
         # pending REQUESTS live on non-clone lanes (sid < 2^30); a
         # non-zero buffer on a clone lane is its own leg-B marker
         is_clone = sid >= jnp.uint32(1 << 30)
-        req_flat = (ch.w != 0.0) & ~is_clone
+        req_flat = ((ch.w != 0.0) | (ch.wb != 0.0)) & ~is_clone
         n_src_ax = s.walk_acc.shape[0]
 
         # ---- phase 1: SELF-HOST requests on drained lanes ----------- #
@@ -185,18 +185,23 @@ def make_chord_service(n_points: int, n_slots: int, slot_major: bool):
         quota = jnp.where(sf, 1, s.quota)
         wacc = jnp.where(sf[None, :], 0.0, s.walk_acc)
         sid1 = jnp.where(sf, fresh_self, sid)
-        w1 = jnp.where(sf, -ch.w, ch.w)   # request becomes leg-B marker
+        # request becomes leg-B marker: the NEGATED leg-B weight (gamma
+        # at the request's x, stored in wb) — leg A above starts with
+        # ch.w (gamma at the chord point z)
+        w1 = jnp.where(sf, -ch.wb, ch.w)
+        wb1 = jnp.where(sf, 0.0, ch.wb)
         nsid = nsid + sf.sum().astype(jnp.uint32)
         s = s._replace(px=px, py=py, on_bdry=ob, nx=nx1, ny=ny1,
                        atten=atten,
                        steps_cur=steps, n_done=ndone, quota=quota,
-                       walk_acc=wacc, chord=ch._replace(w=w1))
+                       walk_acc=wacc, chord=ch._replace(w=w1, wb=wb1))
         sid = sid1
         ch = s.chord
 
         # ---- phase 2: pair ACTIVE lanes' requests with clean idles -- #
-        req = view((ch.w != 0.0) & ~(sid >= jnp.uint32(1 << 30)))
-        idle = view((s.quota <= 0) & (ch.w == 0.0))
+        req = view(((ch.w != 0.0) | (ch.wb != 0.0))
+                   & ~(sid >= jnp.uint32(1 << 30)))
+        idle = view((s.quota <= 0) & (ch.w == 0.0) & (ch.wb == 0.0))
         src = jnp.argsort(~req, axis=1, stable=True)   # request lanes first
         dst = jnp.argsort(~idle, axis=1, stable=True)  # clean idle first
         n_serve = jnp.minimum(req.sum(1), idle.sum(1))
@@ -211,6 +216,7 @@ def make_chord_service(n_points: int, n_slots: int, slot_major: bool):
         gny = gather(ch.ny)
         gz = gather(ch.zeta)
         gw = gather(ch.w)
+        gwb = gather(ch.wb)
         zx = gx + gz * (-gny)   # chord point along the wall tangent
         zy = gy + gz * gnx
 
@@ -249,10 +255,16 @@ def make_chord_service(n_points: int, n_slots: int, slot_major: bool):
         wm = view(ch.w)
         wm = wm.at[rows_idx, src].set(
             jnp.where(serve, 0.0, wm[rows_idx, src]))
+        # the clone's leg-B marker carries the NEGATED leg-B weight
+        # (gamma at x, from wb); its own wb stays clear
         wm = wm.at[rows_idx, dst].set(
-            jnp.where(serve, -gw, wm[rows_idx, dst]))
+            jnp.where(serve, -gwb, wm[rows_idx, dst]))
+        wbm = view(ch.wb)
+        wbm = wbm.at[rows_idx, src].set(
+            jnp.where(serve, 0.0, wbm[rows_idx, src]))
         new_chord = ch._replace(
-            xx=cxx, xy=cxy, nx=cnx, ny=cny, w=unview(wm))
+            xx=cxx, xy=cxy, nx=cnx, ny=cny, w=unview(wm),
+            wb=unview(wbm))
         new = s._replace(
             px=new_px, py=new_py, on_bdry=new_ob,
             nx=new_nx, ny=new_ny, atten=new_atten,
@@ -376,7 +388,8 @@ def run_split_while(step, do_split, state, p0x, p0y, key, sid0, nsid0,
         s = c[0]
         alive = jnp.any(s.quota > 0)
         if service is not None:
-            alive = alive | jnp.any(s.chord.w != 0.0)
+            alive = alive | jnp.any(
+                (s.chord.w != 0.0) | (s.chord.wb != 0.0))
         return (s.step_idx < split_cap) & alive
 
     def sweep(s, sid, nsid):

@@ -34,7 +34,14 @@ class ChordRequest(NamedTuple):
     nx: jnp.ndarray   # f32 wall normal at request time
     ny: jnp.ndarray   # f32
     zeta: jnp.ndarray  # f32 signed chord offset along the wall tangent
-    w: jnp.ndarray    # f32 pair weight (0 = no pending request)
+    w: jnp.ndarray    # f32 leg-A weight, gamma at the CHORD point z
+                      #     (0 = no pending request)
+    wb: jnp.ndarray   # f32 leg-B weight magnitude, gamma at the walker x.
+                      #     The legs need DIFFERENT gammas: the pair
+                      #     estimates int 2 gamma(z) G_s u~(z) dzeta
+                      #     - c(gamma_x) u~(x), so leg A carries gamma(z)
+                      #     and leg B gamma(x); sharing one weight biases
+                      #     wherever gamma varies along the wall.
 
 
 class WalkerState(NamedTuple):
@@ -62,6 +69,16 @@ class WalkerState(NamedTuple):
     n_done: jnp.ndarray      # i32 finished walks
     total_steps: jnp.ndarray  # () f32 active walker-steps taken (diagnostic)
     step_idx: jnp.ndarray    # () i32 global loop iteration (RNG counter)
+    trunc_n: jnp.ndarray     # () f32 walks ended by the max_steps cap with
+                             #     nonzero weight (roulette kills excluded —
+                             #     they end with atten == 0 by design)
+    trunc_absw: jnp.ndarray  # () f32 sum of |atten| those walks carried:
+                             #     the magnitude of the estimate mass the
+                             #     cap silently dropped. The truncation
+                             #     bias is -E[atten*(u - bc)(x_T)], so a
+                             #     large value relative to n_walks flags a
+                             #     max_steps too small for the problem
+                             #     (failure detection, SURVEY §2 A3).
     chord: Optional[ChordRequest] = None  # residual-Robin request buffer;
                                           # None (an empty pytree node)
                                           # unless the solve runs
@@ -75,7 +92,7 @@ def init_state(p0x, p0y, quotas, n_src: int = 1,
     w = p0x.shape[0]
     f0 = jnp.zeros((w,), jnp.float32)
     acc0 = jnp.zeros((n_src, w), jnp.float32)
-    chord = ChordRequest(xx=f0, xy=f0, nx=f0, ny=f0, zeta=f0, w=f0) \
+    chord = ChordRequest(xx=f0, xy=f0, nx=f0, ny=f0, zeta=f0, w=f0, wb=f0) \
         if with_chord else None
     return WalkerState(
         chord=chord,
@@ -93,4 +110,6 @@ def init_state(p0x, p0y, quotas, n_src: int = 1,
         n_done=jnp.zeros((w,), jnp.int32),
         total_steps=jnp.zeros((), jnp.float32),
         step_idx=jnp.zeros((), jnp.int32),
+        trunc_n=jnp.zeros((), jnp.float32),
+        trunc_absw=jnp.zeros((), jnp.float32),
     )

@@ -189,10 +189,13 @@ class SolverOptions:
                                        #   point from a balanced log/
                                        #   exponential mixture, so branch
                                        #   weights are an O(1) density
-                                       #   ratio. ~2.3x stderr on the
-                                       #   notebook survey (the pre-J
-                                       #   q = |gamma|/sqrt(sigma_bar)
-                                       #   scaling cost 14x).
+                                       #   ratio. ~1x median error at
+                                       #   equal time on the notebook
+                                       #   survey AND ~4x smaller seed
+                                       #   tail (THEORY.md §4e table;
+                                       #   the pre-J q = |gamma|/
+                                       #   sqrt(sigma_bar) scaling cost
+                                       #   14x).
                                        # * "residual" — strictly unbiased
                                        #   resummation: fold the frozen
                                        #   chord mass 1/(1-c) like
@@ -225,10 +228,13 @@ class SolverOptions:
                                        # "auto" (default): "chain" when
                                        # the probed bias scale
                                        # max_boundary_gamma * min(diameter,
-                                       # 1/sqrt(sigma_bar)) exceeds 0.3
-                                       # (below it the removed bias is
-                                       # smaller than the chain's stderr
-                                       # cost), else off.
+                                       # 1/sqrt(sigma_bar)) exceeds 0.3,
+                                       # else off. (The chain tames the
+                                       # notebook's seed tail ~4x at
+                                       # equal cost, but a ~-10 common-
+                                       # mode notebook offset is under
+                                       # investigation — THEORY.md §4f —
+                                       # so auto stays conservative.)
     rng: str = "fast"                  # "fast" (counter-hash; compiles in
                                        # seconds) or "threefry" (jax.random;
                                        # minutes of XLA compile in while-loops
@@ -261,6 +267,14 @@ class SolveResult(NamedTuple):
     walk_sum: np.ndarray = None    # (N,) raw sum of walk totals — exact
     walk_sumsq: np.ndarray = None  # (N,) raw sum of squares; lets
                                    # solve_stream combine batches exactly
+    truncated_walks: float = None  # walks ended by max_steps while still
+                                   # carrying weight (XLA backend; NaN on
+                                   # the Pallas/sharded paths, which don't
+                                   # track it)
+    truncated_weight: float = None  # sum of |atten| those walks dropped —
+                                    # the magnitude of the cap's silent
+                                    # bias; compare against n_walks *
+                                    # n_points
 
 
 class WoStSolver:
@@ -303,12 +317,16 @@ class WoStSolver:
         the dimensionless scale ``s = gamma * min(diameter,
         1/sqrt(sigma_bar))`` — the relative bias of plain reflection on
         boundary-dominated observables. Above ``s = 0.3`` auto enables
-        the strictly unbiased chord chain (~2.3x stderr measured on the
-        notebook survey with the chord-mass branch rate); below it the
-        bias is smaller than that stderr cost, so the correction stays
-        off. ``"reflectance"`` (zero added variance, but biased when the
-        solution varies along the wall within a chord) is never
-        auto-selected — opt in explicitly on wall-smooth problems.
+        the chord chain; below it the correction stays off. The chain is
+        exact on the MMS stress gates and cuts the notebook's heavy
+        cross-seed error tail ~4x at equal err^2*t (THEORY.md §4e), but
+        it currently shows a ~-10-unit common-mode electrode offset on
+        the notebook survey against the Richardson-verified FDM oracle
+        (under active investigation, THEORY.md §4f) — so auto does NOT
+        yet enable it for the flagship's s = 0.123. ``"reflectance"``
+        (zero added variance, but biased when the solution varies along
+        the wall within a chord) is never auto-selected — opt in
+        explicitly on wall-smooth problems.
         """
         pb = self.problem
         mode = self.options.robin_correction
@@ -383,6 +401,14 @@ class WoStSolver:
                 lambda x, y: pb.grad_log_alpha(x, y)[0]))
             grad_log_alpha_y = jax.vmap(_lift(
                 lambda x, y: pb.grad_log_alpha(x, y)[1]))
+            # static branch-rate floor (a quarter of the probed wall max):
+            # the chord-branch RATE must be positive wherever gamma(z)
+            # along the chord is nonzero, even when gamma at the walker
+            # itself vanishes (e.g. the notebook's symmetry point between
+            # the two anomalies) — rating on |gamma(x)| alone silently
+            # dropped those visits' chord mass (measured as part of a
+            # ~-10-unit common-mode electrode bias, 32x30k seeds)
+            gamma_floor = jnp.float32(0.25 * pb.max_boundary_gamma())
         sigma_bar = jnp.float32(pb.sigma_bar) if use_delta else None
         local_mj = pb.local_majorant if use_delta else None
         if local_mj is not None:
@@ -470,6 +496,14 @@ class WoStSolver:
             else:
                 bank = walk_done
                 trans = None
+            # truncation accounting: walks the max_steps cap ended while
+            # still carrying weight (roulette kills end with atten == 0
+            # and are excluded); their dropped mass is the one silent
+            # bias source in the estimator, so it is surfaced per solve
+            truncated = walk_done & ~done_eps & (jnp.abs(state.atten) > 0.0)
+            trunc_n = state.trunc_n + jnp.sum(truncated.astype(jnp.float32))
+            trunc_absw = state.trunc_absw + jnp.sum(
+                jnp.where(truncated, jnp.abs(state.atten), 0.0))
             acc_sum = state.acc_sum + jnp.where(bank, contrib, 0.0)
             acc_sumsq = state.acc_sumsq + jnp.where(bank, contrib * contrib, 0.0)
             n_done = state.n_done + bank.astype(jnp.int32)
@@ -539,17 +573,25 @@ class WoStSolver:
                 glx0 = grad_log_alpha_x(px, py)
                 gly0 = grad_log_alpha_y(px, py)
                 gamma0 = -0.5 * (state.nx * glx0 + state.ny * gly0)
+                # branch-rate magnitude: |gamma0| FLOORED at the static
+                # gamma_floor so visits where gamma(x) ~ 0 still realize
+                # their (gamma(z)-weighted) chord term; the shrink below
+                # bounds it, which also bounds |c_ch| <= c_max for the
+                # reflectance/residual folds (c_mag >= |c_ch| always)
+                g_eff = jnp.maximum(jnp.abs(gamma0), gamma_floor)
                 chord_j = screened_chord_integral(r, sbar)
-                c_ch = 4.0 * gamma0 * chord_j
+                c_mag = 4.0 * g_eff * chord_j
                 for _ in range(4):
-                    shrink = on_bdry & (jnp.abs(c_ch) > c_max)
+                    shrink = on_bdry & (c_mag > c_max)
                     r_new = jnp.maximum(
-                        rmin, r * (c_max / jnp.maximum(jnp.abs(c_ch), 1e-12)))
+                        rmin, r * (c_max / jnp.maximum(c_mag, 1e-12)))
                     r = jnp.where(shrink, r_new, r)
                     chord_j = jnp.where(
                         shrink, screened_chord_integral(r, sbar), chord_j)
-                    c_ch = jnp.where(shrink, 4.0 * gamma0 * chord_j, c_ch)
-                # rmin can floor the shrink; keep the factor bounded
+                    c_mag = jnp.where(shrink, 4.0 * g_eff * chord_j, c_mag)
+                c_ch = 4.0 * gamma0 * chord_j
+                # rmin can floor the shrink; keep the factors bounded
+                c_mag = jnp.where(on_bdry, jnp.minimum(c_mag, 0.9), 0.0)
                 c_ch = jnp.where(
                     on_bdry, jnp.clip(c_ch, -0.9, 0.9), 0.0)
                 if robin_resid:
@@ -568,7 +610,8 @@ class WoStSolver:
                     # with the chain realizing the clones' own chord
                     # terms the cascade is single-generation and the
                     # walk population stays linear in the request rate.
-                    buf_free = state.chord.w == 0.0
+                    buf_free = (state.chord.w == 0.0) & (
+                        state.chord.wb == 0.0)
                     can_req = (buf_free & ~is_clone
                                & (state.step_idx < jnp.int32(req_cap)))
                     atten = jnp.where(
@@ -753,9 +796,16 @@ class WoStSolver:
                 a_s_mv = alpha_c(sx, sy)
                 a_h = alpha_c(hx, hy)
                 sp_s = sigma_prime(sx, sy)
-                scale_int = jnp.sqrt(a_s_mv / a_p) * jnp.maximum(
-                    1.0 - sp_s / sbar, 0.0
-                )
+                # SIGNED null-collision factor (weighted delta tracking):
+                # where sigma' exceeds the majorant, (1 - sigma'/sbar) < 0
+                # is still the exact unbiased weight — the reference's
+                # max(..., 0) clamp (WoStSolver.py:282) silently biased
+                # the estimate toward the background solution wherever the
+                # grid-scanned majorant under-resolved a thin sigma'
+                # shell (measured -3-scale electrode bias on the notebook
+                # survey before the refined scan + this fix; a violated
+                # majorant now costs variance, never bias).
+                scale_int = jnp.sqrt(a_s_mv / a_p) * (1.0 - sp_s / sbar)
                 scale_edge = jnp.sqrt(a_h / a_p)
                 atten_pre = atten  # chord-branch lanes skip the move scale
                 if use_robin:
@@ -769,10 +819,14 @@ class WoStSolver:
                     gamma = -0.5 * (hnx * glx + hny * gly)
                     cosphi = jnp.maximum(-(dx * hnx + dy * hny), 0.1)
                     rho = screened_greens_wall_ratio(t_hit, r, sbar)
+                    # SIGNED arrival weight: 1 + gamma rho / cosphi can go
+                    # negative for strongly absorbing walls (large -gamma,
+                    # grazing arrival) and that negative value IS the
+                    # unbiased kernel ratio — clamping it at 0 (as before
+                    # the round-3 signed-weight pass) biased those
+                    # arrivals' contributions high
                     w_rob = jnp.where(
-                        hit,
-                        jnp.maximum(1.0 + gamma * rho / cosphi, 0.0),
-                        1.0,
+                        hit, 1.0 + gamma * rho / cosphi, 1.0,
                     )
                     scale_edge = scale_edge * w_rob
                 atten = jnp.where(
@@ -810,7 +864,7 @@ class WoStSolver:
                     q_scr = jnp.sqrt(jnp.maximum(sbar, 1e-12))
                     q_c = jnp.where(
                         on_bdry,
-                        jnp.minimum(0.5, jnp.abs(c_ch)), 0.0)
+                        jnp.minimum(0.5, c_mag), 0.0)
                     fire = stepping & (u[8] < q_c) & (q_c > 1e-6)
                     side = jnp.where(u[9] < 0.5, -1.0, 1.0)
                     v = jnp.abs(2.0 * u[9] - 1.0)      # U1
@@ -828,10 +882,22 @@ class WoStSolver:
                     p_mix = 0.5 * (p_log + p_exp)
                     g_ch = jnp.maximum(
                         screened_greens_2d(az, r, sbar), 0.0)
-                    w_ch = 2.0 * gamma0 * g_ch / jnp.maximum(p_mix, 1e-30)
                     # chord point along the wall tangent
                     zx = px + zeta * (-state.ny)
                     zy = py + zeta * state.nx
+                    # the identity's integrand is gamma(z) 2 G_s u~(z):
+                    # the branch weight must carry gamma AT THE SAMPLED
+                    # CHORD POINT, not frozen at the walker — freezing
+                    # gamma(x) biased the notebook survey (where gamma
+                    # varies on the ~100 m anomaly scale under chords of
+                    # comparable length) by a ~-10-unit common-mode
+                    # electrode shift (32x30k-walk seeds vs the FDM
+                    # oracle). The wall normal is constant along the flat
+                    # chord, so state.n* is the right normal at z.
+                    glxz = grad_log_alpha_x(zx, zy)
+                    glyz = grad_log_alpha_y(zx, zy)
+                    gamma_z = -0.5 * (state.nx * glxz + state.ny * glyz)
+                    w_ch = 2.0 * gamma_z * g_ch / jnp.maximum(p_mix, 1e-30)
                     if robin_resid:
                         # residual mode: a firing buffer-free lane FILES a
                         # clone-pair request (+walk from z, -walk from x,
@@ -856,8 +922,16 @@ class WoStSolver:
                             stepping & chain_visit & (q_c > 1e-6),
                             1.0 / (1.0 - q_c), 1.0))
                     if robin_resid:
+                        # leg A carries gamma(z) (w_ch above); leg B must
+                        # carry gamma(x) — the pair estimates
+                        # int 2 gamma(z) G_s u~(z) dzeta - c(gamma_x) u~(x)
                         w_pair = atten_pre * w_ch / jnp.maximum(q_c, 1e-6)
-                        req_new = (fire & can_req) & (w_pair != 0.0)
+                        w_ch_b = 2.0 * gamma0 * g_ch / jnp.maximum(
+                            p_mix, 1e-30)
+                        wb_pair = atten_pre * w_ch_b / jnp.maximum(
+                            q_c, 1e-6)
+                        req_new = (fire & can_req) & (
+                            (w_pair != 0.0) | (wb_pair != 0.0))
                         ch = state.chord
                         # trans lanes consumed their second-leg marker
                         # this iteration; req_new lanes file a fresh
@@ -872,6 +946,9 @@ class WoStSolver:
                             w=jnp.where(
                                 trans, 0.0,
                                 jnp.where(req_new, w_pair, ch.w)),
+                            wb=jnp.where(
+                                trans, 0.0,
+                                jnp.where(req_new, wb_pair, ch.wb)),
                         )
                 # cap AFTER the chord rewrite (matching the Pallas kernel)
                 # so it actually bounds the signed chord weights; symmetric
@@ -934,6 +1011,8 @@ class WoStSolver:
                 n_done=n_done,
                 total_steps=state.total_steps + jnp.sum(stepping.astype(jnp.float32)),
                 step_idx=state.step_idx + 1,
+                trunc_n=trunc_n,
+                trunc_absw=trunc_absw,
                 chord=chord_new if robin_resid else state.chord,
             )
             # diagnostics are computed at the PRE-recycle positions so a
@@ -1123,7 +1202,8 @@ class WoStSolver:
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            return mean, stderr, sums, sumsq, final.total_steps, final.step_idx
+            return (mean, stderr, sums, sumsq, final.total_steps,
+                    final.step_idx, final.trunc_n, final.trunc_absw)
 
         if not (use_split or use_requests):
             def run(points, key):
@@ -1321,8 +1401,9 @@ class WoStSolver:
                 mean = sums / n_walks
                 var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
                 stderr = jnp.sqrt(var / n_walks)
+                nan = jnp.float32(jnp.nan)  # kernel tracks no truncation
                 return (mean, stderr, sums, sumsq, total_steps,
-                        launches * n_inner)
+                        launches * n_inner, nan, nan)
 
             return jax.jit(run)
 
@@ -1424,8 +1505,10 @@ class WoStSolver:
             mean = sums / n_walks
             var = np.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = np.sqrt(var / n_walks)
+            # the fused kernel recycles walks in VMEM without a truncation
+            # counter; NaN = "not tracked" (vs 0.0 = "none truncated")
             return (mean, stderr, sums, sumsq, total_steps,
-                    launches * n_inner)
+                    launches * n_inner, float("nan"), float("nan"))
 
         return run
 
@@ -1476,7 +1559,8 @@ class WoStSolver:
         self._progress_cb = progress
         fn = self._build_solve_fn(n_points, int(n_walks), int(max_steps), float(eps))
         key = jax.random.PRNGKey(seed)
-        mean, stderr, sums, sumsq, total_steps, iters = fn(pts, key)
+        (mean, stderr, sums, sumsq, total_steps, iters,
+         trunc_n, trunc_absw) = fn(pts, key)
         mean = np.asarray(mean)
         stderr = np.asarray(stderr)
         sums = np.asarray(sums)
@@ -1496,6 +1580,8 @@ class WoStSolver:
             iterations=int(iters),
             walk_sum=sums,
             walk_sumsq=sumsq,
+            truncated_walks=float(trunc_n),
+            truncated_weight=float(trunc_absw),
         )
         if not return_history:
             return result

@@ -169,3 +169,24 @@ def test_diagnostics_multi_source_problems():
     occ = profile_occupancy(solver, np.array([[0.0, 0.0]]), n_walks=16,
                             max_steps=40, max_iters=64)
     assert occ.active_per_iter[0] > 0
+
+
+def test_truncation_counter():
+    # The max_steps cap is the estimator's one silent bias source:
+    # SolveResult.truncated_walks / truncated_weight surface how many
+    # walks it ended while still carrying weight and how much |atten|
+    # they dropped (failure detection, SURVEY §2 A3). Roulette kills
+    # (atten == 0 by construction) must NOT count.
+    prob = Problem(
+        dirichlet=square_loop(1.0),
+        bc_dirichlet=lambda x, y: x,
+    )
+    solver = WoStSolver(prob, SolverOptions(backend="xla", target_slots=256))
+    pts = np.array([[0.0, 0.0], [0.25, 0.1]])
+    tight = solver.solve(pts, n_walks=200, max_steps=4, eps=0.01, seed=0)
+    assert tight.truncated_walks > 0
+    # plain WoS carries unit weight, so dropped weight == dropped walks
+    assert tight.truncated_weight == tight.truncated_walks
+    ample = solver.solve(pts, n_walks=200, max_steps=4000, eps=0.01, seed=0)
+    assert ample.truncated_walks == 0.0
+    assert ample.truncated_weight == 0.0

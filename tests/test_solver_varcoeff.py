@@ -182,8 +182,8 @@ def test_robin_auto_policy():
     # 1/sqrt(sigma_bar)) against 0.3: the exp(k y) stress field (scale
     # 1.0, 40% plain-reflection bias) resolves to the strictly unbiased
     # "chain" realization, a buried-bump conductivity with ~zero surface
-    # gamma stays off (the bias is below the chain's stderr cost), and
-    # explicit False / True ("chain") / "reflectance" override.
+    # gamma stays off (wall visits too rare for bias or tail to matter),
+    # and explicit False / True ("chain") / "reflectance" override.
     import jax.numpy as jnp
 
     from dcrmontecarlo_tpu.geometry import Polyline
