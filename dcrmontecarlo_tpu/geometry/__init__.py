@@ -3,6 +3,7 @@ from .queries import (
     cross2,
     distance,
     closest_point,
+    closest_point_chord,
     is_silhouette,
     silhouette_distance,
     ray_intersection,
@@ -17,6 +18,7 @@ __all__ = [
     "cross2",
     "distance",
     "closest_point",
+    "closest_point_chord",
     "is_silhouette",
     "silhouette_distance",
     "ray_intersection",

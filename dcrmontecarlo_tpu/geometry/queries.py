@@ -28,6 +28,7 @@ __all__ = [
     "cross2",
     "distance",
     "closest_point",
+    "closest_point_chord",
     "is_silhouette",
     "silhouette_distance",
     "ray_intersection",
@@ -120,6 +121,45 @@ def distance(poly: Polyline, px, py):
     """Minimum distance to the polyline (``PolylinesSimple.py:25-49``)."""
     _, _, d2 = _project(poly, px, py)
     return jnp.sqrt(jnp.min(d2, axis=1))
+
+
+def closest_point_chord(poly: Polyline, px, py):
+    """Closest point plus the EXACT segment frame for wall-chord geometry.
+
+    The Robin interior-chord branch (solver/wost.py, THEORY.md §4g) lays
+    chord points ``z = foot + zeta * t_hat`` along the nearest wall.
+    Deriving the frame from ``(p - foot)/d`` is catastrophically noisy in
+    f32 — the normal error puts ``z`` OFF the wall by ``|zeta| * err``
+    (measured walker escapes through the surface) — so the tangent comes
+    from the segment data itself (exact) and only the normal's SIGN uses
+    ``p - foot``.
+
+    Returns ``(dist, cx, cy, tx, ty, s_lo, s_hi)``, each ``(W,)``:
+    unit tangent ``(tx, ty)`` of the winning segment, and the chord
+    parameter interval ``[s_lo, s_hi]`` (``s_lo <= 0 <= s_hi``) for which
+    ``foot + s * t_hat`` stays on that segment — integrand support ends
+    with the wall, so chord weights must vanish outside it.
+    """
+    ax, ay, bx, by, valid = _seg_fields(poly)
+    pxe, pye = px[:, None], py[:, None]
+    ux, uy = bx - ax, by - ay
+    vx, vy = pxe - ax, pye - ay
+    uu = ux * ux + uy * uy
+    ul = jnp.sqrt(jnp.maximum(uu, 1e-30))
+    t = jnp.clip((vx * ux + vy * uy) / jnp.maximum(uu, 1e-30), 0.0, 1.0)
+    cx = ax + t * ux
+    cy = ay + t * uy
+    d2 = (cx - pxe) ** 2 + (cy - pye) ** 2
+    d2 = jnp.where(valid, d2, _BIG)
+    txu = jnp.broadcast_to(ux / ul, d2.shape)
+    tyu = jnp.broadcast_to(uy / ul, d2.shape)
+    s_lo = jnp.broadcast_to(-t * ul, d2.shape)
+    s_hi = jnp.broadcast_to((1.0 - t) * ul, d2.shape)
+    cxb = jnp.broadcast_to(cx, d2.shape)
+    cyb = jnp.broadcast_to(cy, d2.shape)
+    d2m, cxm, cym, txm, tym, slom, shim = _min_by(
+        d2, (cxb, cyb, txu, tyu, s_lo, s_hi), axis=1)
+    return jnp.sqrt(d2m), cxm, cym, txm, tym, slom, shim
 
 
 def is_silhouette(poly: Polyline, px, py):

@@ -139,6 +139,9 @@ class ShardedWoStSolver(WoStSolver):
         # lay slots out walker-major so the sharded axis is contiguous:
         # (K, n_points) with K split over devices
         quotas_km = jnp.asarray(np.tile(quota_row[:, None], (1, n_points)))
+        # resolved eagerly: Problem.diameter's float() cannot run under
+        # the shard_map trace
+        snap_tol = self._boundary_snap_tol()
 
         def shard_body(points, quotas_shard, key):
             # quotas_shard: (K/n_dev, n_points) on each device
@@ -149,8 +152,13 @@ class ShardedWoStSolver(WoStSolver):
             # makes every carry component device-dependent, so the initial
             # carry must be too (shard_map vma typing)
             pv = lambda a: jax.lax.pcast(a, (axis,), to="varying")
-            p0x = pv(jnp.tile(points[:, 0], (k_local,)))
-            p0y = pv(jnp.tile(points[:, 1], (k_local,)))
+            # boundary_snap (solver/wost.py::_snap_points): near-wall
+            # evaluation points start every walk ON the Neumann wall with
+            # the exact on-boundary half-ball machinery; points is
+            # replicated, so the snap is too
+            ptx, pty, ob0, n0x, n0y = self._snap_points(points, tol=snap_tol)
+            p0x = pv(jnp.tile(ptx, (k_local,)))
+            p0y = pv(jnp.tile(pty, (k_local,)))
             state = init_state(p0x, p0y, quotas_shard.reshape(-1),
                                n_src=n_src, with_chord=use_requests)
             state = state._replace(
@@ -170,19 +178,33 @@ class ShardedWoStSolver(WoStSolver):
                 chord=(None if state.chord is None
                        else jax.tree.map(pv, state.chord)),
             )
+            if ob0 is None:
+                step_s = step
+            else:
+                p0ob = pv(jnp.tile(ob0, (k_local,)))
+                p0nx = pv(jnp.tile(n0x, (k_local,)))
+                p0ny = pv(jnp.tile(n0y, (k_local,)))
+                state = state._replace(on_bdry=p0ob, nx=p0nx, ny=p0ny)
+
+                def step_s(s, a, b, k, sid=None):
+                    return step(s, a, b, k, sid=sid,
+                                p0ob=p0ob, p0nx=p0nx, p0ny=p0ny)
+
+                # _sharded_split_loop allocates lane stream ids via this
+                step_s.lane_ids = step.lane_ids
 
             if not (use_split or use_requests):
                 def cond(s):
                     return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
 
                 def body(s):
-                    s2, _ = step(s, p0x, p0y, shard_key)
+                    s2, _ = step_s(s, p0x, p0y, shard_key)
                     return s2
 
                 final = jax.lax.while_loop(cond, body, state)
             else:
                 final = self._sharded_split_loop(
-                    step, state, p0x, p0y, shard_key, dev,
+                    step_s, state, p0x, p0y, shard_key, dev,
                     k_local, n_points, step_cap, max_steps,
                     use_split=use_split, use_requests=use_requests,
                 )

@@ -417,8 +417,10 @@ class Problem:
 
     @property
     def diameter(self) -> float:
+        # numpy on purpose: jnp would become a tracer when this property
+        # is read inside a jit/shard_map trace (solver snap tolerance)
         (x0, x1), (y0, y1) = self.domain_bounds
-        return float(jnp.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2))
+        return float(np.sqrt(float(x1 - x0) ** 2 + float(y1 - y0) ** 2))
 
     def set_boundary_conditions(self, bc: Callable) -> None:
         """Reference ``setBoundaryConditions`` (``WoStSolver.py:141-148``).

@@ -235,6 +235,52 @@ class SolverOptions:
                                        # mode notebook offset is under
                                        # investigation — THEORY.md §4f —
                                        # so auto stays conservative.)
+    robin_interior: str = "arrival"    # how chain mode realizes the Robin
+                                       # wall term of INTERIOR walkers
+                                       # (THEORY.md §4g):
+                                       # * "arrival" (default) — the legacy
+                                       #   per-arrival importance ratio
+                                       #   1 + gamma rho / cos(phi), with
+                                       #   cos(phi) clamped at
+                                       #   robin_arrival_clamp. Bounded
+                                       #   variance on every regime; the
+                                       #   clamp drops a small amount of
+                                       #   grazing-arrival Robin mass
+                                       #   (bias shrinks with the clamp;
+                                       #   on-boundary STARTS remove the
+                                       #   dominant near-wall component).
+                                       # * "chord" — strictly unbiased
+                                       #   chord branch whenever the star
+                                       #   ball overlaps the wall. Exact
+                                       #   on MMS gates, but the no-branch
+                                       #   upweight prod 1/(1-q) compounds
+                                       #   e^{sum q} over a walk's wall
+                                       #   residence: use ONLY where walks
+                                       #   are short / wall residence is
+                                       #   low (sum q <~ 1) — on the 1000 m
+                                       #   survey's wall-hugging walks it
+                                       #   measured 1e3..1e5-scale weight
+                                       #   blowups.
+    robin_arrival_clamp: float = 0.1   # grazing cos(phi) floor of the
+                                       # "arrival" realization (variance/
+                                       # residual-bias trade; see above)
+    boundary_snap: object = "auto"     # evaluation points within this
+                                       # distance of a Neumann wall are
+                                       # SNAPPED onto it and start every
+                                       # walk with the exact on-boundary
+                                       # half-ball machinery (normals from
+                                       # the segment frame). "auto" =
+                                       # 1e-3 * problem.diameter; None/0
+                                       # disables. Replaces the reference's
+                                       # interior electrode nudge
+                                       # (notebook cell 19, y = -0.1),
+                                       # whose first-step grazing arrivals
+                                       # lost clamped Robin mass — the
+                                       # dominant term of the -12
+                                       # common-mode electrode offset
+                                       # (THEORY.md §4g). XLA backends;
+                                       # the fused kernel snaps too once
+                                       # mirrored.
     rng: str = "fast"                  # "fast" (counter-hash; compiles in
                                        # seconds) or "threefry" (jax.random;
                                        # minutes of XLA compile in while-loops
@@ -396,6 +442,8 @@ class WoStSolver:
         use_robin = bool(robin_mode)
         robin_chain = robin_mode == "chain"
         robin_resid = robin_mode == "residual"
+        # chain mode's interior-walker realization (THEORY.md §4g)
+        int_chord = robin_chain and self.options.robin_interior == "chord"
         if use_robin:
             grad_log_alpha_x = jax.vmap(_lift(
                 lambda x, y: pb.grad_log_alpha(x, y)[0]))
@@ -444,10 +492,17 @@ class WoStSolver:
                 return ids % jnp.uint32(period)
             return ids // jnp.uint32(reps)  # slot-major: lane = j*P + p
 
-        def step(state: WalkerState, p0x, p0y, key, sid=None):
+        def step(state: WalkerState, p0x, p0y, key, sid=None,
+                 p0ob=None, p0nx=None, p0ny=None):
             # sid: optional per-lane RNG stream ids overriding the static
             # lane layout — the split-enabled run loop threads them so
             # walker clones draw from fresh, collision-free streams
+            # p0ob/p0nx/p0ny: optional ON-BOUNDARY start flags + inward
+            # normals for lanes whose evaluation point sits on a Neumann
+            # wall (boundary_snap): recycled walks restart with the exact
+            # on-boundary step machinery instead of the legacy interior
+            # nudge, whose first-step grazing arrivals carried the
+            # clamp's Robin-mass loss (THEORY.md §4g)
             W = state.px.shape[0]
             if rng_fast:
                 kd = jnp.asarray(key, jnp.uint32).reshape(-1)
@@ -514,7 +569,18 @@ class WoStSolver:
             py = jnp.where(walk_done, p0y, state.py)
             walk_acc = jnp.where(walk_done, 0.0, state.walk_acc)
             atten = jnp.where(walk_done, 1.0, state.atten)
-            on_bdry = jnp.where(walk_done, False, state.on_bdry)
+            on_bdry = jnp.where(
+                walk_done,
+                False if p0ob is None else p0ob,
+                state.on_bdry)
+            # current normals: recycled on-boundary starts need their
+            # start normal THIS step (the direction/chord blocks below
+            # read it); other lanes keep the last-arrival normal
+            if p0ob is None:
+                cnx, cny = state.nx, state.ny
+            else:
+                cnx = jnp.where(walk_done, p0nx, state.nx)
+                cny = jnp.where(walk_done, p0ny, state.ny)
             steps_cur = jnp.where(walk_done, 0, state.steps_cur)
             if robin_resid:
                 ch0 = state.chord
@@ -552,7 +618,7 @@ class WoStSolver:
                 sbar = sigma_bar
 
             if use_robin:
-                # -- on-boundary Robin chord mass (THEORY.md §4b/4c) ------ #
+                # -- Robin chord mass (THEORY.md §4b/4c/4g) --------------- #
                 # c = 4 gamma J(r) is the frozen-u~ mass of the flat-wall
                 # chord term int_chord gamma 2 G_s(|zeta|) u~ dzeta
                 # (J = screened_chord_integral). Both realizations bound it
@@ -568,11 +634,57 @@ class WoStSolver:
                 # * chain: c sets the branch probability q = min(1/2, |c|)
                 #   below, which makes the branch weight the O(1) density
                 #   ratio G_s/(2 J p_mix) — strictly unbiased with NO
-                #   exp-compounding weight spread.
+                #   exp-compounding weight spread. Chain mode additionally
+                #   realizes the INTERIOR-walker wall term
+                #   int_{wall cap B} gamma(z) G_s(|x-z|) u~(z) dz by the
+                #   same branch machinery whenever the star ball overlaps
+                #   the wall (d_w < r) — replacing the legacy grazing-
+                #   arrival importance ratio 1 + gamma rho / cos(phi),
+                #   whose cos(phi) >= 0.1 clamp DROPPED real Robin mass on
+                #   near-wall walks (measured -8..-16 on a 100-scale MMS
+                #   with electrodes hugging the wall; bias -> +0.1 as the
+                #   clamp -> 0.01; THEORY.md §4g).
                 c_max = 0.5
+                if robin_chain:
+                    # nearest wall point + the EXACT segment frame: the
+                    # chord must lie ON the wall; deriving its direction
+                    # from (x - foot)/d is f32-noisy and put chord points
+                    # off the wall by |zeta| * err — walkers then escaped
+                    # through the surface (measured: exp-field NaN blowup)
+                    (d_w, wfx, wfy, wtx, wty,
+                     s_lo, s_hi) = queries.closest_point_chord(
+                        neumann, px, py)
+                    d_wall = jnp.where(on_bdry, 0.0, d_w)
+                    # normal = segment perpendicular, SIGN toward the
+                    # walker (only the sign uses the noisy p - foot);
+                    # on-boundary lanes keep their own arrival normal
+                    dot_n = (px - wfx) * (-wty) + (py - wfy) * wtx
+                    sgn_n = jnp.where(dot_n >= 0.0, 1.0, -1.0)
+                    n_cx = jnp.where(on_bdry, cnx, sgn_n * (-wty))
+                    n_cy = jnp.where(on_bdry, cny, sgn_n * wtx)
+                    t_cx, t_cy = wtx, wty
+                    fx = jnp.where(on_bdry, px, wfx)
+                    fy = jnp.where(on_bdry, py, wfy)
+                    if int_chord:
+                        # cap the interior star radius at 3 d_wall: the
+                        # per-step chord mass then VANISHES as the walker
+                        # nears the wall (q ~ gamma d), so the no-branch
+                        # upweight prod 1/(1 - q) stays bounded per
+                        # APPROACH. (The sum over a whole walk's wall
+                        # residence is still unbounded — hence this
+                        # realization is opt-in, see robin_interior.)
+                        r_cap = jnp.maximum(3.0 * d_wall, rmin)
+                        r = jnp.where(
+                            ~on_bdry & (d_wall < r),
+                            jnp.minimum(r, r_cap), r)
+                else:
+                    n_cx, n_cy = cnx, cny
+                    t_cx, t_cy = -cny, cnx
+                    fx, fy = px, py
+                    d_wall = jnp.zeros_like(px)
                 glx0 = grad_log_alpha_x(px, py)
                 gly0 = grad_log_alpha_y(px, py)
-                gamma0 = -0.5 * (state.nx * glx0 + state.ny * gly0)
+                gamma0 = -0.5 * (n_cx * glx0 + n_cy * gly0)
                 # branch-rate magnitude: |gamma0| FLOORED at the static
                 # gamma_floor so visits where gamma(x) ~ 0 still realize
                 # their (gamma(z)-weighted) chord term; the shrink below
@@ -594,6 +706,23 @@ class WoStSolver:
                 c_mag = jnp.where(on_bdry, jnp.minimum(c_mag, 0.9), 0.0)
                 c_ch = jnp.where(
                     on_bdry, jnp.clip(c_ch, -0.9, 0.9), 0.0)
+                if int_chord:
+                    # interior chord half-length + branch rate. ANY
+                    # positive rate is unbiased (the branch weight divides
+                    # by it); exp(-d sqrt(sbar)) matches the kernel's
+                    # distance decay so fired weights stay O(1), and the
+                    # min(., 1/2) cap keeps the non-branch upweight
+                    # 1/(1 - q) <= 2.
+                    l_ch = jnp.sqrt(
+                        jnp.maximum(r * r - d_wall * d_wall, 0.0))
+                    j_int = screened_chord_integral(
+                        jnp.maximum(l_ch, 1e-12), sbar)
+                    c_int = (2.0 * g_eff * j_int
+                             * jnp.exp(-d_wall * jnp.sqrt(
+                                 jnp.maximum(sbar, 1e-12))))
+                    c_int = jnp.where(
+                        ~on_bdry & (d_wall < r) & (l_ch > 0.0),
+                        jnp.minimum(c_int, 0.5), 0.0)
                 if robin_resid:
                     # THEORY.md §4e: per visit u~(x) = (H + R)/(1 - c) —
                     # fold the frozen-u~ chord mass DETERMINISTICALLY
@@ -633,8 +762,8 @@ class WoStSolver:
             if has_neumann:
                 cb = sphi
                 sb = -cphi
-                hdx = state.nx * cb - state.ny * sb
-                hdy = state.ny * cb + state.nx * sb
+                hdx = cnx * cb - cny * sb
+                hdy = cny * cb + cnx * sb
                 dx = jnp.where(on_bdry, hdx, dx)
                 dy = jnp.where(on_bdry, hdy, dy)
 
@@ -808,16 +937,26 @@ class WoStSolver:
                 scale_int = jnp.sqrt(a_s_mv / a_p) * (1.0 - sp_s / sbar)
                 scale_edge = jnp.sqrt(a_h / a_p)
                 atten_pre = atten  # chord-branch lanes skip the move scale
-                if use_robin:
-                    # Robin wall weight (see screened_greens_wall_ratio):
-                    # gamma = d(ln sqrt alpha)/dn_out at the hit point; the
-                    # kernel ratio is divided by the ray/normal cosine
-                    # (grazing arrivals clamped for variance control —
-                    # they carry vanishing arrival density)
+                if use_robin and not int_chord:
+                    # Robin ARRIVAL weight (all modes except the opt-in
+                    # interior-chord realization — see
+                    # screened_greens_wall_ratio): gamma =
+                    # d(ln sqrt alpha)/dn_out at the hit point; the kernel
+                    # ratio is divided by the ray/normal cosine. The
+                    # cos(phi) clamp tames the grazing-arrival 1/cos(phi)
+                    # tail but DROPS a little real Robin mass — the
+                    # dominant component (walks STARTING a fraction of a
+                    # mfp from the wall: measured -8..-16 units on a
+                    # 100-scale MMS, the notebook's -12 common-mode
+                    # electrode offset) is removed exactly by on-boundary
+                    # starts; the residual shrinks with
+                    # robin_arrival_clamp (THEORY.md §4g).
                     glx = grad_log_alpha_x(hx, hy)
                     gly = grad_log_alpha_y(hx, hy)
                     gamma = -0.5 * (hnx * glx + hny * gly)
-                    cosphi = jnp.maximum(-(dx * hnx + dy * hny), 0.1)
+                    cosphi = jnp.maximum(
+                        -(dx * hnx + dy * hny),
+                        jnp.float32(self.options.robin_arrival_clamp))
                     rho = screened_greens_wall_ratio(t_hit, r, sbar)
                     # SIGNED arrival weight: 1 + gamma rho / cosphi can go
                     # negative for strongly absorbing walls (large -gamma,
@@ -862,42 +1001,86 @@ class WoStSolver:
                     # self-wall arrivals, so this branch is the only
                     # realization of their flat term.)
                     q_scr = jnp.sqrt(jnp.maximum(sbar, 1e-12))
-                    q_c = jnp.where(
-                        on_bdry,
-                        jnp.minimum(0.5, c_mag), 0.0)
+                    if int_chord:
+                        # unified rate: on-boundary chord mass OR the
+                        # decay-matched interior rate (THEORY.md §4g)
+                        q_c = jnp.where(
+                            on_bdry, jnp.minimum(0.5, c_mag), c_int)
+                        l_eff = jnp.maximum(
+                            jnp.where(on_bdry, r, l_ch), 1e-12)
+                    else:
+                        q_c = jnp.where(
+                            on_bdry, jnp.minimum(0.5, c_mag), 0.0)
+                        l_eff = r
                     fire = stepping & (u[8] < q_c) & (q_c > 1e-6)
                     side = jnp.where(u[9] < 0.5, -1.0, 1.0)
                     v = jnp.abs(2.0 * u[9] - 1.0)      # U1
                     tech_log = u[10] < 0.5             # technique selector
                     u2 = jnp.abs(2.0 * u[10] - 1.0)    # U2 (independent bit)
-                    z_log = r * jnp.maximum(v * u2, 1e-12)
-                    trunc = 1.0 - jnp.exp(-q_scr * r)
+                    z_log = l_eff * jnp.maximum(v * u2, 1e-12)
+                    trunc = 1.0 - jnp.exp(-q_scr * l_eff)
                     z_exp = -jnp.log(
                         jnp.maximum(1.0 - v * trunc, 1e-12)) / q_scr
-                    az = jnp.minimum(jnp.where(tech_log, z_log, z_exp), r)
+                    az = jnp.minimum(
+                        jnp.where(tech_log, z_log, z_exp), l_eff)
                     zeta = side * az
-                    p_log = -jnp.log(jnp.maximum(az / r, 1e-12)) / (2.0 * r)
+                    p_log = -jnp.log(
+                        jnp.maximum(az / l_eff, 1e-12)) / (2.0 * l_eff)
                     p_exp = q_scr * jnp.exp(-q_scr * az) / (
                         2.0 * jnp.maximum(trunc, 1e-12))
                     p_mix = 0.5 * (p_log + p_exp)
+                    if int_chord:
+                        # interior chords evaluate the ball kernel at the
+                        # true distance sqrt(zeta^2 + d_wall^2) <= r (the
+                        # chord half-length caps |zeta| at sqrt(r^2-d^2));
+                        # on-boundary lanes have d_wall = 0
+                        dist_z = jnp.sqrt(az * az + d_wall * d_wall)
+                    else:
+                        dist_z = az
                     g_ch = jnp.maximum(
-                        screened_greens_2d(az, r, sbar), 0.0)
-                    # chord point along the wall tangent
-                    zx = px + zeta * (-state.ny)
-                    zy = py + zeta * state.nx
-                    # the identity's integrand is gamma(z) 2 G_s u~(z):
-                    # the branch weight must carry gamma AT THE SAMPLED
-                    # CHORD POINT, not frozen at the walker — freezing
-                    # gamma(x) biased the notebook survey (where gamma
-                    # varies on the ~100 m anomaly scale under chords of
-                    # comparable length) by a ~-10-unit common-mode
-                    # electrode shift (32x30k-walk seeds vs the FDM
-                    # oracle). The wall normal is constant along the flat
-                    # chord, so state.n* is the right normal at z.
+                        screened_greens_2d(dist_z, r, sbar), 0.0)
+                    # chord point along the wall tangent THROUGH THE FOOT
+                    # (== the walker itself for on-boundary lanes); the
+                    # tangent is the exact segment direction, so z stays
+                    # on the wall line to full f32 precision
+                    zx = fx + zeta * t_cx
+                    zy = fy + zeta * t_cy
+                    # the identity's integrand is gamma(z) m G_s u~(z)
+                    # (m = 2 on-boundary by the image fold, m = 1 for an
+                    # interior ball): the branch weight must carry gamma
+                    # AT THE SAMPLED CHORD POINT, not frozen at the
+                    # walker — freezing gamma(x) biased the notebook
+                    # survey (where gamma varies on the ~100 m anomaly
+                    # scale under chords of comparable length) by a
+                    # ~-10-unit common-mode electrode shift (32x30k-walk
+                    # seeds vs the FDM oracle). The wall normal is
+                    # constant along the flat chord, so the foot normal
+                    # is the right normal at z.
                     glxz = grad_log_alpha_x(zx, zy)
                     glyz = grad_log_alpha_y(zx, zy)
-                    gamma_z = -0.5 * (state.nx * glxz + state.ny * glyz)
-                    w_ch = 2.0 * gamma_z * g_ch / jnp.maximum(p_mix, 1e-30)
+                    gamma_z = -0.5 * (n_cx * glxz + n_cy * glyz)
+                    m_img = 1.0 + on_bdry.astype(jnp.float32)
+                    # the branch is a MOVE x -> z of the u-space walker:
+                    # like scale_int/scale_edge it must carry the
+                    # transform factor sqrt(alpha_z / alpha_x) (the chord
+                    # identity lives in u~ = sqrt(alpha) u space). Omitting
+                    # it biased every problem whose alpha differs between
+                    # the walker and the wall point (-2% proportional on
+                    # the layered MMS; part of the notebook offset).
+                    a_z = alpha_c(zx, zy)
+                    w_ch = (m_img * gamma_z * g_ch
+                            / jnp.maximum(p_mix, 1e-30)
+                            * jnp.sqrt(a_z / a_p))
+                    if robin_chain:
+                        # the integrand's support ends with the wall
+                        # segment: chord samples past its ends carry zero
+                        # weight (the branch still happens — redirecting
+                        # it into the no-branch path would double-count
+                        # the continuation; the zero-weight walk banks
+                        # its already-accumulated walk_acc and roulette
+                        # retires it)
+                        w_ch = jnp.where(
+                            (zeta >= s_lo) & (zeta <= s_hi), w_ch, 0.0)
                     if robin_resid:
                         # residual mode: a firing buffer-free lane FILES a
                         # clone-pair request (+walk from z, -walk from x,
@@ -911,7 +1094,10 @@ class WoStSolver:
                         chain_visit = on_bdry & ~can_req
                     else:
                         branch = fire
-                        chain_visit = on_bdry
+                        # every lane with a live chord (on-boundary OR an
+                        # interior ball overlapping the wall) pays the
+                        # non-branch upweight 1/(1 - q)
+                        chain_visit = q_c > 0.0
                     new_on_bdry = new_on_bdry | branch
                     newx = jnp.where(branch, zx, newx)
                     newy = jnp.where(branch, zy, newy)
@@ -940,8 +1126,8 @@ class WoStSolver:
                         chord_new = ch._replace(
                             xx=jnp.where(req_new, px, ch.xx),
                             xy=jnp.where(req_new, py, ch.xy),
-                            nx=jnp.where(req_new, state.nx, ch.nx),
-                            ny=jnp.where(req_new, state.ny, ch.ny),
+                            nx=jnp.where(req_new, cnx, ch.nx),
+                            ny=jnp.where(req_new, cny, ch.ny),
                             zeta=jnp.where(req_new, zeta, ch.zeta),
                             w=jnp.where(
                                 trans, 0.0,
@@ -966,8 +1152,14 @@ class WoStSolver:
             upd_n = stepping & hit
             if robin_chain or robin_resid:
                 upd_n = upd_n & ~branch  # chord stays on its own wall
-            nxx = jnp.where(upd_n, hnx, state.nx)
-            nyy = jnp.where(upd_n, hny, state.ny)
+            nxx = jnp.where(upd_n, hnx, cnx)
+            nyy = jnp.where(upd_n, hny, cny)
+            if robin_chain:
+                # an INTERIOR chord branch lands on the nearest wall: its
+                # normal is the foot normal (a no-op for on-boundary
+                # branches, whose foot normal IS the state normal)
+                nxx = jnp.where(branch, n_cx, nxx)
+                nyy = jnp.where(branch, n_cy, nyy)
             if robin_resid:
                 # leg-B restart stands on the request's wall
                 nxx = jnp.where(trans, state.chord.nx, nxx)
@@ -1129,6 +1321,72 @@ class WoStSolver:
             return self._build_solve_fn_pallas(n_points, n_walks, max_steps, eps)
         return self._build_solve_fn_xla(n_points, n_walks, max_steps, eps)
 
+    def _boundary_snap_tol(self):
+        """Resolve ``SolverOptions.boundary_snap`` to a distance or None."""
+        bs = self.options.boundary_snap
+        if self.problem.neumann is None or bs in (None, 0, 0.0, False):
+            return None
+        if bs == "auto":
+            return 1e-3 * self.problem.diameter
+        return float(bs)
+
+    def _snap_points(self, points, tol="resolve"):
+        """Snap near-wall evaluation points ONTO the Neumann wall.
+
+        Returns ``(px, py, ob0, n0x, n0y)``: snapped coordinates, the
+        on-boundary start mask, and inward start normals. Points exactly
+        ON the wall (d == 0) are left alone — their inward side cannot be
+        inferred; give surface points a tiny inward nudge (the survey
+        pipelines do) and the solver starts them with the EXACT
+        on-boundary half-ball machinery instead of the legacy interior
+        first step, whose grazing wall arrivals carried the
+        robin_arrival_clamp's Robin-mass loss (THEORY.md §4g).
+        """
+        ptx, pty = points[:, 0], points[:, 1]
+        if tol == "resolve":
+            # callers inside traced code (shard_map lifts closures to
+            # tracers, breaking Problem.diameter's float()) must resolve
+            # the tolerance eagerly at build time and pass it in
+            tol = self._boundary_snap_tol()
+        if tol is None:
+            return ptx, pty, None, None, None
+        d0, f0x, f0y, t0x, t0y, _, _ = queries.closest_point_chord(
+            self.problem.neumann, ptx, pty)
+        m0 = (d0 <= tol) & (d0 > 0.0)
+        dotn = (ptx - f0x) * (-t0y) + (pty - f0y) * t0x
+        sg = jnp.where(dotn >= 0.0, 1.0, -1.0)
+        return (
+            jnp.where(m0, f0x, ptx),
+            jnp.where(m0, f0y, pty),
+            m0,
+            jnp.where(m0, sg * (-t0y), 0.0),
+            jnp.where(m0, sg * t0x, 0.0),
+        )
+
+    def _warn_pallas_snap(self, pts):
+        """Warn once when boundary_snap would fire on the Pallas backend.
+
+        The fused kernel does not carry on-boundary starts yet, so
+        near-wall points keep the legacy interior first step there —
+        a small Robin-mass loss vs the XLA backends (THEORY.md §4g).
+        """
+        if getattr(self, "_snap_warned", False) or not self._use_pallas():
+            return
+        tol = self._boundary_snap_tol()
+        if tol is None:
+            return
+        d0 = queries.distance(self.problem.neumann, pts[:, 0], pts[:, 1])
+        if bool(np.any((np.asarray(d0) <= tol) & (np.asarray(d0) > 0.0))):
+            import warnings
+
+            warnings.warn(
+                "boundary_snap: near-wall evaluation points are snapped "
+                "on the XLA backends but NOT on the fused Pallas kernel "
+                "yet; this run keeps the legacy interior first step.",
+                stacklevel=3,
+            )
+            self._snap_warned = True
+
     def _wrap_step_progress(self, step, total_walks: int, every: int = 64):
         """Wrap a step fn to report progress from inside the compiled loop.
 
@@ -1144,8 +1402,8 @@ class WoStSolver:
             if cb is not None:
                 cb(int(done), total_walks, int(it))
 
-        def wrapped(s, p0x, p0y, key, sid=None):
-            s2, d = step(s, p0x, p0y, key, sid=sid)
+        def wrapped(s, p0x, p0y, key, sid=None, **kw):
+            s2, d = step(s, p0x, p0y, key, sid=sid, **kw)
             jax.lax.cond(
                 s2.step_idx % every == 0,
                 lambda done, it: jax.debug.callback(_report, done, it),
@@ -1207,15 +1465,24 @@ class WoStSolver:
 
         if not (use_split or use_requests):
             def run(points, key):
-                p0x = jnp.repeat(points[:, 0], K)
-                p0y = jnp.repeat(points[:, 1], K)
+                ptx, pty, ob0, n0x, n0y = self._snap_points(points)
+                p0x = jnp.repeat(ptx, K)
+                p0y = jnp.repeat(pty, K)
                 state = init_state(p0x, p0y, quotas, n_src=n_src)
+                if ob0 is None:
+                    p0ob = p0nx = p0ny = None
+                else:
+                    p0ob = jnp.repeat(ob0, K)
+                    p0nx = jnp.repeat(n0x, K)
+                    p0ny = jnp.repeat(n0y, K)
+                    state = state._replace(on_bdry=p0ob, nx=p0nx, ny=p0ny)
 
                 def cond(s):
                     return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
 
                 def body(s):
-                    s2, _ = step(s, p0x, p0y, key)
+                    s2, _ = step(s, p0x, p0y, key,
+                                 p0ob=p0ob, p0nx=p0nx, p0ny=p0ny)
                     return s2
 
                 final = jax.lax.while_loop(cond, body, state)
@@ -1248,13 +1515,25 @@ class WoStSolver:
         sid0 = step.lane_ids(n_points * K)
 
         def run(points, key):
-            p0x = jnp.repeat(points[:, 0], K)
-            p0y = jnp.repeat(points[:, 1], K)
+            ptx, pty, ob0, n0x, n0y = self._snap_points(points)
+            p0x = jnp.repeat(ptx, K)
+            p0y = jnp.repeat(pty, K)
             state = init_state(p0x, p0y, quotas, n_src=n_src,
                                with_chord=use_requests)
+            if ob0 is None:
+                step_s = step
+            else:
+                p0ob = jnp.repeat(ob0, K)
+                p0nx = jnp.repeat(n0x, K)
+                p0ny = jnp.repeat(n0y, K)
+                state = state._replace(on_bdry=p0ob, nx=p0nx, ny=p0ny)
+
+                def step_s(s, a, b, k, sid=None):
+                    return step(s, a, b, k, sid=sid,
+                                p0ob=p0ob, p0nx=p0nx, p0ny=p0ny)
             # clone streams start at 2^30, above all lane/CRN ids
             final = run_split_while(
-                step, do_split, state, p0x, p0y, key,
+                step_s, do_split, state, p0x, p0y, key,
                 sid0, jnp.uint32(1 << 30), step_cap, max_steps,
                 service=service,
             )
@@ -1556,6 +1835,7 @@ class WoStSolver:
         """
         pts = jnp.asarray(np.asarray(points, np.float32).reshape(-1, 2))
         n_points = int(pts.shape[0])
+        self._warn_pallas_snap(pts)
         self._progress_cb = progress
         fn = self._build_solve_fn(n_points, int(n_walks), int(max_steps), float(eps))
         key = jax.random.PRNGKey(seed)

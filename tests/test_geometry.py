@@ -188,3 +188,44 @@ def test_surface_line_and_heightmap_endpoints_exact():
     b = np.asarray(poly.seg_b)[np.asarray(poly.seg_valid)]
     assert abs(b[-1, 0] - 10.0) < 1e-5, b[-1]
     assert abs(a[0, 0] - 0.0) < 1e-5
+
+
+def test_closest_point_chord_frame_and_interval():
+    # Exact segment frame + chord support for the Robin chord machinery
+    # (solver/wost.py, THEORY.md 4g): tangent comes from the segment DATA
+    # (not the noisy (p - foot)/d direction), and [s_lo, s_hi] is the
+    # parameter interval keeping foot + s*t_hat on the winning segment.
+    from dcrmontecarlo_tpu.geometry import closest_point_chord
+
+    poly = Polyline.from_points([[0.0, 0.0], [10.0, 0.0]])
+    d, cx, cy, tx, ty, s_lo, s_hi = closest_point_chord(
+        poly, _arr(3.0, -2.0), _arr(0.5, 0.1))
+    np.testing.assert_allclose(
+        np.asarray(d), [0.5, np.hypot(2.0, 0.1)], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cx), [3.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cy), [0.0, 0.0], atol=1e-6)
+    # unit tangent along +x for both (second point clamps to the a-end)
+    np.testing.assert_allclose(np.asarray(tx), [1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ty), [0.0, 0.0], atol=1e-6)
+    # interval: first foot at s=3 of a 10-long segment -> [-3, 7];
+    # end-clamped foot -> [0, 10]
+    np.testing.assert_allclose(np.asarray(s_lo), [-3.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_hi), [7.0, 10.0], atol=1e-5)
+
+
+def test_closest_point_chord_picks_nearest_segment():
+    from dcrmontecarlo_tpu.geometry import closest_point_chord
+
+    # two walls: y=0 (horizontal) and x=5 (vertical); the point is nearer
+    # the vertical one, so the frame must be the VERTICAL segment's
+    poly = Polyline.concat([
+        Polyline.from_points([[0.0, 0.0], [10.0, 0.0]]),
+        Polyline.from_points([[5.0, 1.0], [5.0, 9.0]]),
+    ])
+    d, cx, cy, tx, ty, s_lo, s_hi = closest_point_chord(
+        poly, _arr(4.5), _arr(4.0))
+    np.testing.assert_allclose(np.asarray(d), [0.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cx), [5.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cy), [4.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tx), [0.0], atol=1e-6)
+    np.testing.assert_allclose(np.abs(np.asarray(ty)), [1.0], atol=1e-6)

@@ -167,3 +167,37 @@ def test_sharded_residual_robin_unbiased():
     dev = np.abs(r.mean - exact) / np.maximum(r.stderr, 1e-12)
     assert (dev < 4.0).all(), (r.mean, exact, r.stderr, dev)
     assert r.total_steps > 0
+
+
+def test_sharded_boundary_snap_on_wall_starts():
+    # sharded XLA + boundary_snap: near-wall evaluation points are
+    # snapped ONTO the Neumann wall inside shard_body (replicated
+    # points, slot-major tiling) and start on-boundary; gate against
+    # the separable exact solution u = x/5 for alpha = exp(k y).
+    import jax.numpy as jnp
+
+    from dcrmontecarlo_tpu.geometry import Polyline
+
+    k = 0.5
+    alpha = lambda x, y: jnp.exp(k * y) + 0.0 * x
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-5.0, 0.0], [-5.0, -10.0], [5.0, -10.0], [5.0, 0.0]]),
+        neumann=Polyline.from_points([[-5.0, 0.0], [5.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x / 5.0,
+        alpha=alpha,
+    )
+    # within the auto snap tolerance (1e-3 * diameter = 0.0158)
+    pts = np.array([[-3.0, -0.01], [3.0, -0.005]], np.float32)
+    s = ShardedWoStSolver(prob, make_mesh(4), SolverOptions(
+        target_slots=8192, robin_correction="chain"))
+    r = s.solve(pts, n_walks=4000, max_steps=1500, eps=0.02, seed=5)
+    exact = pts[:, 0] / 5.0
+    dev = np.abs(r.mean - exact) / np.maximum(r.stderr, 1e-12)
+    assert (dev < 4.0).all(), (r.mean, exact, r.stderr, dev)
+    # the same config with splitting exercises the snap + split loop
+    s2 = ShardedWoStSolver(prob, make_mesh(4), SolverOptions(
+        target_slots=8192, robin_correction="chain", split_threshold=4.0))
+    r2 = s2.solve(pts, n_walks=4000, max_steps=1500, eps=0.02, seed=6)
+    dev2 = np.abs(r2.mean - exact) / np.maximum(r2.stderr, 1e-12)
+    assert (dev2 < 4.0).all(), (r2.mean, exact, r2.stderr, dev2)

@@ -295,3 +295,54 @@ def test_xla_split_threshold_unbiased():
     assert (dev < 4.0).all(), (a.mean, b.mean, dev)
     assert b.total_steps > a.total_steps, (a.total_steps, b.total_steps)
     assert (b.stderr < a.stderr).all(), (a.stderr, b.stderr)
+
+
+def test_boundary_snap_removes_near_wall_arrival_bias():
+    # THEORY.md 4g: evaluation points a fraction of a mean free path off a
+    # Robin (variable-alpha Neumann) wall lose real Robin mass to the
+    # grazing-arrival cos(phi) clamp — measured -17 of ~100 on this
+    # strongly-screened MMS. boundary_snap starts them ON the wall with
+    # the exact on-boundary chord machinery, removing the dominant
+    # component (residual ~ -1). Mirrors the reference's interior
+    # electrode nudge (testNotebook.ipynb cell 19, y = -0.1), which the
+    # snap replaces.
+    import jax.numpy as jnp
+    from dcrmontecarlo_tpu.geometry import Polyline
+    from dcrmontecarlo_tpu.models import autodiff_manufactured
+
+    Lm, c0 = 10.0, 2.0
+    w = 0.6 * Lm
+
+    def um(x, y):
+        return (100.0 * jnp.sin(jnp.pi * (x + Lm / 2) / Lm)
+                * jnp.cos(jnp.pi * y / (2 * Lm)))
+
+    def alpham(x, y):
+        return jnp.exp(-c0 * jnp.tanh(-y / w)) + 0.0 * x
+
+    prob, u_ex = autodiff_manufactured(
+        um, alpha=alpham,
+        dirichlet=Polyline.from_points(
+            [[-Lm / 2, 0.0], [-Lm / 2, -Lm], [Lm / 2, -Lm], [Lm / 2, 0.0]]),
+        neumann=Polyline.from_points([[-Lm / 2, 0.0], [Lm / 2, 0.0]]))
+    # both inside the auto snap tolerance (1e-3 * diameter = 0.0141)
+    pts = np.array([[0.0, -0.005], [-2.0, -0.01]], np.float32)
+    exact = np.asarray(u_ex(pts))
+
+    means = {}
+    for tag, snap in (("off", None), ("auto", "auto")):
+        s = WoStSolver(prob, SolverOptions(
+            backend="xla", target_slots=1 << 14,
+            robin_correction="chain", boundary_snap=snap))
+        accs = [np.asarray(s.solve(pts, n_walks=4000, max_steps=20000,
+                                   eps=0.01, seed=seed).mean)
+                for seed in range(4)]
+        means[tag] = np.stack(accs)
+
+    bias_on = means["auto"].mean(0) - exact
+    sem_on = means["auto"].std(0, ddof=1) / 2.0
+    bias_off = means["off"].mean(0) - exact
+    # snapped: unbiased within 4 sigma + a small clamp-residual allowance
+    assert (np.abs(bias_on) < 4.0 * sem_on + 2.5).all(), (bias_on, sem_on)
+    # unsnapped: the clamp bias is large and negative at the first point
+    assert bias_off[0] < -8.0, bias_off
