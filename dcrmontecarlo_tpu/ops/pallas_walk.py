@@ -156,6 +156,48 @@ def _closest_point_unrolled(segs, px, py):
     return jnp.sqrt(best), bcx, bcy
 
 
+def _chord_frame_unrolled(segs, px, py):
+    """Nearest-segment chord frame over static unrolled segments.
+
+    Mirrors ``geometry/queries.py::closest_point_chord`` for the Robin
+    chord branch: returns the winning segment's unit tangent ``(tx, ty)``
+    and the chord parameter interval ``[s_lo, s_hi]`` keeping
+    ``foot + s * t_hat`` on that segment (support truncation of the chord
+    integrand). The tangent is derived from the SEGMENT DATA in f32
+    (np.float32 scalar arithmetic, like ``_first_hit_unrolled``'s
+    normals) so it is bit-identical to the XLA path's.
+    """
+    big = jnp.float32(3e38)
+    best = jnp.full_like(px, big)
+    btx = jnp.zeros_like(px)
+    bty = jnp.zeros_like(px)
+    bslo = jnp.zeros_like(px)
+    bshi = jnp.zeros_like(px)
+    for (ax, ay, bx, by) in segs:
+        ax32, ay32 = np.float32(ax), np.float32(ay)
+        ux32 = np.float32(np.float32(bx) - ax32)
+        uy32 = np.float32(np.float32(by) - ay32)
+        uu32 = np.float32(np.maximum(
+            ux32 * ux32 + uy32 * uy32, np.float32(1e-30)))
+        ul32 = np.float32(np.sqrt(uu32))
+        txs = float(np.float32(ux32 / ul32))
+        tys = float(np.float32(uy32 / ul32))
+        vx = px - float(ax32)
+        vy = py - float(ay32)
+        t = jnp.clip((vx * float(ux32) + vy * float(uy32)) / float(uu32),
+                     0.0, 1.0)
+        cx = float(ax32) + t * float(ux32)
+        cy = float(ay32) + t * float(uy32)
+        d2 = (cx - px) ** 2 + (cy - py) ** 2
+        pick = d2 < best
+        best = jnp.where(pick, d2, best)
+        btx = jnp.where(pick, txs, btx)
+        bty = jnp.where(pick, tys, bty)
+        bslo = jnp.where(pick, -t * float(ul32), bslo)
+        bshi = jnp.where(pick, (1.0 - t) * float(ul32), bshi)
+    return btx, bty, bslo, bshi
+
+
 def _silhouette_unrolled(verts, px, py):
     big = jnp.float32(3e38)
     best = jnp.full_like(px, big)
@@ -259,6 +301,45 @@ def _closest_point_smem(seg_ref, n_seg_pad, px, py):
     init = (jnp.full_like(px, big), jnp.zeros_like(px), jnp.zeros_like(px))
     best, bcx, bcy = jax.lax.fori_loop(0, n_seg_pad // _CHUNK, chunk, init)
     return jnp.sqrt(best), bcx, bcy
+
+
+def _chord_frame_smem(seg_ref, n_seg_pad, px, py):
+    """Chord frame (see ``_chord_frame_unrolled``) over an SMEM table.
+
+    Padding segments are degenerate 1e30 points and lose every min, like
+    ``_closest_point_smem``.
+    """
+    big = jnp.float32(3e38)
+
+    def chunk(c, carry):
+        best, btx, bty, bslo, bshi = carry
+        for j in range(_CHUNK):
+            i = c * _CHUNK + j
+            ax = seg_ref[i, 0]
+            ay = seg_ref[i, 1]
+            ux = seg_ref[i, 2] - ax
+            uy = seg_ref[i, 3] - ay
+            uu = jnp.maximum(ux * ux + uy * uy, 1e-30)
+            ul = jnp.sqrt(uu)
+            vx = px - ax
+            vy = py - ay
+            t = jnp.clip((vx * ux + vy * uy) / uu, 0.0, 1.0)
+            cx = ax + t * ux
+            cy = ay + t * uy
+            d2 = (cx - px) ** 2 + (cy - py) ** 2
+            pick = d2 < best
+            best = jnp.where(pick, d2, best)
+            btx = jnp.where(pick, ux / ul, btx)
+            bty = jnp.where(pick, uy / ul, bty)
+            bslo = jnp.where(pick, -t * ul, bslo)
+            bshi = jnp.where(pick, (1.0 - t) * ul, bshi)
+        return best, btx, bty, bslo, bshi
+
+    z = jnp.zeros_like(px)
+    init = (jnp.full_like(px, big), z, z, z, z)
+    _, btx, bty, bslo, bshi = jax.lax.fori_loop(
+        0, n_seg_pad // _CHUNK, chunk, init)
+    return btx, bty, bslo, bshi
 
 
 def _silhouette_smem(vert_ref, n_vert_pad, px, py):
@@ -404,6 +485,10 @@ def make_pallas_walk(
                              # (pre-RESOLVED: pass "auto" through
                              # WoStSolver._robin_enabled, not here)
     roulette_threshold=None,
+    snap_starts=False,       # boundary_snap on-boundary starts: state
+                             # carries per-lane ob0/n0x/n0y and recycled
+                             # walks restart on the wall (solver/wost.py
+                             # _snap_points; THEORY.md 4g)
 ):
     """Build the fused multi-step kernel.
 
@@ -534,9 +619,13 @@ def make_pallas_walk(
                 neu_vert_ref = refs[gi]
                 gi += 1
         p0x_ref, p0y_ref, sid_ref = refs[gi], refs[gi + 1], refs[gi + 2]
+        gi2 = gi + 3
+        if snap_starts:
+            ob0_ref, n0x_ref, n0y_ref = refs[gi2], refs[gi2 + 1], refs[gi2 + 2]
+            gi2 += 3
         n_state = 5 + 3 * n_src + 5
-        sin = refs[gi + 3: gi + 3 + n_state]
-        sout = refs[gi + 3 + n_state: gi + 3 + 2 * n_state]
+        sin = refs[gi2: gi2 + n_state]
+        sout = refs[gi2 + n_state: gi2 + 2 * n_state]
         (px_ref, py_ref, nx_ref, ny_ref, atten_ref) = sin[:5]
         acc_refs = sin[5: 5 + n_src]
         asum_refs = sin[5 + n_src: 5 + 2 * n_src]
@@ -556,6 +645,9 @@ def make_pallas_walk(
                 neu_verts, px, py)
             first_hit = lambda px, py, dx, dy, r, tm: _first_hit_unrolled(
                 neu_segs, px, py, dx, dy, r, tm)
+            if robin_chain:
+                chord_frame = lambda px, py: _chord_frame_unrolled(
+                    neu_segs, px, py)
         else:
             n_dir = dir_table.shape[0]
             closest_point = lambda px, py: _closest_point_smem(
@@ -568,6 +660,9 @@ def make_pallas_walk(
                 n_neu = neu_table.shape[0]
                 first_hit = lambda px, py, dx, dy, r, tm: _first_hit_smem(
                     neu_seg_ref, n_neu, px, py, dx, dy, r, tm)
+                if robin_chain:
+                    chord_frame = lambda px, py: _chord_frame_smem(
+                        neu_seg_ref, n_neu, px, py)
 
         # int32 -> uint32 is modular, so the seed's bit pattern survives the
         # SMEM round trip even when the high bit is set
@@ -575,6 +670,10 @@ def make_pallas_walk(
         sid_u32 = pltpu.bitcast(sid_ref[:], jnp.uint32)
         p0x = p0x_ref[:]
         p0y = p0y_ref[:]
+        if snap_starts:
+            ob0 = ob0_ref[:] != 0
+            n0x = n0x_ref[:]
+            n0y = n0y_ref[:]
 
         def step(_, carry):
             (px, py, nxv, nyv, atten, accs, asums, asqs, quota, steps,
@@ -621,7 +720,15 @@ def make_pallas_walk(
             for i in range(n_src):
                 accs[i] = jnp.where(walk_done, 0.0, accs[i])
             atten = jnp.where(walk_done, 1.0, atten)
-            ob = ob & ~walk_done
+            if snap_starts:
+                # boundary_snap: recycled walks at snapped points restart
+                # ON the wall with their start normal (solver/wost.py
+                # p0ob/p0nx/p0ny, THEORY.md 4g)
+                ob = (walk_done & ob0) | (ob & ~walk_done)
+                nxv = jnp.where(walk_done, n0x, nxv)
+                nyv = jnp.where(walk_done, n0y, nyv)
+            else:
+                ob = ob & ~walk_done
             steps = jnp.where(walk_done, 0, steps)
             stepping = act & ~walk_done
 
@@ -880,15 +987,31 @@ def make_pallas_walk(
                     p_mix = 0.5 * (p_log + p_exp)
                     g_ch = jnp.maximum(
                         screened_greens_2d(az, r, sbar), 0.0)
-                    zx = px + zeta * (-nyv)
-                    zy = py + zeta * nxv
+                    # chord laid along the EXACT segment tangent through
+                    # the walker (on-boundary lanes stand on the wall, so
+                    # foot == walker), with the integrand's support ending
+                    # at the segment's ends — mirroring solver/wost.py /
+                    # queries.closest_point_chord op-for-op
+                    t_cx, t_cy, s_lo, s_hi = chord_frame(px, py)
+                    zx = px + zeta * t_cx
+                    zy = py + zeta * t_cy
                     # gamma AT the sampled chord point z (the identity's
                     # integrand is gamma(z) 2 G_s u~(z); freezing gamma
                     # at the walker biases varying-gamma walls)
                     glxz = grad_log_alpha_x(zx, zy)
                     glyz = grad_log_alpha_y(zx, zy)
                     gamma_z = -0.5 * (nxv * glxz + nyv * glyz)
-                    w_ch = 2.0 * gamma_z * g_ch / jnp.maximum(p_mix, 1e-30)
+                    # the branch is a MOVE x -> z of the u~-space walker:
+                    # carry the transform factor sqrt(alpha_z / alpha_x)
+                    # exactly like scale_int/scale_edge (solver/wost.py)
+                    a_z = alpha_c(zx, zy)
+                    w_ch = (2.0 * gamma_z * g_ch
+                            / jnp.maximum(p_mix, 1e-30)
+                            * jnp.sqrt(a_z / a_p))
+                    # zero weight past the wall segment's support (the
+                    # branch still happens; see solver/wost.py)
+                    w_ch = jnp.where(
+                        (zeta >= s_lo) & (zeta <= s_hi), w_ch, 0.0)
                     newx = jnp.where(branch, zx, newx)
                     newy = jnp.where(branch, zy, newy)
                     new_ob = new_ob | branch
@@ -1014,8 +1137,14 @@ def make_pallas_walk(
             jax.ShapeDtypeStruct((rows, _LANES), dt) for dt in dtypes
         ]
         out_specs = [bspec() for _ in order]
-        # alias state inputs (after seed, geometry, p0x, p0y, sid) to outputs
-        aliases = {1 + n_geom + 3 + k: k for k in range(len(order))}
+        # constant per-lane inputs after seed + geometry: p0x, p0y, sid
+        # (+ ob0, n0x, n0y when snap_starts)
+        n_const = 3 + (3 if snap_starts else 0)
+        snap_args = (
+            [state["ob0"], state["n0x"], state["n0y"]] if snap_starts else []
+        )
+        # alias state inputs (after the constants) to outputs
+        aliases = {1 + n_geom + n_const + k: k for k in range(len(order))}
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1025,9 +1154,7 @@ def make_pallas_walk(
                 pl.BlockSpec(memory_space=pltpu.SMEM)   # geometry tables
                 for _ in range(n_geom)
             ] + [
-                bspec(),  # p0x
-                bspec(),  # p0y
-                bspec(),  # sid
+                bspec() for _ in range(n_const)
             ] + [bspec() for _ in order],
             out_shape=out_shape,
             out_specs=out_specs,
@@ -1036,6 +1163,7 @@ def make_pallas_walk(
             jnp.asarray(jnp.reshape(seed, (1,)), i32),
             *geom_inputs,
             state["p0x"], state["p0y"], state["sid"],
+            *snap_args,
             *[state[k] for k in order],
         )
         new_state = dict(state)

@@ -334,7 +334,9 @@ class ShardedWoStSolver(WoStSolver):
             max_attenuation=opts.max_attenuation,
             robin_correction=self._robin_enabled(),
             roulette_threshold=opts.roulette_threshold,
+            snap_starts=self._boundary_snap_tol() is not None,
         )
+        snap_tol = self._boundary_snap_tol()
         sid_local = stream_ids(rows_local, crn)
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
@@ -383,16 +385,18 @@ class ShardedWoStSolver(WoStSolver):
                 kd[0] ^ mix32(kd[-1]), jnp.int32
             )
             pv = lambda a: jax.lax.pcast(a, (axis,), to="varying")
+            # boundary_snap: near-wall evaluation points start ON the wall
+            # (solver/wost.py::_snap_points; tol resolved eagerly — the
+            # float() in Problem.diameter cannot run under the trace)
+            ptx, pty, ob0, n0x, n0y = self._snap_points(points, tol=snap_tol)
             # slot-major layout matching pid_local: slot j of point i at
             # index j * n_points + i
-            p0x = pv(jnp.concatenate([
-                jnp.tile(points[:, 0], (k_local,)),
-                jnp.zeros((w_pad - w_local,), jnp.float32),
+            tile1 = lambda a, dt: pv(jnp.concatenate([
+                jnp.tile(a.astype(dt), (k_local,)),
+                jnp.zeros((w_pad - w_local,), dt),
             ]).reshape(rows_local, 128))
-            p0y = pv(jnp.concatenate([
-                jnp.tile(points[:, 1], (k_local,)),
-                jnp.zeros((w_pad - w_local,), jnp.float32),
-            ]).reshape(rows_local, 128))
+            p0x = tile1(ptx, jnp.float32)
+            p0y = tile1(pty, jnp.float32)
             quota = jnp.concatenate([
                 quotas_shard.reshape(-1),
                 jnp.zeros((w_pad - w_local,), jnp.int32),
@@ -411,6 +415,13 @@ class ShardedWoStSolver(WoStSolver):
                 state[f"acc{i}"] = f0
                 state[f"asum{i}"] = f0
                 state[f"asq{i}"] = f0
+            if ob0 is not None:
+                state["ob0"] = tile1(ob0, jnp.int32)
+                state["n0x"] = tile1(n0x, jnp.float32)
+                state["n0y"] = tile1(n0y, jnp.float32)
+                state["ob"] = state["ob0"]
+                state["nx"] = state["n0x"]
+                state["ny"] = state["n0y"]
 
             # the launch loops' stop decision is GLOBAL (a psum'd
             # active-count flag carried from the previous iteration), not

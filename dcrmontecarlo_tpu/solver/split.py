@@ -282,7 +282,11 @@ def make_chord_service(n_points: int, n_slots: int, slot_major: bool):
 # (walk_acc) starts at 0 on the clone so the walk prefix is counted once,
 # by the original
 LAUNCH_SPLIT_COPY = ["p0x", "p0y", "px", "py", "nx", "ny", "ob",
-                     "steps", "ndone", "atten"]
+                     "steps", "ndone", "atten",
+                     # boundary_snap start constants (present only when
+                     # snap_starts is on; clones never recycle — quota 1 —
+                     # but copying keeps their lane state self-consistent)
+                     "ob0", "n0x", "n0y"]
 
 
 def make_launch_split(threshold: float, n_src: int, n_points: int):
@@ -319,6 +323,8 @@ def make_launch_split(threshold: float, n_src: int, n_points: int):
         # dst is a permutation of all lanes, so one masked scatter per
         # field rewrites exactly the paired idle lanes
         for key in LAUNCH_SPLIT_COPY:
+            if key not in flat:  # optional snap keys
+                continue
             v = flat[key]
             flat[key] = v.at[dst].set(jnp.where(do, v[src], v[dst]))
         for i in range(n_src):

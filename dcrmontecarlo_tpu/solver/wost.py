@@ -278,9 +278,9 @@ class SolverOptions:
                                        # lost clamped Robin mass — the
                                        # dominant term of the -12
                                        # common-mode electrode offset
-                                       # (THEORY.md §4g). XLA backends;
-                                       # the fused kernel snaps too once
-                                       # mirrored.
+                                       # (THEORY.md §4g). All backends:
+                                       # XLA base/split/sharded and the
+                                       # fused kernel (snap_starts state).
     rng: str = "fast"                  # "fast" (counter-hash; compiles in
                                        # seconds) or "threefry" (jax.random;
                                        # minutes of XLA compile in while-loops
@@ -1363,30 +1363,6 @@ class WoStSolver:
             jnp.where(m0, sg * t0x, 0.0),
         )
 
-    def _warn_pallas_snap(self, pts):
-        """Warn once when boundary_snap would fire on the Pallas backend.
-
-        The fused kernel does not carry on-boundary starts yet, so
-        near-wall points keep the legacy interior first step there —
-        a small Robin-mass loss vs the XLA backends (THEORY.md §4g).
-        """
-        if getattr(self, "_snap_warned", False) or not self._use_pallas():
-            return
-        tol = self._boundary_snap_tol()
-        if tol is None:
-            return
-        d0 = queries.distance(self.problem.neumann, pts[:, 0], pts[:, 1])
-        if bool(np.any((np.asarray(d0) <= tol) & (np.asarray(d0) > 0.0))):
-            import warnings
-
-            warnings.warn(
-                "boundary_snap: near-wall evaluation points are snapped "
-                "on the XLA backends but NOT on the fused Pallas kernel "
-                "yet; this run keeps the legacy interior first step.",
-                stacklevel=3,
-            )
-            self._snap_warned = True
-
     def _wrap_step_progress(self, step, total_walks: int, every: int = 64):
         """Wrap a step fn to report progress from inside the compiled loop.
 
@@ -1569,6 +1545,8 @@ class WoStSolver:
         n_inner = opts.pallas_inner_steps
         # same point-major CRN stream layout as the XLA path
         crn = ("tile", K, n_points) if opts.common_random_numbers else None
+        snap_tol = self._boundary_snap_tol()
+        use_snap = snap_tol is not None
         plan = make_pallas_walk(
             pb,
             eps=eps,
@@ -1582,6 +1560,7 @@ class WoStSolver:
             max_attenuation=opts.max_attenuation,
             robin_correction=self._robin_enabled(),
             roulette_threshold=opts.roulette_threshold,
+            snap_starts=use_snap,
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
@@ -1610,12 +1589,17 @@ class WoStSolver:
         sid0 = stream_ids(rows, crn)
 
         def init_state(points, key):
+            if use_snap:
+                ptx, pty, ob0, n0x, n0y = self._snap_points(
+                    points, tol=snap_tol)
+            else:
+                ptx, pty = points[:, 0], points[:, 1]
             p0x = jnp.concatenate(
-                [jnp.repeat(points[:, 0], K),
+                [jnp.repeat(ptx, K),
                  jnp.zeros((W_pad - W,), jnp.float32)]
             ).reshape(rows, 128)
             p0y = jnp.concatenate(
-                [jnp.repeat(points[:, 1], K),
+                [jnp.repeat(pty, K),
                  jnp.zeros((W_pad - W,), jnp.float32)]
             ).reshape(rows, 128)
             f0 = jnp.zeros((rows, 128), jnp.float32)
@@ -1628,6 +1612,16 @@ class WoStSolver:
                 "quota": quotas_j, "steps": i0_, "ndone": i0_, "ob": i0_,
                 "life": i0_,
             }
+            if use_snap:
+                pad1 = lambda a, dt: jnp.concatenate(
+                    [jnp.repeat(a.astype(dt), K),
+                     jnp.zeros((W_pad - W,), dt)]).reshape(rows, 128)
+                state["ob0"] = pad1(ob0, jnp.int32)
+                state["n0x"] = pad1(n0x, jnp.float32)
+                state["n0y"] = pad1(n0y, jnp.float32)
+                state["ob"] = state["ob0"]
+                state["nx"] = state["n0x"]
+                state["ny"] = state["n0y"]
             for i in range(n_src):
                 state[f"acc{i}"] = f0
                 state[f"asum{i}"] = f0
@@ -1835,7 +1829,6 @@ class WoStSolver:
         """
         pts = jnp.asarray(np.asarray(points, np.float32).reshape(-1, 2))
         n_points = int(pts.shape[0])
-        self._warn_pallas_snap(pts)
         self._progress_cb = progress
         fn = self._build_solve_fn(n_points, int(n_walks), int(max_steps), float(eps))
         key = jax.random.PRNGKey(seed)

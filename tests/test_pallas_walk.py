@@ -560,3 +560,30 @@ def test_split_banks_destination_stats_across_points():
     dev = np.abs(a.mean - b.mean) / np.maximum(comb, 1e-12)
     assert (dev < 4.0).all(), (a.mean, b.mean, dev)
     assert b.total_steps > a.total_steps  # clones actually ran
+
+
+def test_pallas_matches_xla_robin_chord_varying_alpha_snap():
+    # alpha varying ALONG the wall: the chord branch's gamma(z), the
+    # u~-space transform factor sqrt(alpha_z/alpha_x), and the segment
+    # support truncation all take non-trivial values (the constant-in-x
+    # case above is blind to them); one evaluation point sits within the
+    # boundary_snap tolerance so snapped on-boundary starts are exercised
+    # draw-for-draw on both backends.
+    import jax.numpy as jnp
+
+    alpha = lambda x, y: jnp.exp(0.3 * y + 0.15 * jnp.sin(0.7 * x))
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-5.0, 0.0], [-5.0, -10.0], [5.0, -10.0], [5.0, 0.0]]
+        ),
+        neumann=Polyline.from_points([[-5.0, 0.0], [5.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x / 5.0,
+        alpha=alpha,
+    )
+    opts = dict(target_slots=256, pallas_inner_steps=16,
+                pallas_block_rows=8, robin_correction=True)
+    # first point within the auto snap tol (1e-3 * 14.1 = 0.0141)
+    rp, rx = _pair(prob, np.array([[1.0, -0.01], [2.0, -1.0]]),
+                   max_steps=120, eps=0.02, opts=opts)
+    _assert_close(rp, rx, rel=1e-3)
+    assert rp.total_steps == rx.total_steps
