@@ -141,7 +141,7 @@ class ShardedWoStSolver(WoStSolver):
         quotas_km = jnp.asarray(np.tile(quota_row[:, None], (1, n_points)))
         # resolved eagerly: Problem.diameter's float() cannot run under
         # the shard_map trace
-        snap_tol = self._boundary_snap_tol()
+        snap_tol = self._boundary_snap_tol(eps)
 
         def shard_body(points, quotas_shard, key):
             # quotas_shard: (K/n_dev, n_points) on each device
@@ -334,9 +334,9 @@ class ShardedWoStSolver(WoStSolver):
             max_attenuation=opts.max_attenuation,
             robin_correction=self._robin_enabled(),
             roulette_threshold=opts.roulette_threshold,
-            snap_starts=self._boundary_snap_tol() is not None,
+            snap_starts=self._boundary_snap_tol(eps) is not None,
         )
-        snap_tol = self._boundary_snap_tol()
+        snap_tol = self._boundary_snap_tol(eps)
         sid_local = stream_ids(rows_local, crn)
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2

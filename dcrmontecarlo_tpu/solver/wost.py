@@ -270,7 +270,9 @@ class SolverOptions:
                                        # walk with the exact on-boundary
                                        # half-ball machinery (normals from
                                        # the segment frame). "auto" =
-                                       # 1e-3 * problem.diameter; None/0
+                                       # eps/2 (the walk's resolution
+                                       # scale, like the Dirichlet
+                                       # termination shell); None/0
                                        # disables. Replaces the reference's
                                        # interior electrode nudge
                                        # (notebook cell 19, y = -0.1),
@@ -1321,16 +1323,25 @@ class WoStSolver:
             return self._build_solve_fn_pallas(n_points, n_walks, max_steps, eps)
         return self._build_solve_fn_xla(n_points, n_walks, max_steps, eps)
 
-    def _boundary_snap_tol(self):
-        """Resolve ``SolverOptions.boundary_snap`` to a distance or None."""
+    def _boundary_snap_tol(self, eps):
+        """Resolve ``SolverOptions.boundary_snap`` to a distance or None.
+
+        ``"auto"`` = ``eps / 2`` — the walk's own resolution scale: a point
+        within the Dirichlet termination shell is "on the boundary" by the
+        method's definition, so the same tolerance is the principled
+        "meant to be ON the wall" radius for Neumann starts. (A
+        diameter-proportional auto was too aggressive: on the 1000 m
+        notebook it was 1.4 m and silently moved electrodes deliberately
+        placed 1.1 m inside the domain.)
+        """
         bs = self.options.boundary_snap
         if self.problem.neumann is None or bs in (None, 0, 0.0, False):
             return None
         if bs == "auto":
-            return 1e-3 * self.problem.diameter
+            return 0.5 * float(eps)
         return float(bs)
 
-    def _snap_points(self, points, tol="resolve"):
+    def _snap_points(self, points, tol):
         """Snap near-wall evaluation points ONTO the Neumann wall.
 
         Returns ``(px, py, ob0, n0x, n0y)``: snapped coordinates, the
@@ -1342,12 +1353,9 @@ class WoStSolver:
         first step, whose grazing wall arrivals carried the
         robin_arrival_clamp's Robin-mass loss (THEORY.md §4g).
         """
+        # the tolerance is resolved eagerly at build time and passed in:
+        # callers sit inside traced code (jit / shard_map)
         ptx, pty = points[:, 0], points[:, 1]
-        if tol == "resolve":
-            # callers inside traced code (shard_map lifts closures to
-            # tracers, breaking Problem.diameter's float()) must resolve
-            # the tolerance eagerly at build time and pass it in
-            tol = self._boundary_snap_tol()
         if tol is None:
             return ptx, pty, None, None, None
         d0, f0x, f0y, t0x, t0y, _, _ = queries.closest_point_chord(
@@ -1394,6 +1402,7 @@ class WoStSolver:
 
     def _build_solve_fn_xla(self, n_points: int, n_walks: int, max_steps: int, eps: float):
         K, quota_row = self._slot_layout(n_points, n_walks)
+        snap_tol = self._boundary_snap_tol(eps)
         crn = ("tile", K, n_points) if self.options.common_random_numbers else None
         quotas = jnp.asarray(np.tile(quota_row, n_points))
         max_quota = int(quota_row.max())
@@ -1441,7 +1450,7 @@ class WoStSolver:
 
         if not (use_split or use_requests):
             def run(points, key):
-                ptx, pty, ob0, n0x, n0y = self._snap_points(points)
+                ptx, pty, ob0, n0x, n0y = self._snap_points(points, snap_tol)
                 p0x = jnp.repeat(ptx, K)
                 p0y = jnp.repeat(pty, K)
                 state = init_state(p0x, p0y, quotas, n_src=n_src)
@@ -1491,7 +1500,7 @@ class WoStSolver:
         sid0 = step.lane_ids(n_points * K)
 
         def run(points, key):
-            ptx, pty, ob0, n0x, n0y = self._snap_points(points)
+            ptx, pty, ob0, n0x, n0y = self._snap_points(points, snap_tol)
             p0x = jnp.repeat(ptx, K)
             p0y = jnp.repeat(pty, K)
             state = init_state(p0x, p0y, quotas, n_src=n_src,
@@ -1545,7 +1554,7 @@ class WoStSolver:
         n_inner = opts.pallas_inner_steps
         # same point-major CRN stream layout as the XLA path
         crn = ("tile", K, n_points) if opts.common_random_numbers else None
-        snap_tol = self._boundary_snap_tol()
+        snap_tol = self._boundary_snap_tol(eps)
         use_snap = snap_tol is not None
         plan = make_pallas_walk(
             pb,

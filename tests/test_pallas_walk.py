@@ -582,8 +582,8 @@ def test_pallas_matches_xla_robin_chord_varying_alpha_snap():
     )
     opts = dict(target_slots=256, pallas_inner_steps=16,
                 pallas_block_rows=8, robin_correction=True)
-    # first point within the auto snap tol (1e-3 * 14.1 = 0.0141)
-    rp, rx = _pair(prob, np.array([[1.0, -0.01], [2.0, -1.0]]),
+    # first point within the auto snap tol (eps / 2 = 0.01)
+    rp, rx = _pair(prob, np.array([[1.0, -0.005], [2.0, -1.0]]),
                    max_steps=120, eps=0.02, opts=opts)
     _assert_close(rp, rx, rel=1e-3)
     assert rp.total_steps == rx.total_steps

@@ -187,8 +187,8 @@ def test_sharded_boundary_snap_on_wall_starts():
         bc_dirichlet=lambda x, y: x / 5.0,
         alpha=alpha,
     )
-    # within the auto snap tolerance (1e-3 * diameter = 0.0158)
-    pts = np.array([[-3.0, -0.01], [3.0, -0.005]], np.float32)
+    # within the auto snap tolerance (eps / 2 = 0.01)
+    pts = np.array([[-3.0, -0.008], [3.0, -0.004]], np.float32)
     s = ShardedWoStSolver(prob, make_mesh(4), SolverOptions(
         target_slots=8192, robin_correction="chain"))
     r = s.solve(pts, n_walks=4000, max_steps=1500, eps=0.02, seed=5)
