@@ -201,30 +201,42 @@ def test_notebook_survey_matches_fdm_oracle():
         ny=401,
     )
     ref = fdm(np.asarray(electrodes, np.float32))
-
-    result = survey.run(
-        electrodes,
-        n_walks=2500,
-        max_steps=6000,
-        eps=1.0,
-        seed=0,
-        options=SolverOptions(target_slots=65536,
-                              common_random_numbers=True),
-    )
-    x = result.electrodes[:, 0]
-    assert result.potentials[np.abs(x + 200) <= 40].mean() > 0
-    assert result.potentials[np.abs(x - 200) <= 40].mean() < 0
-
-    dev = np.abs(result.potentials - ref) / (
-        4.0 * result.potentials_stderr + 1.5  # MC 4sig + grid/shell bias
-    )
-    assert (dev < 1.0).mean() >= 0.9, (result.potentials, ref, dev)
-
     dv_ref = ref[:-1] - ref[1:]
-    dv_dev = np.abs(result.voltages - dv_ref) / (
-        4.0 * result.voltages_stderr + 1.5
-    )
-    assert (dv_dev < 1.0).mean() >= 0.95, (result.voltages, dv_ref, dv_dev)
+
+    # Gate bounds calibrated on a 24-seed sweep at this exact config
+    # (2026-08-17, /tmp/gate_sweep recipe; pinned in THEORY.md §5):
+    # dV excess over pure 4 sigma was ZERO at every seed (the CRN stderr
+    # tracks the dV error tail), so ALL dipole voltages gate at
+    # 4 sigma + 0.25 (the 0.25 covers the measured 401^2 oracle error:
+    # FDM-vs-FEM mutual disagreement 0.0385, Richardson grid bias <=0.2).
+    # Potentials gate at >=90% within 4 sigma + 0.75 (24-seed worst case
+    # 19/21; seeds 0-2 measured 21/21). Three seeds catch tail seeds the
+    # old single-seed +1.5/90%/95% gate could miss.
+    solver = survey.make_solver(
+        options=SolverOptions(target_slots=65536,
+                              common_random_numbers=True))
+    for seed in (0, 1, 2):
+        result = survey.run(
+            electrodes,
+            n_walks=2500,
+            max_steps=6000,
+            eps=1.0,
+            seed=seed,
+            solver=solver,
+        )
+        x = result.electrodes[:, 0]
+        assert result.potentials[np.abs(x + 200) <= 40].mean() > 0
+        assert result.potentials[np.abs(x - 200) <= 40].mean() < 0
+
+        dev = np.abs(result.potentials - ref) / (
+            4.0 * result.potentials_stderr + 0.75
+        )
+        assert (dev < 1.0).mean() >= 0.9, (seed, result.potentials, ref, dev)
+
+        dv_dev = np.abs(result.voltages - dv_ref) / (
+            4.0 * result.voltages_stderr + 0.25
+        )
+        assert (dv_dev < 1.0).all(), (seed, result.voltages, dv_ref, dv_dev)
 
 
 def test_dcr_apparent_resistivity_scale(scenario_run):
