@@ -485,6 +485,8 @@ def make_pallas_walk(
                              # (pre-RESOLVED: pass "auto" through
                              # WoStSolver._robin_enabled, not here)
     roulette_threshold=None,
+    robin_arrival_clamp=0.02,  # grazing cos(phi) floor of the Robin
+                               # arrival weight (SolverOptions, mirrored)
     snap_starts=False,       # boundary_snap on-boundary starts: state
                              # carries per-lane ob0/n0x/n0y and recycled
                              # walks restart on the wall (solver/wost.py
@@ -946,7 +948,8 @@ def make_pallas_walk(
                     glx = grad_log_alpha_x(hx, hy)
                     gly = grad_log_alpha_y(hx, hy)
                     gamma = -0.5 * (hnx * glx + hny * gly)
-                    cosphi = jnp.maximum(-(dx * hnx + dy * hny), 0.1)
+                    cosphi = jnp.maximum(-(dx * hnx + dy * hny),
+                                         float(robin_arrival_clamp))
                     rho = screened_greens_wall_ratio(t_hit, r, sbar)
                     # SIGNED arrival weight (no zero clamp), exactly as
                     # solver/wost.py

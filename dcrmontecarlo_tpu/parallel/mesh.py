@@ -334,6 +334,7 @@ class ShardedWoStSolver(WoStSolver):
             max_attenuation=opts.max_attenuation,
             robin_correction=self._robin_enabled(),
             roulette_threshold=opts.roulette_threshold,
+            robin_arrival_clamp=opts.robin_arrival_clamp,
             snap_starts=self._boundary_snap_tol(eps) is not None,
         )
         snap_tol = self._boundary_snap_tol(eps)

@@ -261,9 +261,19 @@ class SolverOptions:
                                        #   survey's wall-hugging walks it
                                        #   measured 1e3..1e5-scale weight
                                        #   blowups.
-    robin_arrival_clamp: float = 0.1   # grazing cos(phi) floor of the
+    robin_arrival_clamp: float = 0.02  # grazing cos(phi) floor of the
                                        # "arrival" realization (variance/
-                                       # residual-bias trade; see above)
+                                       # residual-bias trade). Measured on
+                                       # the strongly-screened near-wall
+                                       # MMS with snapped starts (16x30k,
+                                       # 2026-08-17): bias -1.1 at 0.3,
+                                       # -0.55 at 0.1, -0.33 at 0.02,
+                                       # plateau -0.3 at 0.005 — with NO
+                                       # measurable stderr cost at any
+                                       # clamp (boundary_snap removed the
+                                       # grazing-start variance driver),
+                                       # so the default sits at the bias
+                                       # plateau's knee.
     boundary_snap: object = "auto"     # evaluation points within this
                                        # distance of a Neumann wall are
                                        # SNAPPED onto it and start every
@@ -1569,6 +1579,7 @@ class WoStSolver:
             max_attenuation=opts.max_attenuation,
             robin_correction=self._robin_enabled(),
             roulette_threshold=opts.roulette_threshold,
+            robin_arrival_clamp=opts.robin_arrival_clamp,
             snap_starts=use_snap,
         )
         max_quota = int(quota_row.max())
