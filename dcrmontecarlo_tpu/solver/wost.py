@@ -1246,6 +1246,16 @@ class WoStSolver:
                 # current dipole, not just field 0)
                 # plain star radius (before any Robin/majorant shrink)
                 "radius": jnp.maximum(rmin, jnp.minimum(dD, d_sil_diag)),
+                # per-step event masks (one-step consistency audits —
+                # THEORY.md §4g methodology; dead-code-eliminated in
+                # production solves like the rest of diag)
+                "evt_collide": (collide & stepping) if use_delta
+                else jnp.zeros_like(stepping),
+                "evt_hit": (hit & stepping) if has_neumann
+                else jnp.zeros_like(stepping),
+                "evt_branch": (branch & stepping)
+                if (use_robin and (robin_chain or robin_resid))
+                else jnp.zeros_like(stepping),
             }
             return new_state, diag
 
