@@ -212,3 +212,48 @@ def test_table_sampler_above_range_rescales():
     got = np.quantile(r, qs)
     want = np.interp(qs, cdf, t)
     np.testing.assert_allclose(got, want, rtol=0.08)
+
+
+def test_screened_radius_exact_extreme_screening():
+    # z = R sqrt(sigma_bar) = 350: the NOTEBOOK regime (1000 m star radii,
+    # ~1.4 m screening length). The earlier cases stop at z ~ 27; at z = 350
+    # every step is a collide-vs-hit race through the asymptotic Bessel
+    # forms, so a distortion here is invisible to the moderate-z gates yet
+    # compounds over a survey walk's thousands of near-wall steps
+    # (THEORY.md §4f instrumentation round, 2026-08-18: measured E[w] = 1
+    # exactly and weighted-ECDF sup error ~2e-4 at 6e6 draws).
+    from dcrmontecarlo_tpu.sampling.radial import _exact_rejection
+
+    n = 400_000
+    R, sb = 500.0, 0.49  # z = 350
+    key = jax.random.PRNGKey(3)
+
+    def draw(round_idx):
+        return jax.random.uniform(
+            jax.random.fold_in(key, round_idx), (4, n),
+            minval=1e-7, maxval=1.0,
+        )
+
+    r, w = _exact_rejection(
+        draw, jnp.full((n,), R), sb, 2, with_weight=True)
+    r = np.asarray(r)
+    w = np.asarray(w)
+    assert np.isfinite(r).all() and np.isfinite(w).all()
+    assert (r >= 0).all() and (r <= R).all()
+    np.testing.assert_allclose(w.mean(), 1.0, atol=0.005)
+
+    # the density support is ~(0, 20/sqrt(sb)); resolve it there
+    rr = np.concatenate([
+        np.geomspace(1e-5, 0.1, 256, endpoint=False),
+        np.linspace(0.1, 30.0, 4096),
+        np.linspace(30.0, R, 512)[1:],
+    ])
+    pdf = screened_radial_pdf(rr, R, sb)
+    cdf = np.concatenate(
+        [[0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(rr))])
+    cdf /= cdf[-1]
+    order = np.argsort(r)
+    w_cum = np.concatenate([[0.0], np.cumsum(w[order])]) / w.sum()
+    emp = w_cum[np.searchsorted(r[order], rr, side="right")]
+    err = np.abs(emp - cdf).max()
+    assert err < 0.006, err
