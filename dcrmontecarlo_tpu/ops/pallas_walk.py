@@ -679,7 +679,13 @@ def make_pallas_walk(
 
         def step(_, carry):
             (px, py, nxv, nyv, atten, accs, asums, asqs, quota, steps,
-             ndone, obi, life) = carry
+             ndone, obi, life, *rest) = carry
+            # cross-step alpha cache (delta only): alpha at the CURRENT
+            # position rides the carry — every move below evaluates alpha
+            # at its destination anyway, so the walker-position re-eval
+            # is the one avoidable field eval of the hot loop (mirrors
+            # solver/wost.py's WalkerState.a_cur)
+            a_cur_in = rest[0] if use_delta else None
             accs, asums, asqs = list(accs), list(asums), list(asqs)
             # masks are carried as int32: Mosaic cannot round-trip i1
             # vectors through loop carries (trunci i8->i1 unsupported)
@@ -843,7 +849,9 @@ def make_pallas_walk(
             sy = jnp.where(beyond, hy, py + r_s * dy)
 
             if use_delta:
-                a_p = alpha_c(px, py)
+                # recycled lanes restart at p0 (launch-level a_p0); other
+                # lanes carry the alpha their own move evaluated last step
+                a_p = jnp.where(walk_done, a_p0, a_cur_in)
                 a_s = alpha_c(sx, sy)
 
             if has_source and not use_mis:
@@ -964,6 +972,7 @@ def make_pallas_walk(
                 )
                 newx = jnp.where(collide, sx, hx)
                 newy = jnp.where(collide, sy, hy)
+                a_next = jnp.where(collide, a_s, a_h)  # alpha cache feed
                 new_ob = hit & ~collide
                 if robin_chain:
                     # on-boundary chord continuation, mirroring
@@ -1017,6 +1026,7 @@ def make_pallas_walk(
                         (zeta >= s_lo) & (zeta <= s_hi), w_ch, 0.0)
                     newx = jnp.where(branch, zx, newx)
                     newy = jnp.where(branch, zy, newy)
+                    a_next = jnp.where(branch, a_z, a_next)
                     new_ob = new_ob | branch
                     atten = jnp.where(
                         branch,
@@ -1064,17 +1074,31 @@ def make_pallas_walk(
             # per-lane lifetime counter: summed outside the kernel for the
             # walker-steps throughput metric
             life = life + stepping.astype(jnp.int32)
+            if use_delta:
+                a_cur_out = jnp.where(
+                    stepping, a_next, jnp.where(walk_done, a_p0, a_cur_in))
+                tail = (a_cur_out,)
+            else:
+                tail = ()
             return (px, py, nxv, nyv, atten, tuple(accs), tuple(asums),
                     tuple(asqs), quota, steps, ndone, ob.astype(jnp.int32),
-                    life)
+                    life) + tail
 
+        # launch-level alpha evals, amortized over the n_inner steps: the
+        # start-point alpha (recycle resets) and the incoming positions'
+        # alpha (carry init — positions at launch boundaries are mid-walk)
+        if use_delta:
+            a_p0 = alpha_c(p0x, p0y)
+            cache_init = (alpha_c(px_ref[:], py_ref[:]),)
+        else:
+            cache_init = ()
         carry = (
             px_ref[:], py_ref[:], nx_ref[:], ny_ref[:], atten_ref[:],
             tuple(ref[:] for ref in acc_refs),
             tuple(ref[:] for ref in asum_refs),
             tuple(ref[:] for ref in asq_refs),
             quota_ref[:], steps_ref[:], ndone_ref[:], ob_ref[:], life_ref[:],
-        )
+        ) + cache_init
 
         # early exit when THIS block's quota is fully drained: a step with
         # no active lane mutates nothing (all updates are stepping/act
@@ -1095,7 +1119,7 @@ def make_pallas_walk(
         _, carry = jax.lax.while_loop(inner_cond, inner_body,
                                       (jnp.int32(0), carry))
         (px, py, nxv, nyv, atten, accs, asums, asqs, quota, steps, ndone,
-         obi, life) = carry
+         obi, life, *_rest) = carry
         opx_ref[:] = px
         opy_ref[:] = py
         onx_ref[:] = nxv

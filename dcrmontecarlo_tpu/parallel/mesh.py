@@ -123,6 +123,13 @@ class ShardedWoStSolver(WoStSolver):
         )
         axis = self.axis
         n_src = max(1, len(self.problem.source_fields))
+        # cross-step alpha cache, exactly as the base XLA path
+        # (solver/wost.py::_build_solve_fn_xla; residual mode opts out)
+        use_cache = self.problem.use_delta_tracking and not use_requests
+        if use_cache:
+            from ..solver.wost import _lift
+
+            alpha0_v = jax.vmap(_lift(self.problem.alpha_c))
         use_split = (
             self.options.split_threshold is not None
             and self.problem.use_delta_tracking
@@ -159,8 +166,9 @@ class ShardedWoStSolver(WoStSolver):
             ptx, pty, ob0, n0x, n0y = self._snap_points(points, tol=snap_tol)
             p0x = pv(jnp.tile(ptx, (k_local,)))
             p0y = pv(jnp.tile(pty, (k_local,)))
+            a0 = alpha0_v(p0x, p0y) if use_cache else None
             state = init_state(p0x, p0y, quotas_shard.reshape(-1),
-                               n_src=n_src, with_chord=use_requests)
+                               n_src=n_src, with_chord=use_requests, a0=a0)
             state = state._replace(
                 on_bdry=pv(state.on_bdry),
                 nx=pv(state.nx),
@@ -179,7 +187,10 @@ class ShardedWoStSolver(WoStSolver):
                        else jax.tree.map(pv, state.chord)),
             )
             if ob0 is None:
-                step_s = step
+                def step_s(s, a, b, k, sid=None):
+                    return step(s, a, b, k, sid=sid, p0a=a0)
+
+                step_s.lane_ids = step.lane_ids
             else:
                 p0ob = pv(jnp.tile(ob0, (k_local,)))
                 p0nx = pv(jnp.tile(n0x, (k_local,)))
@@ -188,7 +199,7 @@ class ShardedWoStSolver(WoStSolver):
 
                 def step_s(s, a, b, k, sid=None):
                     return step(s, a, b, k, sid=sid,
-                                p0ob=p0ob, p0nx=p0nx, p0ny=p0ny)
+                                p0ob=p0ob, p0nx=p0nx, p0ny=p0ny, p0a=a0)
 
                 # _sharded_split_loop allocates lane stream ids via this
                 step_s.lane_ids = step.lane_ids

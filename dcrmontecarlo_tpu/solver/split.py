@@ -111,6 +111,9 @@ def make_ingraph_split(threshold: float, n_points: int, n_slots: int,
             steps_cur=pair_copy(s.steps_cur),
             n_done=pair_copy(s.n_done),
             quota=jnp.where(is_dst, 1, s.quota),
+            # the clone inherits its source's position, so also its
+            # cached alpha (cross-step alpha cache; None when disabled)
+            a_cur=None if s.a_cur is None else pair_copy(s.a_cur),
         )
         sid = jnp.where(is_dst, fresh, sid)
         return new, sid, nsid + n.sum().astype(jnp.uint32)

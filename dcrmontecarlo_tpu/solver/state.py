@@ -85,16 +85,34 @@ class WalkerState(NamedTuple):
                                           # robin_correction="residual",
                                           # so other configs carry no
                                           # extra state through the loop
+    a_cur: Optional[jnp.ndarray] = None   # f32 cached alpha at the CURRENT
+                                          # position (delta tracking only).
+                                          # Every move's destination alpha
+                                          # is already evaluated in-step
+                                          # (a_s / a_h / a_z), so carrying
+                                          # it saves the walker-position
+                                          # re-eval next step — the single
+                                          # avoidable field eval of the
+                                          # hot loop. None = recompute
+                                          # each step (pre-cache behavior;
+                                          # also used by residual mode,
+                                          # whose leg-B restarts land at
+                                          # buffered positions with no
+                                          # cached alpha)
 
 
 def init_state(p0x, p0y, quotas, n_src: int = 1,
-               with_chord: bool = False) -> WalkerState:
+               with_chord: bool = False, a0=None) -> WalkerState:
+    """``a0``: per-lane alpha at the start positions — enables the
+    cross-step alpha cache (``WalkerState.a_cur``); ``None`` keeps the
+    recompute-every-step behavior."""
     w = p0x.shape[0]
     f0 = jnp.zeros((w,), jnp.float32)
     acc0 = jnp.zeros((n_src, w), jnp.float32)
     chord = ChordRequest(xx=f0, xy=f0, nx=f0, ny=f0, zeta=f0, w=f0, wb=f0) \
         if with_chord else None
     return WalkerState(
+        a_cur=None if a0 is None else jnp.asarray(a0, jnp.float32),
         chord=chord,
         px=p0x.astype(jnp.float32),
         py=p0y.astype(jnp.float32),

@@ -505,7 +505,7 @@ class WoStSolver:
             return ids // jnp.uint32(reps)  # slot-major: lane = j*P + p
 
         def step(state: WalkerState, p0x, p0y, key, sid=None,
-                 p0ob=None, p0nx=None, p0ny=None):
+                 p0ob=None, p0nx=None, p0ny=None, p0a=None):
             # sid: optional per-lane RNG stream ids overriding the static
             # lane layout — the split-enabled run loop threads them so
             # walker clones draw from fresh, collision-free streams
@@ -515,6 +515,8 @@ class WoStSolver:
             # on-boundary step machinery instead of the legacy interior
             # nudge, whose first-step grazing arrivals carried the
             # clamp's Robin-mass loss (THEORY.md §4g)
+            # p0a: per-lane alpha at the start points, for the cross-step
+            # alpha cache (state.a_cur is not None); None recomputes
             W = state.px.shape[0]
             if rng_fast:
                 kd = jnp.asarray(key, jnp.uint32).reshape(-1)
@@ -844,7 +846,18 @@ class WoStSolver:
             sy = jnp.where(beyond, hy, py + r_s * dy)
 
             if use_delta:
-                a_p = alpha_c(px, py)
+                if state.a_cur is not None and not robin_resid:
+                    # cross-step alpha cache: recycled lanes restart at p0
+                    # (driver-supplied p0a, or a recompute that XLA hoists
+                    # out of the loop — p0x/p0y are loop-invariant); every
+                    # other lane carries the alpha its own move evaluated
+                    # last step (a_s / a_h / a_z below). Residual mode is
+                    # excluded: its leg-B restarts land at buffered chord
+                    # positions whose alpha was never evaluated.
+                    a_p0 = alpha_c(p0x, p0y) if p0a is None else p0a
+                    a_p = jnp.where(walk_done, a_p0, state.a_cur)
+                else:
+                    a_p = alpha_c(px, py)
 
             # -- source next-event estimation (WoStSolver.py:242-258) ----- #
             # one NEE sample shared by every source field: paths are
@@ -987,6 +1000,7 @@ class WoStSolver:
                 )
                 newx = jnp.where(collide, sx, hx)
                 newy = jnp.where(collide, sy, hy)
+                a_next = jnp.where(collide, a_s_mv, a_h)  # alpha cache feed
                 new_on_bdry = hit & ~collide
                 if robin_chain or robin_resid:
                     # On-boundary CHORD continuation: for a walker standing
@@ -1113,6 +1127,7 @@ class WoStSolver:
                     new_on_bdry = new_on_bdry | branch
                     newx = jnp.where(branch, zx, newx)
                     newy = jnp.where(branch, zy, newy)
+                    a_next = jnp.where(branch, a_z, a_next)
                     atten = jnp.where(
                         branch,
                         atten_pre * w_ch / jnp.maximum(q_c, 1e-6),
@@ -1200,7 +1215,16 @@ class WoStSolver:
                 )
                 steps_cur = jnp.where(low & ~survive, max_steps, steps_cur)
 
+            if use_delta and state.a_cur is not None and not robin_resid:
+                # moved lanes carry their move's alpha; recycled lanes the
+                # start alpha; parked lanes keep what they had
+                new_a_cur = jnp.where(
+                    stepping, a_next,
+                    jnp.where(walk_done, a_p0, state.a_cur))
+            else:
+                new_a_cur = state.a_cur
             new_state = WalkerState(
+                a_cur=new_a_cur,
                 px=px,
                 py=py,
                 on_bdry=on_bdry,
@@ -1468,12 +1492,22 @@ class WoStSolver:
             return (mean, stderr, sums, sumsq, final.total_steps,
                     final.step_idx, final.trunc_n, final.trunc_absw)
 
+        # cross-step alpha cache: carry alpha(walker) in state so the hot
+        # loop never re-evaluates the field at the walker's own position
+        # (the move already evaluated it at every candidate destination).
+        # Residual mode opts out — its leg-B restarts land at buffered
+        # chord positions whose alpha was never computed.
+        use_cache = self.problem.use_delta_tracking and not use_requests
+        alpha0_v = jax.vmap(_lift(self.problem.alpha_c)) if use_cache \
+            else None
+
         if not (use_split or use_requests):
             def run(points, key):
                 ptx, pty, ob0, n0x, n0y = self._snap_points(points, snap_tol)
                 p0x = jnp.repeat(ptx, K)
                 p0y = jnp.repeat(pty, K)
-                state = init_state(p0x, p0y, quotas, n_src=n_src)
+                a0 = alpha0_v(p0x, p0y) if use_cache else None
+                state = init_state(p0x, p0y, quotas, n_src=n_src, a0=a0)
                 if ob0 is None:
                     p0ob = p0nx = p0ny = None
                 else:
@@ -1487,7 +1521,7 @@ class WoStSolver:
 
                 def body(s):
                     s2, _ = step(s, p0x, p0y, key,
-                                 p0ob=p0ob, p0nx=p0nx, p0ny=p0ny)
+                                 p0ob=p0ob, p0nx=p0nx, p0ny=p0ny, p0a=a0)
                     return s2
 
                 final = jax.lax.while_loop(cond, body, state)
@@ -1523,10 +1557,12 @@ class WoStSolver:
             ptx, pty, ob0, n0x, n0y = self._snap_points(points, snap_tol)
             p0x = jnp.repeat(ptx, K)
             p0y = jnp.repeat(pty, K)
+            a0 = alpha0_v(p0x, p0y) if use_cache else None
             state = init_state(p0x, p0y, quotas, n_src=n_src,
-                               with_chord=use_requests)
+                               with_chord=use_requests, a0=a0)
             if ob0 is None:
-                step_s = step
+                def step_s(s, a, b, k, sid=None):
+                    return step(s, a, b, k, sid=sid, p0a=a0)
             else:
                 p0ob = jnp.repeat(ob0, K)
                 p0nx = jnp.repeat(n0x, K)
@@ -1535,7 +1571,7 @@ class WoStSolver:
 
                 def step_s(s, a, b, k, sid=None):
                     return step(s, a, b, k, sid=sid,
-                                p0ob=p0ob, p0nx=p0nx, p0ny=p0ny)
+                                p0ob=p0ob, p0nx=p0nx, p0ny=p0ny, p0a=a0)
             # clone streams start at 2^30, above all lane/CRN ids
             final = run_split_while(
                 step_s, do_split, state, p0x, p0y, key,
