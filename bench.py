@@ -101,8 +101,8 @@ def short_walk_preset(repeats: int):
     steps_total = 0.0
     t0 = time.perf_counter()
     for rep in range(repeats):
-        _, _, _, _, total_steps, _ = fn(jax.numpy.asarray(pts),
-                                        jax.random.PRNGKey(rep + 1))
+        out = fn(jax.numpy.asarray(pts), jax.random.PRNGKey(rep + 1))
+        total_steps = out[4]  # (mean, stderr, sums, sumsq, total_steps, ...)
         jax.block_until_ready(total_steps)
         steps_total += float(total_steps)
     dt = time.perf_counter() - t0
@@ -184,7 +184,8 @@ def main():
     steps_total = 0.0
     t0 = time.perf_counter()
     for rep in range(args.repeats):
-        mean, stderr, _, _, total_steps, iters = fn(pts, jax.random.PRNGKey(rep + 1))
+        out = fn(pts, jax.random.PRNGKey(rep + 1))
+        mean, total_steps = out[0], out[4]
         jax.block_until_ready(total_steps)
         steps_total += float(total_steps)
     dt = time.perf_counter() - t0
