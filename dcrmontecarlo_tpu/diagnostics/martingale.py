@@ -122,6 +122,7 @@ def martingale_audit(
     seed0: int = 0,
     max_steps: int = 60000,
     source_index: int = 0,
+    normalize_by_atten: bool = False,
 ) -> MartingaleReport:
     """Audit the production step operator from a controlled start state.
 
@@ -141,6 +142,14 @@ def martingale_audit(
             audit is per-step, so truncation costs power, not validity).
         n_walkers / n_seeds / seed0: power; SEMs are cross-seed.
         source_index: which source's accumulator defines ``est``.
+        normalize_by_atten: divide each increment by the PRE-step atten.
+            The step is linear in atten, so ``E[inc/atten | bucket] = 0``
+            still characterizes an unbiased operator — and the walk's
+            weight spread (which otherwise dominates the variance and
+            grows with depth) cancels, typically tightening per-visit
+            SEMs by 1-2 orders of magnitude. The atten-weighted (raw)
+            mode remains the one whose bucket sums add up to the actual
+            walk bias; use raw to SIZE a leak, normalized to FIND it.
 
     Returns a :class:`MartingaleReport` over the buckets in
     ``BUCKET_NAMES``.
@@ -186,6 +195,8 @@ def martingale_audit(
             s = carry
             pre_est = est_of(s)
             pre_live = s.n_done < 1
+            if normalize_by_atten:
+                pre_live = pre_live & (jnp.abs(s.atten) > 1e-9)
             dD = queries.distance(dirichlet, s.px, s.py)
             if neumann is not None:
                 d_sil = queries.silhouette_distance(neumann, s.px, s.py)
@@ -194,8 +205,11 @@ def martingale_audit(
                 d_sil = jnp.full_like(dD, jnp.inf)
                 d_neu = jnp.full_like(dD, jnp.inf)
             r_pre = jnp.maximum(rmin, jnp.minimum(dD, d_sil))
+            pre_att = s.atten
             s1, _ = step(s, p0x, p0y, key, p0ob=ob_a, p0nx=nx_a, p0ny=ny_a)
             inc = jnp.where(pre_live, est_of(s1) - pre_est, 0.0)
+            if normalize_by_atten:
+                inc = inc / jnp.where(pre_live, pre_att, 1.0)
             bucket = jnp.where(
                 s.on_bdry,
                 jnp.where(t == 0, 3, 2),

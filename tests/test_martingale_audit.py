@@ -86,3 +86,51 @@ def test_grid_continuation_matches_bilinear():
     from dcrmontecarlo_tpu.validation.fdm import FDMSolution
     ref = FDMSolution(xs, ys, U)(pts)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_notebook_step_operator_normalized_residuals():
+    # Tripwire over the FULL production step stack at notebook conditions
+    # (extreme screening z~350, MIS NEE, chain Robin, air sigmoid): the
+    # atten-NORMALIZED per-visit residuals against the FDM-oracle
+    # continuation must stay ~0 in every bucket. Calibration (THEORY.md
+    # §4f, 2026-08-18): off-mode reads +15 per 48 steps and reflectance
+    # +0.40 at this observable, so a tolerance of 0.1/visit catches any
+    # leak 1/30th the size of plain reflection's.
+    import jax
+    from dcrmontecarlo_tpu.models import notebook_survey
+    from dcrmontecarlo_tpu.validation import fdm_solve
+
+    survey, _ = notebook_survey()
+    survey.source_mis = True
+    prob = survey.build_problem()
+    alpha_v = jax.vmap(lambda x, y: prob.alpha(x, y))
+    src_v = jax.vmap(lambda x, y: prob.source(x, y))
+
+    def alpha_np(X, Y):
+        return np.asarray(alpha_v(X.ravel().astype(np.float32),
+                                  Y.ravel().astype(np.float32))
+                          ).reshape(X.shape)
+
+    def source_np(X, Y):
+        return np.asarray(src_v(X.ravel().astype(np.float32),
+                                Y.ravel().astype(np.float32))
+                          ).reshape(X.shape)
+
+    fdm = fdm_solve(bounds=((-500.0, 500.0), (-1000.0, 1.0)),
+                    alpha=alpha_np, source=source_np,
+                    neumann_top=True, nx=201, ny=201)
+    cont = grid_continuation(fdm.xs, fdm.ys, fdm.u)
+    opts = SolverOptions(backend="xla", target_slots=1 << 15,
+                         robin_correction="chain", rejection_rounds=2)
+    rep = martingale_audit(
+        prob, opts, (0.0, -0.1), continuation=cont, eps=1.0,
+        max_steps=6000, n_steps=24, n_walkers=1 << 15, n_seeds=4,
+        normalize_by_atten=True)
+    # far-interior doubles as the oracle-quality control (tight)
+    assert abs(rep.mean[0]) < 5 * rep.sem[0] + 0.03, (
+        rep.mean[0], rep.sem[0])
+    for b in (1, 2):  # near-wall, on-boundary
+        if rep.n[b] == 0:
+            continue
+        assert abs(rep.mean[b]) < 5 * rep.sem[b] + 0.1, (
+            rep.bucket_names[b], rep.mean[b], rep.sem[b])
