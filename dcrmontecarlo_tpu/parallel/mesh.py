@@ -54,16 +54,11 @@ class ShardedWoStSolver(WoStSolver):
         super().__init__(problem, options)
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
-        if options.compaction:
-            import warnings
-
-            warnings.warn(
-                "compaction is ignored on the sharded solver (the sharded "
-                "builders run one jitted while-loop per device; there is "
-                "no host-driven launch loop to permute lanes into smaller "
-                "grids)",
-                stacklevel=2,
-            )
+        # compaction: honored on the sharded PALLAS path (in-graph lane
+        # packing onto the kernel's per-block early exit — see
+        # _build_solve_fn_pallas_sharded); the XLA-sharded builder warns
+        # at build time (one while_loop per device touches every lane
+        # every step, so packing cannot help there)
 
     def _slot_layout(self, n_points: int, n_walks: int):
         """Like the base layout but with K divisible by the mesh size."""
@@ -141,6 +136,16 @@ class ShardedWoStSolver(WoStSolver):
             warnings.warn(
                 "split_threshold is inert here: splitting applies to "
                 "delta-tracking problems with rng='fast'.",
+                stacklevel=3,
+            )
+        if self.options.compaction:
+            import warnings
+
+            warnings.warn(
+                "compaction is ignored on the sharded XLA backend (one "
+                "while_loop per device advances every lane every step, "
+                "so lane packing cannot skip work); the sharded Pallas "
+                "backend honors it via in-graph lane packing",
                 stacklevel=3,
             )
         # lay slots out walker-major so the sharded axis is contiguous:
@@ -372,6 +377,17 @@ class ShardedWoStSolver(WoStSolver):
             # that for every clone (remaining walk <= max_steps) to
             # finish, so no clone half-weight is truncated
             split_reserve = max_steps // n_inner + 1
+        # Sharded compaction = IN-GRAPH lane packing: a shape-preserving
+        # per-shard stable sort moves active lanes into the leading
+        # kernel blocks, so drained trailing blocks hit the kernel's
+        # per-block early exit and cost one load/store instead of
+        # n_inner steps. Walk identity is untouched — stream ids, start
+        # points, snap normals, and point ids all ride in the permuted
+        # state (the same invariant as the single-device host-loop
+        # compaction, which CAN shrink the grid because it lives outside
+        # jit; inside the lockstep sharded while_loop shapes are static,
+        # and packing captures the compute win without the reshape).
+        use_pack = bool(opts.compaction)
 
         # quotas laid out (K, n_points) so the slot axis shards evenly
         quotas_km = jnp.asarray(
@@ -448,22 +464,39 @@ class ShardedWoStSolver(WoStSolver):
                     jnp.sum((state["quota"] > 0).astype(jnp.int32)), axis
                 ) > 0
 
+            def pack(state, pid):
+                # active lanes first (stable: relative walk order kept);
+                # every per-lane array — including sid/p0/snap data and
+                # the point ids — rides the same permutation, so walks
+                # are identical and only block occupancy changes
+                inactive = (state["quota"].reshape(-1) <= 0).astype(
+                    jnp.int32)
+                perm = jnp.argsort(inactive, stable=True)
+                ns = {k: v.reshape(-1)[perm].reshape(v.shape)
+                      for k, v in state.items()}
+                return ns, pid[perm]
+
+            if use_pack:
+                state["sid"] = pv(state["sid"])
+
             if not use_split:
                 def cond(c):
-                    _, launches, g_active = c
+                    launches, g_active = c[2], c[3]
                     return (launches < launch_cap) & g_active
 
                 def body(c):
-                    state, launches, _ = c
+                    state, pid, launches, _ = c
                     new_state = plan.run(state, seed_i)
-                    return (new_state, launches + 1,
+                    if use_pack:
+                        new_state, pid = pack(new_state, pid)
+                    return (new_state, pid, launches + 1,
                             _global_active(new_state))
 
-                state, launches, _ = jax.lax.while_loop(
+                state, pid, launches, _ = jax.lax.while_loop(
                     cond, body,
-                    (state, pv(jnp.int32(0)), _global_active(state)),
+                    (state, pv(pid_local_j), pv(jnp.int32(0)),
+                     _global_active(state)),
                 )
-                pid = pid_local_j
                 bank_sum = jnp.zeros((n_src_p, n_points), jnp.float32)
                 bank_sq = jnp.zeros((n_src_p, n_points), jnp.float32)
             else:
@@ -500,6 +533,8 @@ class ShardedWoStSolver(WoStSolver):
                         lambda *a: a,
                         state, pid, nsid, bsum, bsq,
                     )
+                    if use_pack:
+                        state, pid = pack(state, pid)
                     return (state, pid, nsid, bsum, bsq, launches + 1,
                             _global_active(state))
 

@@ -275,6 +275,33 @@ def test_pallas_sharded_interpret():
     assert res.total_steps > 0
 
 
+def test_pallas_sharded_compaction_packs_lanes():
+    # Sharded compaction = in-graph lane PACKING (VERDICT r2 weak #4's
+    # second half): active lanes sort to the leading kernel blocks so
+    # drained trailing blocks take the per-block early exit. The
+    # permutation carries sid/p0/pid, so walks are identical and the
+    # packed result matches unpacked exactly up to summation order.
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dcrmontecarlo_tpu.parallel import ShardedWoStSolver, make_mesh
+
+    prob = Problem(dirichlet=square_loop(1.0),
+                   bc_dirichlet=lambda x, y: x + 2.0 * y)
+    pts = np.array([[0.0, 0.0], [0.5, 0.3]])
+    res = {}
+    for comp in (False, True):
+        s = ShardedWoStSolver(prob, make_mesh(2), SolverOptions(
+            backend="pallas", target_slots=256,
+            pallas_inner_steps=8, pallas_block_rows=8, compaction=comp))
+        with pltpu.force_tpu_interpret_mode():
+            res[comp] = s.solve(pts, n_walks=256, max_steps=60, eps=1e-3,
+                                seed=0)
+    a, b = res[False], res[True]
+    assert a.total_steps == b.total_steps  # identical walks, re-ordered
+    np.testing.assert_allclose(a.walk_sum, b.walk_sum, rtol=1e-5)
+    np.testing.assert_allclose(a.walk_sumsq, b.walk_sumsq, rtol=1e-5)
+
+
 def test_pallas_sharded_split_interpret():
     # Sharded Pallas + high-weight splitting (VERDICT r2 #4): the launch-
     # boundary split runs in-graph between kernel launches inside each
