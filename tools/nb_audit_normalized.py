@@ -11,6 +11,9 @@ usage: nb_audit2.py SEEDS STEPS MODE [SEED0] [NX] [W_LOG2]
 import os, sys, time
 import numpy as np
 
+# No PYTHONPATH: setting it (to anything) breaks axon TPU registration.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 if os.environ.get("NB_CPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
 
