@@ -491,6 +491,21 @@ def make_pallas_walk(
                              # carries per-lane ob0/n0x/n0y and recycled
                              # walks restart on the wall (solver/wost.py
                              # _snap_points; THEORY.md 4g)
+    freeze_split=False,      # in-launch high-weight FREEZE: lanes whose
+                             # |atten| exceeds a per-launch SMEM scalar
+                             # stop stepping until the host-loop split
+                             # halves them at the launch boundary. Without
+                             # it the launch-boundary split lets weights
+                             # compound unchecked for n_inner steps (the
+                             # XLA path splits every 16); measured on the
+                             # notebook survey, single walks reached
+                             # |atten|~1e10 within one 256-step launch.
+                             # Frozen lanes draw nothing and advance no
+                             # counters, so resumed walks are bit-identical
+                             # (launch-partitioning invariance). The host
+                             # passes +inf to fail OPEN (no freeze) when
+                             # every active lane is heavy and no idle lane
+                             # can host a clone — guaranteeing drain.
 ):
     """Build the fused multi-step kernel.
 
@@ -611,6 +626,9 @@ def make_pallas_walk(
     def kernel(*refs):
         seed_ref = refs[0]
         gi = 1
+        if freeze_split:
+            thr_ref = refs[1]
+            gi = 2
         if not static_geom:
             dir_seg_ref = refs[gi]
             gi += 1
@@ -739,6 +757,13 @@ def make_pallas_walk(
                 ob = ob & ~walk_done
             steps = jnp.where(walk_done, 0, steps)
             stepping = act & ~walk_done
+            if freeze_split:
+                # heavy lanes wait for the launch-boundary split instead of
+                # compounding further; they draw nothing and advance no
+                # counters, so the resumed walk is bit-identical. Recycled
+                # lanes were just reset to atten=1 above (and walk_done
+                # already excludes them this iteration).
+                stepping = stepping & (jnp.abs(atten) <= thr_ref[0])
 
             if has_neumann and has_verts:
                 d_sil = silhouette(px, py)
@@ -1110,6 +1135,14 @@ def make_pallas_walk(
         # next to the unrolled geometry scans.
         def inner_cond(c):
             i, cr = c
+            if freeze_split:
+                # a block whose every remaining active lane is frozen can
+                # make no progress this launch (cr[4] = atten, cr[8] =
+                # quota); thr = +inf degrades to the plain quota check
+                steppable = ((cr[8] > 0)
+                             & (jnp.abs(cr[4]) <= thr_ref[0])).astype(
+                                 jnp.int32)
+                return (i < n_inner) & (jnp.max(steppable) > 0)
             return (i < n_inner) & (jnp.max(cr[8]) > 0)  # cr[8] = quota
 
         def inner_body(c):
@@ -1138,7 +1171,7 @@ def make_pallas_walk(
     f32 = jnp.float32
     i32 = jnp.int32
 
-    def launch(state, seed):
+    def launch(state, seed, freeze_thr=None):
         """Advance all walkers by ``n_inner`` steps.
 
         state: dict with keys p0x,p0y (f32), sid (i32 RNG stream ids —
@@ -1146,6 +1179,10 @@ def make_pallas_walk(
         without changing their walks), px,py,nx,ny,atten,acc,asum,asq
         (f32), quota,steps,ndone,ob (i32) — all (rows, 128). ``seed`` is
         the int32-bit-pattern stream seed, constant across launches.
+        ``freeze_thr`` (``freeze_split`` builds only): the per-launch
+        |atten| freeze threshold — the host split's threshold normally,
+        +inf to fail open when frozen lanes could starve (see the
+        ``freeze_split`` parameter doc).
         """
         rows = state["px"].shape[0]
         grid = (rows // block_rows,)
@@ -1170,13 +1207,20 @@ def make_pallas_walk(
         snap_args = (
             [state["ob0"], state["n0x"], state["n0y"]] if snap_starts else []
         )
+        n_pre = 2 if freeze_split else 1  # seed (+ freeze threshold)
+        thr_args = []
+        if freeze_split:
+            thr = jnp.inf if freeze_thr is None else freeze_thr
+            thr_args = [jnp.asarray(jnp.reshape(thr, (1,)), f32)]
         # alias state inputs (after the constants) to outputs
-        aliases = {1 + n_geom + n_const + k: k for k in range(len(order))}
+        aliases = {n_pre + n_geom + n_const + k: k
+                   for k in range(len(order))}
         outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+                pl.BlockSpec(memory_space=pltpu.SMEM)   # seed (1,)
+                for _ in range(n_pre)                   # (+ freeze thr)
             ] + [
                 pl.BlockSpec(memory_space=pltpu.SMEM)   # geometry tables
                 for _ in range(n_geom)
@@ -1188,6 +1232,7 @@ def make_pallas_walk(
             input_output_aliases=aliases,
         )(
             jnp.asarray(jnp.reshape(seed, (1,)), i32),
+            *thr_args,
             *geom_inputs,
             state["p0x"], state["p0y"], state["sid"],
             *snap_args,

@@ -1612,6 +1612,8 @@ class WoStSolver:
         crn = ("tile", K, n_points) if opts.common_random_numbers else None
         snap_tol = self._boundary_snap_tol(eps)
         use_snap = snap_tol is not None
+        use_split = (opts.split_threshold is not None
+                     and pb.use_delta_tracking)
         plan = make_pallas_walk(
             pb,
             eps=eps,
@@ -1627,12 +1629,11 @@ class WoStSolver:
             roulette_threshold=opts.roulette_threshold,
             robin_arrival_clamp=opts.robin_arrival_clamp,
             snap_starts=use_snap,
+            freeze_split=use_split,
         )
         max_quota = int(quota_row.max())
         launch_cap = (max_quota * (max_steps + 1) + 2) // n_inner + 2
         n_src = max(1, len(pb.source_fields))
-        use_split = (opts.split_threshold is not None
-                     and pb.use_delta_tracking)
         if opts.split_threshold is not None and not use_split:
             import warnings
 
@@ -1762,6 +1763,10 @@ class WoStSolver:
 
             split_j = jax.jit(make_launch_split(
                 opts.split_threshold, n_src, n_points))
+            thr_f = float(opts.split_threshold)
+            heavy_j = jax.jit(lambda st: (
+                (st["quota"] > 0)
+                & (jnp.abs(st["atten"]) > thr_f)).sum())
 
         @functools.lru_cache(maxsize=None)
         def compact_j(rows_out: int):
@@ -1806,8 +1811,19 @@ class WoStSolver:
             # no clone half-weight is truncated (the in-graph split's
             # exactness contract at launch granularity)
             split_reserve = (max_steps // n_inner + 1) if use_split else 0
-            while launches < launch_cap + split_reserve:
-                state = launch_j(state, seed_i)
+            # in-launch freeze (ops/pallas_walk.py freeze_split): frozen
+            # lanes defer their steps to later launches, so the drain
+            # bound doubles — by launch_cap the freeze is forced open
+            # (+inf), after which every lane's remaining work fits in one
+            # more launch_cap span. Normal runs still break on active==0.
+            hard_cap = ((2 * launch_cap if use_split else launch_cap)
+                        + split_reserve)
+            cur_thr = thr_f if use_split else None
+            while launches < hard_cap:
+                if use_split:
+                    state = launch_j(state, seed_i, np.float32(cur_thr))
+                else:
+                    state = launch_j(state, seed_i)
                 launches += 1
                 active = int(count_j(state))
                 cb = self._progress_cb
@@ -1823,6 +1839,14 @@ class WoStSolver:
                     carry_sum = carry_sum + dsum
                     carry_sq = carry_sq + dsq
                     active = int(count_j(state))
+                    # fail OPEN when every remaining active lane is heavy
+                    # (frozen) and idle-starved: the next launch runs
+                    # unfrozen so the solve always makes progress; also
+                    # forced open once splits stop at launch_cap
+                    heavy = int(heavy_j(state))
+                    cur_thr = (np.inf if 0 < heavy == active else thr_f)
+                elif use_split:
+                    cur_thr = np.inf
                 if not opts.compaction:
                     continue
                 target = max(

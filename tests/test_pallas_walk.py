@@ -535,6 +535,39 @@ def test_split_threshold_unbiased():
     assert b.total_steps > a.total_steps, (a.total_steps, b.total_steps)
 
 
+def test_freeze_exposes_midwalk_weights_to_split():
+    # In-launch high-weight FREEZE (ops/pallas_walk.py freeze_split): with
+    # pallas_inner_steps larger than the whole solve, every walk would
+    # finish inside launch 1 and the launch-boundary split could never see
+    # a mid-walk weight — measured on the notebook survey, single walks
+    # compounded to |atten|~1e10 inside one 256-step launch this way. The
+    # freeze parks heavy lanes mid-launch, so clones MUST appear even in
+    # the one-launch regime, and stay unbiased vs split-off.
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    bump = lambda x, y: 1.0 + 3.0 * jnp.exp(-((x * x + y * y) / 0.18))
+    prob = Problem(dirichlet=square_loop(2.0),
+                   bc_dirichlet=lambda x, y: 1.0 + x * y, alpha=bump)
+    pts = np.array([[0.0, 0.0], [0.4, 0.2]])
+    res = {}
+    for thr in (None, 1.5):
+        s = WoStSolver(prob, SolverOptions(
+            backend="pallas", target_slots=512, pallas_inner_steps=4096,
+            pallas_block_rows=8, split_threshold=thr))
+        with pltpu.force_tpu_interpret_mode():
+            res[thr] = s.solve(pts, n_walks=96, max_steps=200, eps=2e-2,
+                               seed=9)
+    a, b = res[None], res[1.5]
+    comb = np.sqrt(a.stderr**2 + b.stderr**2)
+    dev = np.abs(a.mean - b.mean) / np.maximum(comb, 1e-12)
+    assert (dev < 4.0).all(), (a.mean, b.mean, dev)
+    # without the freeze the split-on solve would run the identical single
+    # launch (zero clones, equal steps); the freeze forces launch exits at
+    # frozen lanes and the boundary split actually clones
+    assert b.total_steps > a.total_steps, (a.total_steps, b.total_steps)
+
+
 def test_pallas_matches_xla_local_majorant():
     # Two-level local majorant active (box region + tiny background
     # sigma_bar): the per-lane radius/majorant selection must be
