@@ -374,17 +374,24 @@ class WoStSolver:
         Auto probes max |gamma| along the Neumann boundary and evaluates
         the dimensionless scale ``s = gamma * min(diameter,
         1/sqrt(sigma_bar))`` — the relative bias of plain reflection on
-        boundary-dominated observables. Above ``s = 0.3`` auto enables
-        the chord chain; below it the correction stays off. The chain is
-        exact on the MMS stress gates and cuts the notebook's heavy
-        cross-seed error tail ~4x at equal err^2*t (THEORY.md §4e), but
-        it currently shows a ~-10-unit common-mode electrode offset on
-        the notebook survey against the Richardson-verified FDM oracle
-        (under active investigation, THEORY.md §4f) — so auto does NOT
-        yet enable it for the flagship's s = 0.123. ``"reflectance"``
-        (zero added variance, but biased when the solution varies along
-        the wall within a chord) is never auto-selected — opt in
-        explicitly on wall-smooth problems.
+        boundary-dominated observables. Above ``s = 0.05`` auto enables
+        the chord chain; below it the correction stays off (at tiny
+        ``s`` the chord machinery — an extra segment scan and three hash
+        streams per on-boundary step — costs real throughput for a bias
+        far below MC noise). The chain is exact on the MMS stress gates,
+        cuts the notebook's heavy cross-seed dV error tail ~4x at equal
+        err^2*t (THEORY.md §4e), and at the flagship's s = 0.119 it is
+        ALSO the better absolute-potential estimator: measured against
+        the Richardson-extrapolated FDM oracle at 16 seeds x 4M
+        walks/electrode (TPU, 2026-08-18), plain reflection's
+        per-electrode bias is +2..+124 (median +18, largest near the
+        source dipole) while the chain's residual offset is -3..-15
+        (median -6.4, ~3x smaller; its mechanism remains the open
+        THEORY.md §4f item). The earlier 0.3 threshold predates that
+        control measurement. ``"reflectance"`` (zero added variance, but
+        biased when the solution varies along the wall within a chord)
+        is never auto-selected — opt in explicitly on wall-smooth
+        problems.
         """
         pb = self.problem
         mode = self.options.robin_correction
@@ -400,7 +407,7 @@ class WoStSolver:
             return self._robin_cache[1]
         gmax = pb.max_boundary_gamma()
         scale = gmax * min(pb.diameter, 1.0 / np.sqrt(max(pb.sigma_bar, 1e-30)))
-        enabled = "chain" if scale > 0.3 else False
+        enabled = "chain" if scale > 0.05 else False
         self._robin_cache = (pb.version, enabled)
         return enabled
 

@@ -179,11 +179,14 @@ def test_neumann_coefficient_gradient_robin():
 
 def test_robin_auto_policy():
     # "auto" compares the probed correction scale gamma_max * min(diam,
-    # 1/sqrt(sigma_bar)) against 0.3: the exp(k y) stress field (scale
-    # 1.0, 40% plain-reflection bias) resolves to the strictly unbiased
-    # "chain" realization, a buried-bump conductivity with ~zero surface
-    # gamma stays off (wall visits too rare for bias or tail to matter),
-    # and explicit False / True ("chain") / "reflectance" override.
+    # 1/sqrt(sigma_bar)) against 0.05 (re-tuned 2026-08-18 from the TPU
+    # control measurement: at the flagship's s = 0.119 the chain's
+    # absolute-potential bias is ~3x smaller than plain reflection's,
+    # THEORY.md §4f): the exp(k y) stress field (scale 1.0, 40%
+    # plain-reflection bias) resolves to the strictly unbiased "chain"
+    # realization, a buried-bump conductivity with ~zero surface gamma
+    # stays off (wall visits too rare for bias or tail to matter), and
+    # explicit False / True ("chain") / "reflectance" override.
     import jax.numpy as jnp
 
     from dcrmontecarlo_tpu.geometry import Polyline

@@ -1,0 +1,87 @@
+"""Flagship-gate calibration sweep (tests/test_dcr_survey.py bounds).
+
+Runs the notebook survey at the gate's exact walk counts over many seeds
+with a chosen options set and prints, per seed, the potentials' deviation
+distribution (|err| / (4 sigma + slack)) and the dV deviations — the data
+the gate bounds are pinned from (THEORY.md §5).
+
+usage: python tools/gate_sweep.py SEEDS [MODE] [SEED0]
+  MODE: "defaults" = survey_default_options(target_slots=65536) — the
+        shipped config; "bare" = SolverOptions(CRN, 65536) — the pre-r3
+        gate config.
+  NB_CPU=1 to force CPU.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("NB_CPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def main():
+    import jax
+    if os.environ.get("NB_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    from dcrmontecarlo_tpu.models import notebook_survey
+    from dcrmontecarlo_tpu.solver import SolverOptions
+    from dcrmontecarlo_tpu.survey.dcr import survey_default_options
+    from dcrmontecarlo_tpu.validation import fdm_solve
+
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    mode = sys.argv[2] if len(sys.argv) > 2 else "defaults"
+    SEED0 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+
+    survey, electrodes = notebook_survey()
+    survey.source_mis = True
+    prob = survey.build_problem()
+    alpha_v = jax.vmap(lambda x, y: prob.alpha(x, y))
+    src_v = jax.vmap(lambda x, y: prob.source(x, y))
+    alpha_np = lambda X, Y: np.asarray(alpha_v(
+        X.ravel().astype(np.float32), Y.ravel().astype(np.float32))
+    ).reshape(X.shape)
+    source_np = lambda X, Y: np.asarray(src_v(
+        X.ravel().astype(np.float32), Y.ravel().astype(np.float32))
+    ).reshape(X.shape)
+    fdm = fdm_solve(bounds=((-500.0, 500.0), (-1000.0, 1.0)),
+                    alpha=alpha_np, source=source_np,
+                    neumann_top=True, nx=401, ny=401)
+    ref = fdm(np.asarray(electrodes, np.float32))
+    dv_ref = ref[:-1] - ref[1:]
+
+    if mode == "defaults":
+        opts = survey_default_options(target_slots=65536)
+    elif mode == "split":
+        opts = survey_default_options(target_slots=65536,
+                                      split_threshold=4.0)
+    else:
+        opts = SolverOptions(target_slots=65536,
+                             common_random_numbers=True)
+    solver = survey.make_solver(options=opts)
+    pot_frac, dv_max = [], []
+    for k in range(S):
+        t0 = time.perf_counter()
+        res = survey.run(electrodes, n_walks=2500, max_steps=6000, eps=1.0,
+                         seed=SEED0 + k, solver=solver)
+        dev = np.abs(res.potentials - ref) / (
+            4.0 * res.potentials_stderr + 0.75)
+        dv_dev = np.abs(res.voltages - dv_ref) / (
+            4.0 * res.voltages_stderr + 0.25)
+        pot_frac.append((dev < 1.0).mean())
+        dv_max.append(dv_dev.max())
+        print(f"seed {SEED0+k}: pot frac {pot_frac[-1]:.3f} "
+              f"(worst dev {dev.max():.2f} "
+              f"@x={res.electrodes[dev.argmax(),0]:+.0f}) "
+              f"dv max-dev {dv_max[-1]:.2f} "
+              f"t={time.perf_counter()-t0:.0f}s", flush=True)
+    print(f"\nmode={mode} S={S}: pot-frac min {min(pot_frac):.3f} "
+          f"(gate needs >=0.9); dv max-dev max {max(dv_max):.2f} "
+          f"(gate needs <1)")
+
+
+main()

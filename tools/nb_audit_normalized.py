@@ -7,6 +7,17 @@ continuation nets -); the diagnostic is the CHAIN-OFF difference per
 carries a residual.
 
 usage: nb_audit2.py SEEDS STEPS MODE [SEED0] [NX] [W_LOG2]
+
+env:
+  NB_RAW=1      atten-WEIGHTED increments (est_t+1 - est_t, no /atten
+                normalization). The normalized audit reads ~0 per bucket
+                while the §4f offset persists — the leak rides the
+                atten x residual correlation, which only the raw audit
+                sees. Units: contribution to the electrode potential.
+  NB_WINDOWS=n  split the K audited steps into n equal windows and
+                report each (pre-state x outcome) cell per window —
+                localizes WHEN in the walk the leak accrues.
+  NB_CPU=1     force CPU (debug power only).
 """
 import os, sys, time
 import numpy as np
@@ -72,6 +83,8 @@ def main():
 
     W = 1 << WL2
     px0, py0 = PX, PY
+    raw = bool(os.environ.get("NB_RAW"))
+    NW = int(os.environ.get("NB_WINDOWS", "1"))
     # cells: prestate in {near(0), onb(1)} x outcome in
     # {branch(0), hit(1), collide(2), other(3)}; plus far(8), completing(9)
     NB = 10
@@ -101,7 +114,8 @@ def main():
             pre_att = s.atten
             s1, d = step(s, p0x, p0y, key, p0ob=ob_a, p0nx=nz, p0ny=ny_a)
             ok = pre_live & (jnp.abs(pre_att) > 1e-9)
-            inc = jnp.where(ok, (est_of(s1) - pre_est) / pre_att, 0.0)
+            inc = jnp.where(ok, (est_of(s1) - pre_est)
+                            / (1.0 if raw else pre_att), 0.0)
             outcome = jnp.where(
                 d["evt_branch"], 0,
                 jnp.where(d["evt_hit"], 1,
@@ -110,10 +124,13 @@ def main():
             bucket = pre * 4 + outcome
             bucket = jnp.where(~s.on_bdry & (d_neu >= r_pre), 8, bucket)
             bucket = jnp.where((s1.n_done >= 1) & pre_live, 9, bucket)
+            bucket = bucket + NB * (t * NW // K)  # step-window offset
             live_f = ok.astype(jnp.float32)
-            sums = jnp.zeros((NB,)).at[bucket].add(jnp.where(ok, inc, 0.0))
-            sqs = jnp.zeros((NB,)).at[bucket].add(jnp.where(ok, inc*inc, 0.0))
-            cns = jnp.zeros((NB,)).at[bucket].add(live_f)
+            nbt = NB * NW
+            sums = jnp.zeros((nbt,)).at[bucket].add(jnp.where(ok, inc, 0.0))
+            sqs = jnp.zeros((nbt,)).at[bucket].add(
+                jnp.where(ok, inc * inc, 0.0))
+            cns = jnp.zeros((nbt,)).at[bucket].add(live_f)
             return s1, (sums, sqs, cns)
 
         _, (sums, sqs, cns) = jax.lax.scan(body, st, jnp.arange(K))
@@ -124,7 +141,7 @@ def main():
              "onb/branch", "onb/hit", "onb/collide", "onb/other",
              "far-int", "completing"]
     per_seed = []
-    tot = np.zeros((3, NB), np.float64)
+    tot = np.zeros((3, NB * NW), np.float64)
     t0 = time.perf_counter()
     for k in range(S):
         key = jax.random.PRNGKey((SEED0 + k) * 7919 + 13)
@@ -133,16 +150,27 @@ def main():
         per_seed.append(sm / np.maximum(cn, 1.0))
         tot += [sm, np.asarray(sq, np.float64), cn]
     per_seed = np.stack(per_seed)
-    print(f"mode={mode} NX={NXO} W=2^{WL2} K={K} S={S} pt=({PX},{PY}) onb={ONB} tmin={TMIN} "
+    print(f"mode={mode} NX={NXO} W=2^{WL2} K={K} S={S} pt=({PX},{PY}) "
+          f"onb={ONB} tmin={TMIN} raw={int(raw)} windows={NW} "
           f"t={time.perf_counter()-t0:.0f}s", flush=True)
-    for i, nm in enumerate(names):
-        if tot[2, i] == 0:
-            continue
-        m = tot[0, i] / tot[2, i]
-        sem = per_seed[:, i].std(ddof=1) / np.sqrt(S)
-        vpw = tot[2, i] / W / S
-        print(f"  {nm:13s} n/walk {vpw:8.3f} mean-inc {m:+.5f} +- {sem:.5f} "
-              f"(contrib {m*vpw:+.4f})", flush=True)
+    # per-WALKER totals per seed: the sum over cells of mean-inc * n/walk
+    cell_contrib = per_seed * (tot[2] / W / S)
+    tot_ps = cell_contrib.sum(axis=1)
+    print(f"  TOTAL drift/walker over K steps: {tot_ps.mean():+.4f} "
+          f"+- {tot_ps.std(ddof=1)/np.sqrt(S):.4f}", flush=True)
+    for w in range(NW):
+        if NW > 1:
+            print(f"  -- window {w} (steps {w*K//NW}..{(w+1)*K//NW - 1}):",
+                  flush=True)
+        for i, nm in enumerate(names):
+            j = w * NB + i
+            if tot[2, j] == 0:
+                continue
+            m = tot[0, j] / tot[2, j]
+            sem = per_seed[:, j].std(ddof=1) / np.sqrt(S)
+            vpw = tot[2, j] / W / S
+            print(f"  {nm:13s} n/walk {vpw:8.3f} mean-inc {m:+.5f} "
+                  f"+- {sem:.5f} (contrib {m*vpw:+.4f})", flush=True)
 
 
 main()
