@@ -14,6 +14,7 @@ from dcrmontecarlo_tpu.survey import (
     apparent_resistivity_2d,
     dipole_voltages,
     surface_electrode_line,
+    survey_default_options,
 )
 from dcrmontecarlo_tpu.validation import fdm_solve
 
@@ -203,18 +204,33 @@ def test_notebook_survey_matches_fdm_oracle():
     ref = fdm(np.asarray(electrodes, np.float32))
     dv_ref = ref[:-1] - ref[1:]
 
+    # Config: the measured-optimal notebook pipeline (THEORY §4d/§4e) —
+    # survey defaults (CRN + compaction + roulette + rejection_rounds=2)
+    # plus local_majorant="auto" (2x err^2*t on absolute potentials) with
+    # the Robin chord chain auto-enabled (flagship scale s=0.119 > 0.05).
+    # This is the tail-tamed config: over the calibration sweep no
+    # uncovered catastrophic seed remains (max potential excess 13.6 vs
+    # four-digit blowups in the bare pre-r3 config).
+    #
     # Gate bounds calibrated on a 24-seed sweep at this exact config
-    # (2026-08-17, /tmp/gate_sweep recipe; pinned in THEORY.md §5):
-    # dV excess over pure 4 sigma was ZERO at every seed (the CRN stderr
-    # tracks the dV error tail), so ALL dipole voltages gate at
-    # 4 sigma + 0.25 (the 0.25 covers the measured 401^2 oracle error:
-    # FDM-vs-FEM mutual disagreement 0.0385, Richardson grid bias <=0.2).
-    # Potentials gate at >=90% within 4 sigma + 0.75 (24-seed worst case
-    # 19/21; seeds 0-2 measured 21/21). Three seeds catch tail seeds the
-    # old single-seed +1.5/90%/95% gate could miss.
+    # (2026-08-18, tools/gate_sweep.py mode=tuned; pinned in THEORY.md §5):
+    # * ALL dipole voltages — the notebook's plotted observable (cell 21)
+    #   — within 4 sigma + 0.25: dV excess over pure 4 sigma was ZERO at
+    #   every electrode of every seed (the CRN stderr tracks the dV error
+    #   tail; the 0.25 covers the measured 401^2 oracle error: FDM-vs-FEM
+    #   mutual disagreement 0.0385, Richardson grid bias <=0.2).
+    # * Potentials: >=19/21 within 4 sigma + 7.0 per seed (24-seed min
+    #   19/21, seeds 0-2 measured 20/21/20). The +7.0 covers the chain's
+    #   known small interior offset (THEORY §4f, open edge: med -10 over
+    #   the central array at 2500 walks, vs plain reflection's ~3x larger
+    #   positive bias).
+    # * Common-mode tripwire: the median signed potential error per seed
+    #   sits in (-30, +6) — 24-seed measured range [-18.4, -6.4]; a chain
+    #   regression blows past -30, a reversion to uncorrected reflection
+    #   drifts positive past +6 (off-mode cm is ~+19, §4f).
+    survey.local_majorant = "auto"
     solver = survey.make_solver(
-        options=SolverOptions(target_slots=65536,
-                              common_random_numbers=True))
+        options=survey_default_options(target_slots=65536))
     for seed in (0, 1, 2):
         result = survey.run(
             electrodes,
@@ -228,10 +244,12 @@ def test_notebook_survey_matches_fdm_oracle():
         assert result.potentials[np.abs(x + 200) <= 40].mean() > 0
         assert result.potentials[np.abs(x - 200) <= 40].mean() < 0
 
-        dev = np.abs(result.potentials - ref) / (
-            4.0 * result.potentials_stderr + 0.75
-        )
-        assert (dev < 1.0).mean() >= 0.9, (seed, result.potentials, ref, dev)
+        err = result.potentials - ref
+        dev = np.abs(err) / (4.0 * result.potentials_stderr + 7.0)
+        assert (dev < 1.0).sum() >= 19, (seed, result.potentials, ref, dev)
+
+        cm = np.median(err)
+        assert -30.0 < cm < 6.0, (seed, cm, err)
 
         dv_dev = np.abs(result.voltages - dv_ref) / (
             4.0 * result.voltages_stderr + 0.25

@@ -59,29 +59,60 @@ def main():
     elif mode == "split":
         opts = survey_default_options(target_slots=65536,
                                       split_threshold=4.0)
+    elif mode == "tuned":
+        # the documented-optimal notebook config (THEORY §4d/§4e): survey
+        # defaults + the local majorant (2x err^2*t on absolute potentials;
+        # a survey attribute, not a SolverOptions knob)
+        survey.local_majorant = "auto"
+        opts = survey_default_options(target_slots=65536)
     else:
         opts = SolverOptions(target_slots=65536,
                              common_random_numbers=True)
     solver = survey.make_solver(options=opts)
-    pot_frac, dv_max = [], []
+    pot_frac, dv_max, excesses, dv_excesses = [], [], [], []
+    signed_errs, stderrs = [], []
     for k in range(S):
         t0 = time.perf_counter()
         res = survey.run(electrodes, n_walks=2500, max_steps=6000, eps=1.0,
                          seed=SEED0 + k, solver=solver)
-        dev = np.abs(res.potentials - ref) / (
-            4.0 * res.potentials_stderr + 0.75)
+        err = np.abs(res.potentials - ref)
+        dev = err / (4.0 * res.potentials_stderr + 0.75)
         dv_dev = np.abs(res.voltages - dv_ref) / (
             4.0 * res.voltages_stderr + 0.25)
         pot_frac.append((dev < 1.0).mean())
         dv_max.append(dv_dev.max())
+        excesses.append(np.maximum(err - 4.0 * res.potentials_stderr, 0.0))
+        dv_excesses.append(np.maximum(
+            np.abs(res.voltages - dv_ref) - 4.0 * res.voltages_stderr, 0.0))
+        signed_errs.append(res.potentials - ref)
+        stderrs.append(res.potentials_stderr)
+        over = np.flatnonzero(dev >= 0.8)
+        detail = " ".join(
+            f"[x={res.electrodes[i,0]:+.0f} dev={dev[i]:.2f} "
+            f"err={err[i]:.2f} 4s={4*res.potentials_stderr[i]:.2f}]"
+            for i in over)
         print(f"seed {SEED0+k}: pot frac {pot_frac[-1]:.3f} "
-              f"(worst dev {dev.max():.2f} "
-              f"@x={res.electrodes[dev.argmax(),0]:+.0f}) "
               f"dv max-dev {dv_max[-1]:.2f} "
-              f"t={time.perf_counter()-t0:.0f}s", flush=True)
+              f"t={time.perf_counter()-t0:.0f}s {detail}", flush=True)
+    ex = np.stack(excesses)  # (S, n_electrodes) |err| beyond pure 4 sigma
     print(f"\nmode={mode} S={S}: pot-frac min {min(pot_frac):.3f} "
           f"(gate needs >=0.9); dv max-dev max {max(dv_max):.2f} "
           f"(gate needs <1)")
+    print(f"potentials excess over 4 sigma: med {np.median(ex):.2f} "
+          f"p90 {np.percentile(ex, 90):.2f} max {ex.max():.2f} "
+          f"@x={electrodes[ex.max(0).argmax(), 0]:+.0f}")
+    # slack needed for >=19/21 per seed: per-seed 3rd-largest excess
+    per_seed_3rd = np.sort(ex, axis=1)[:, -3]
+    print(f"slack for >=19/21 every seed: {per_seed_3rd.max():.2f} "
+          f"(per-seed 3rd-largest excess, worst seed)")
+    dvex = np.stack(dv_excesses)
+    print(f"dV excess over 4 sigma: med {np.median(dvex):.2f} "
+          f"p90 {np.percentile(dvex, 90):.2f} max {dvex.max():.2f} "
+          f"(slack for ALL dV every seed)")
+    np.savez(f"/tmp/gate_ex_{mode}.npz", ex=ex, dvex=dvex, ref=ref,
+             dv_ref=dv_ref, x=np.asarray(electrodes)[:, 0],
+             err=np.stack(signed_errs), stderr=np.stack(stderrs))
+    print(f"saved /tmp/gate_ex_{mode}.npz")
 
 
 main()
