@@ -41,8 +41,9 @@ def accuracy_preset():
         survey.source_mis = mis
         opts = SolverOptions(target_slots=1 << 17,
                              common_random_numbers=crn,
-                             compaction=True,
                              roulette_threshold=0.05)  # survey default
+        # (compaction off matches the 2026-08-18 survey default: under
+        # roulette it cost 1.6x here for bit-identical walks)
         # ONE solver per config: rebuilding it per rep (as survey.run does)
         # would re-trace and re-compile every solve
         problem = survey.build_problem()

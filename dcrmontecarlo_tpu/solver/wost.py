@@ -1504,6 +1504,10 @@ class WoStSolver:
         # (the move already evaluated it at every candidate destination).
         # Residual mode opts out — its leg-B restarts land at buffered
         # chord positions whose alpha was never computed.
+        # (TPU A/B 2026-08-18: 1.653 vs 1.650 G steps/s with the cache
+        # forced off on the headline bench — neutral there because the
+        # smooth-field alpha eval is cheap; kept for draw-for-draw parity
+        # with the kernel carry and for expensive alpha fields.)
         use_cache = self.problem.use_delta_tracking and not use_requests
         alpha0_v = jax.vmap(_lift(self.problem.alpha_c)) if use_cache \
             else None

@@ -54,8 +54,12 @@ def survey_default_options(**overrides) -> SolverOptions:
     * ``common_random_numbers=True`` — dipole voltages are differences;
       slot-matched streams cancel the shared MC noise (2.3x with MIS on
       err*sqrt(t), ``bench.py --preset accuracy``).
-    * ``compaction=True`` — the 1000 m survey is straggler-bound (~15%
-      occupancy tail); banked-permutation compaction is severalfold there.
+    * ``compaction=False`` — re-measured 2026-08-18 (tools/
+      pack_vs_shrink.py, TPU, notebook survey at 2500 and 10000 walks):
+      with the roulette default killing the low-weight straggler tail,
+      host-loop shrink compaction costs 1.6x wall-clock for bit-identical
+      results. Compaction still pays on straggler-bound runs WITHOUT
+      roulette (the original ~2.4x measurement) — opt in for those.
     * ``roulette_threshold=0.05`` — unbiased low-weight kill, measured
       1.75x on the notebook survey at identical accuracy vs the oracle.
     * ``rejection_rounds=2`` — the measured stderr^2*time optimum of the
@@ -68,7 +72,7 @@ def survey_default_options(**overrides) -> SolverOptions:
     """
     base = dict(
         common_random_numbers=True,
-        compaction=True,
+        compaction=False,
         roulette_threshold=0.05,
         rejection_rounds=2,
     )

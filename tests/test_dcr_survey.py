@@ -40,15 +40,18 @@ def test_surface_electrode_line_never_overshoots():
 def test_survey_default_options_are_measured_optima():
     # the shipped defaults must reproduce the published profile
     # (VERDICT r2 #7): rejection_rounds=2 is the measured stderr^2*time
-    # optimum, CRN/compaction/roulette are the survey-pipeline defaults
+    # optimum, CRN/roulette are the survey-pipeline defaults; compaction
+    # flipped OFF 2026-08-18 (1.6x cost under the roulette default,
+    # tools/pack_vs_shrink.py — opt in for straggler-bound no-roulette
+    # runs)
     from dcrmontecarlo_tpu.survey import survey_default_options
 
     o = survey_default_options()
     assert o.rejection_rounds == 2
-    assert o.common_random_numbers and o.compaction
+    assert o.common_random_numbers and not o.compaction
     assert o.roulette_threshold == 0.05
-    o2 = survey_default_options(compaction=False, rejection_rounds=8)
-    assert not o2.compaction and o2.rejection_rounds == 8
+    o2 = survey_default_options(compaction=True, rejection_rounds=8)
+    assert o2.compaction and o2.rejection_rounds == 8
 
 
 def test_apparent_resistivity_homogeneous_recovers_rho():
@@ -205,7 +208,7 @@ def test_notebook_survey_matches_fdm_oracle():
     dv_ref = ref[:-1] - ref[1:]
 
     # Config: the measured-optimal notebook pipeline (THEORY §4d/§4e) —
-    # survey defaults (CRN + compaction + roulette + rejection_rounds=2)
+    # survey defaults (CRN + roulette + rejection_rounds=2)
     # plus local_majorant="auto" (2x err^2*t on absolute potentials) with
     # the Robin chord chain auto-enabled (flagship scale s=0.119 > 0.05).
     # This is the tail-tamed config: over the calibration sweep no
