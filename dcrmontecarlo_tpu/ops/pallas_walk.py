@@ -480,6 +480,10 @@ def make_pallas_walk(
     n_inner: int = 256,
     block_rows: int = 128,
     rejection_rounds: int = 64,
+    screened_sampler: str = "exact",  # "exact" (rejection) | "transport"
+                                      # (map + IS weight) — shared samplers
+                                      # from sampling/radial.py, identical
+                                      # draws to the XLA step
     max_attenuation=None,
     robin_correction=False,  # False | True/"chain" | "reflectance"
                              # (pre-RESOLVED: pass "auto" through
@@ -524,7 +528,11 @@ def make_pallas_walk(
     how lanes are permuted by compaction, and CRN layouts work on the fast
     path (stream id = slot id instead of lane id).
     """
-    from ..sampling.radial import _exact_rejection, sample_greens_radius
+    from ..sampling.radial import (
+        _exact_rejection,
+        sample_greens_radius,
+        sample_screened_radius_transport,
+    )
     from .greens import (
         greens_2d,
         greens_norm_2d,
@@ -850,9 +858,10 @@ def make_pallas_walk(
 
             if use_delta:
                 # same round-seeded streams as the XLA fast path's draw_r,
-                # through the SHARED two-regime rejection sampler; the
-                # finite round cap is unbiased via the importance-weighted
-                # final round (see sampling/radial._exact_rejection)
+                # through the SHARED samplers (draw-for-draw backend
+                # invariant): either the two-regime rejection with the
+                # importance-weighted final round, or the loop-free
+                # transport map + exact IS weight
                 def draw_r(round_idx):
                     sd = (seed_u32 ^ np.uint32(0xA5A5A5A5)
                           ^ (jnp.asarray(round_idx).astype(jnp.uint32)
@@ -861,9 +870,13 @@ def make_pallas_walk(
                         _counter_uniform_2d(sd, ctr, sid_u32, [1, 2, 3, 4])
                     )
 
-                r_s, w_rej = _exact_rejection(draw_r, r, sbar,
-                                              rejection_rounds,
-                                              with_weight=True)
+                if screened_sampler == "transport":
+                    r_s, w_rej = sample_screened_radius_transport(
+                        draw_r, r, sbar)
+                else:
+                    r_s, w_rej = _exact_rejection(draw_r, r, sbar,
+                                                  rejection_rounds,
+                                                  with_weight=True)
                 atten = jnp.where(stepping, atten * w_rej, atten)
             elif need_greens_radius:
                 r_s = sample_greens_radius(r, u[2], u[3])

@@ -347,6 +347,7 @@ class ShardedWoStSolver(WoStSolver):
             n_inner=n_inner,
             block_rows=opts.pallas_block_rows,
             rejection_rounds=opts.rejection_rounds,
+            screened_sampler=opts.screened_sampler,
             max_attenuation=opts.max_attenuation,
             robin_correction=self._robin_enabled(),
             roulette_threshold=opts.roulette_threshold,

@@ -61,9 +61,8 @@ from ..ops.greens import (
 )
 from ..problems.problem import Problem
 from ..sampling.radial import (
-    build_screened_radial_table,
     sample_greens_radius,
-    sample_screened_radius,
+    sample_screened_radius_transport,
 )
 from ..sampling.rng import counter_uniform, counter_uniform_lanes, mix32
 from .state import WalkerState, init_state
@@ -88,8 +87,18 @@ class SolverOptions:
     project_to_boundary: bool = True   # evaluate BC at the projected point
     t_min_frac: float = 1e-5           # min first-hit ray parameter / diameter
     rmin_factor: float = 0.5           # rmin = rmin_factor * eps (WoStSolver.py:167)
-    screened_sampler: str = "exact"    # "exact" (rejection, gather-free) or
-                                       # "table" (inverse-CDF interpolation)
+    screened_sampler: str = "exact"    # "exact": two-regime rejection
+                                       # (weight 1 on acceptance; cost =
+                                       # rejection_rounds redraw rounds) or
+                                       # "transport": fitted monotone
+                                       # transport map + exact importance
+                                       # weight (loop-free, one draw per
+                                       # sample; weight spread E[(w-1)^2]
+                                       # <= 3e-5 — sampling/radial.py::
+                                       # sample_screened_radius_transport).
+                                       # Both are exactly unbiased and run
+                                       # on BOTH backends with identical
+                                       # draws.
     rejection_rounds: int = 64         # redraw cap of the screened-radius
                                        # rejection. The loop exits when the
                                        # whole block accepts, so its cost is
@@ -347,14 +356,11 @@ class WoStSolver:
     def __init__(self, problem: Problem, options: SolverOptions = SolverOptions()):
         self.problem = problem
         self.options = options
-        self._table = None
-        if problem.use_delta_tracking and options.screened_sampler == "table":
-            # z = R sqrt(sigma_bar) can reach diameter * sqrt(sigma_bar);
-            # headroom x4 covers walkers that leak past an open Neumann
-            # gap (the reference notebook's "walk appears to be escaping"
-            # TODO, cell 19) whose star radius exceeds the domain diameter.
-            z_max = max(10.0, 4.0 * problem.diameter * np.sqrt(problem.sigma_bar))
-            self._table = build_screened_radial_table(z_max=z_max)
+        if options.screened_sampler not in ("exact", "transport"):
+            raise ValueError(
+                "screened_sampler must be 'exact' (rejection) or "
+                f"'transport' (map + IS weight); got {options.screened_sampler!r}"
+            )
         self._solve_cache = {}
         self._robin_cache = None  # (problem.version, False | "chain")
         self._progress_cb = None  # set per-solve; read at CALL time by the
@@ -485,7 +491,7 @@ class WoStSolver:
             mfp_bg = jnp.float32(
                 1.0 / np.sqrt(max(local_mj.sigma_bar_bg, 1e-12)))
             mfp_gl = jnp.float32(1.0 / np.sqrt(max(pb.sigma_bar, 1e-30)))
-        table = self._table
+        sampler_transport = opts.screened_sampler == "transport"
         rmin = jnp.float32(opts.rmin_factor * eps)
         eps_f = jnp.float32(eps)
         t_min = jnp.float32(opts.t_min_frac * pb.diameter)
@@ -809,24 +815,39 @@ class WoStSolver:
 
             # -- radial sample (exact; fixes solvers/utils.py:138-195) ---- #
             if use_delta:
-                if table is not None:
-                    r_s = sample_screened_radius(table, r, sbar, u[1], u[2])
-                elif rng_fast:
+                if rng_fast:
                     def draw_r(round_idx):
                         sd = (seed32 ^ jnp.uint32(0xA5A5A5A5)
                               ^ (jnp.asarray(round_idx).astype(jnp.uint32)
                                  * jnp.uint32(0x68E31DA4)))
                         return counter_uniform_lanes(sd, ctr, 4, lane_ids)
 
-                    from ..sampling.radial import _exact_rejection
+                    if sampler_transport:
+                        # loop-free transport map + exact IS weight
+                        r_s, w_rej = sample_screened_radius_transport(
+                            draw_r, r, sbar)
+                    else:
+                        from ..sampling.radial import _exact_rejection
 
-                    # finite redraw cap made exactly unbiased: lanes that
-                    # exhaust rejection_rounds take their final envelope
-                    # candidate with the importance weight A(x)/a(z),
-                    # folded into the walker weight below
-                    r_s, w_rej = _exact_rejection(draw_r, r, sbar,
-                                                  opts.rejection_rounds,
-                                                  with_weight=True)
+                        # finite redraw cap made exactly unbiased: lanes
+                        # that exhaust rejection_rounds take their final
+                        # envelope candidate with the importance weight
+                        # A(x)/a(z), folded into the walker weight below
+                        r_s, w_rej = _exact_rejection(draw_r, r, sbar,
+                                                      opts.rejection_rounds,
+                                                      with_weight=True)
+                    atten = jnp.where(stepping, atten * w_rej, atten)
+                elif sampler_transport:
+                    rkey = jax.random.fold_in(step_key, 1)
+
+                    def draw_tt(round_idx):
+                        return jax.random.uniform(
+                            jax.random.fold_in(rkey, round_idx),
+                            (4,) + jnp.shape(r), minval=1e-7, maxval=1.0,
+                        )
+
+                    r_s, w_rej = sample_screened_radius_transport(
+                        draw_tt, r, sbar)
                     atten = jnp.where(stepping, atten * w_rej, atten)
                 else:
                     # threefry path: same weighted cap as the fast path
@@ -1323,9 +1344,6 @@ class WoStSolver:
         # SILENTLY would break the draw-for-draw backend invariant
         # (CLAUDE.md) for an option the user explicitly chose
         blockers = []
-        if self.options.screened_sampler == "table":
-            blockers.append("screened_sampler='table' (the kernel draws "
-                            "via the shared rejection sampler)")
         if self.options.rng != "fast":
             blockers.append(f"rng='{self.options.rng}' (the kernel "
                             "implements the counter-hash RNG only)")
@@ -1635,6 +1653,7 @@ class WoStSolver:
             n_inner=n_inner,
             block_rows=block_rows,
             rejection_rounds=opts.rejection_rounds,
+            screened_sampler=opts.screened_sampler,
             max_attenuation=opts.max_attenuation,
             robin_correction=self._robin_enabled(),
             roulette_threshold=opts.roulette_threshold,

@@ -117,6 +117,28 @@ def test_pallas_matches_xla_delta_tracking():
     assert rp.total_steps == rx.total_steps
 
 
+def test_pallas_matches_xla_transport_sampler():
+    # screened_sampler="transport" on both backends: the map + IS-weight
+    # draw must stay draw-for-draw identical. Variable alpha + Neumann so
+    # interior collisions, wall arrivals, AND the per-draw weight all fire
+    # (constant-alpha cases have sigma_bar ~ 0 and exercise neither).
+    import jax.numpy as jnp
+
+    alpha = lambda x, y: 2.0 + jnp.sin(0.5 * x) * 0.3 + 0.2 * y
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-2.0, 0.0], [-2.0, -4.0], [2.0, -4.0], [2.0, 0.0]]
+        ),
+        neumann=Polyline.from_points([[-2.0, 0.0], [2.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x + y,
+        alpha=alpha,
+    )
+    opts = dict(_SMALL, screened_sampler="transport")
+    rp, rx = _pair(prob, np.array([[0.0, -1.0], [0.5, -0.5]]), opts=opts)
+    _assert_close(rp, rx)
+    assert rp.total_steps == rx.total_steps
+
+
 def test_pallas_matches_xla_neumann():
     prob = Problem(
         dirichlet=Polyline.from_points(

@@ -12,9 +12,8 @@ import jax.numpy as jnp
 from dcrmontecarlo_tpu.sampling import (
     sample_greens_radius,
     greens_radial_pdf,
-    build_screened_radial_table,
-    sample_screened_radius,
     sample_screened_radius_exact,
+    sample_screened_radius_transport,
     screened_radial_pdf,
     uniform_radial,
     RadialDistribution,
@@ -49,26 +48,80 @@ def test_greens_radial_pdf_normalized():
     np.testing.assert_allclose(np.trapezoid(p, r), 1.0, rtol=1e-3)
 
 
-def test_screened_radius_matches_analytic_cdf():
-    tab = build_screened_radial_table()
-    key = jax.random.PRNGKey(1)
-    n = 200_000
-    u = jax.random.uniform(key, (2, n))
-    for R, sb in [(1.0, 4.0), (10.0, 1.0), (0.5, 0.1)]:
-        r = np.asarray(
-            sample_screened_radius(tab, jnp.float32(R), jnp.float32(sb), u[0], u[1])
+def _weighted_ecdf_sup_error(r, w, rr, cdf):
+    order = np.argsort(r)
+    w_cum = np.concatenate([[0.0], np.cumsum(w[order])]) / w.sum()
+    emp = w_cum[np.searchsorted(r[order], rr, side="right")]
+    return np.abs(emp - cdf).max()
+
+
+def _transport_draw(key, n):
+    def draw(round_idx):
+        return jax.random.uniform(
+            jax.random.fold_in(key, round_idx), (4, n),
+            minval=1e-7, maxval=1.0,
         )
-        assert (r >= 0).all() and (r <= R).all()
+    return draw
+
+
+def test_transport_sampler_matches_analytic_cdf():
+    # the loop-free map+IS sampler across every regime: clamp-below-range
+    # (z = 0.01), unscreened-ish (0.3), mid map (2, 7), the map/free seam
+    # (11.4 / 11.6), and deep screening (z = 350, the notebook regime).
+    n = 400_000
+    for i, (R, sb) in enumerate([(1.0, 1e-4), (0.5, 0.36), (2.0, 1.0),
+                                 (10.0, 0.49), (11.4, 1.0), (11.6, 1.0),
+                                 (500.0, 0.49)]):
+        key = jax.random.PRNGKey(100 + i)
+        r, w = sample_screened_radius_transport(
+            _transport_draw(key, n), jnp.full((n,), R, jnp.float32), sb)
+        r = np.asarray(r)
+        w = np.asarray(w)
+        assert np.isfinite(r).all() and np.isfinite(w).all()
+        assert (r >= 0).all() and (r <= R + 1e-4 * R).all()
+        assert (w >= 0).all()
+        # exact IS: E[w] = 1 (MC error ~ std/sqrt(n) ~ tiny: the weight
+        # spread is <= ~3e-5 by construction, so this is a TIGHT gate)
+        np.testing.assert_allclose(w.mean(), 1.0, atol=2e-3)
         rr = np.concatenate([
             np.geomspace(1e-6 * R, 1e-2 * R, 512, endpoint=False),
             np.linspace(1e-2 * R, R, 4096),
         ])
         pdf = screened_radial_pdf(rr, R, sb)
-        cdf = np.concatenate([[0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(rr))])
+        cdf = np.concatenate(
+            [[0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(rr))])
         cdf /= cdf[-1]
-        err = _ecdf_sup_error(r, rr, cdf)
-        # table interpolation adds a small bias on top of MC error
-        assert err < 0.02, (R, sb, err)
+        err = _weighted_ecdf_sup_error(r, w, rr, cdf)
+        # KS 99.9% ~ 1.95/sqrt(n) ~ 0.0031 (weights ~1 barely widen it)
+        assert err < 0.005, (R, sb, err)
+
+
+def test_transport_sampler_weight_spread_is_tiny():
+    # the per-draw importance weight must be ~1 (it compounds over
+    # ~1000-step walks): verified E[(w-1)^2] <= 1e-4 at the worst z
+    # (the map/free seam) and <= 2e-5 at a typical mid-map z
+    n = 400_000
+    for R, sb, bound in [(11.5, 1.0, 1e-4), (3.0, 1.0, 2e-5),
+                         (0.5, 1.0, 2e-5)]:
+        key = jax.random.PRNGKey(7)
+        _, w = sample_screened_radius_transport(
+            _transport_draw(key, n), jnp.full((n,), R, jnp.float32), sb)
+        w = np.asarray(w)
+        m2 = np.mean((w - 1.0) ** 2)
+        assert m2 < bound, (R, sb, m2)
+
+
+def test_transport_sampler_mixed_lanes():
+    # per-lane radii spanning clamp, map, and free regimes in one call
+    n = 100_000
+    key = jax.random.PRNGKey(42)
+    R = jnp.asarray(np.random.default_rng(0).uniform(0.05, 80.0, n),
+                    jnp.float32)
+    r, w = sample_screened_radius_transport(_transport_draw(key, n), R, 0.44)
+    r, w = np.asarray(r), np.asarray(w)
+    assert np.isfinite(r).all() and np.isfinite(w).all()
+    assert (r >= 0).all() and (r <= np.asarray(R) * (1 + 1e-5)).all()
+    np.testing.assert_allclose(w.mean(), 1.0, atol=3e-3)
 
 
 def test_screened_radius_exact_matches_analytic_cdf():
@@ -150,15 +203,19 @@ def test_weighted_round_cap_is_unbiased():
     assert err_raw > 3 * err_weighted, (err_raw, err_weighted)
 
 
-def test_screened_radius_small_z_falls_back_to_unscreened():
-    tab = build_screened_radial_table()
+def test_transport_sampler_tiny_z_matches_unscreened():
+    # z far below the fit range: the map clamps to Z_LO and the exact
+    # weight absorbs the O(z^2) shape difference — the WEIGHTED ecdf must
+    # match the unscreened law
     key = jax.random.PRNGKey(2)
-    u = jax.random.uniform(key, (2, 100_000))
+    n = 200_000
     R = 1.0
-    r = np.asarray(sample_screened_radius(tab, R, jnp.float32(1e-8), u[0], u[1]))
+    r, w = sample_screened_radius_transport(
+        _transport_draw(key, n), jnp.full((n,), R, jnp.float32), 1e-8)
+    r, w = np.asarray(r), np.asarray(w)
     s_grid = np.linspace(1e-4, 1.0, 200)
     cdf = s_grid**2 * (1.0 - 2.0 * np.log(s_grid))
-    assert _ecdf_sup_error(r, s_grid * R, cdf) < 0.005
+    assert _weighted_ecdf_sup_error(r, w, s_grid * R, cdf) < 0.005
 
 
 def test_mis_balance_heuristic_unbiased():
@@ -182,36 +239,23 @@ def test_mis_balance_heuristic_unbiased():
     np.testing.assert_allclose(est, 1.0 / 3.0, rtol=0.02)
 
 
-def test_table_sampler_above_range_rescales():
-    # z above the table range must fall back to the self-similar rescale
-    # of the z_max row (radii ~ 1/z), not reuse the z_max radii verbatim
-    # (~z/z_max too large).
-    from scipy.integrate import cumulative_trapezoid
-    from scipy.special import k0 as K0
+def test_transport_coeffs_are_monotone():
+    # regression on the generated constants: the fitted map must be
+    # strictly increasing in v for every omega (that's what makes the
+    # proposal density q = m'(v)/S'(v) — and hence the IS weight — exact);
+    # re-verify here so a bad regeneration cannot ship
+    from numpy.polynomial import chebyshev as C
 
-    from dcrmontecarlo_tpu.sampling.radial import (
-        build_screened_radial_table,
-        sample_screened_radius,
-    )
+    from dcrmontecarlo_tpu.sampling._transport_coeffs import COEFFS
 
-    tab = build_screened_radial_table()
-    z_top = float(np.exp(tab.log_z0 + (tab.n_z - 1) * tab.dlog_z))
-    z = 3.0 * z_top
-    rng = np.random.default_rng(0)
-    n = 100000
-    u1 = rng.uniform(size=n).astype(np.float32)
-    u2 = rng.uniform(size=n).astype(np.float32)
-    r = np.asarray(sample_screened_radius(
-        tab, jnp.float32(1.0), jnp.float32(z * z),
-        jnp.asarray(u1), jnp.asarray(u2)))
-    t = np.linspace(1e-7, 1.0, 20000)
-    dens = t * K0(np.minimum(z * t, 700))
-    cdf = cumulative_trapezoid(dens, t, initial=0.0)
-    cdf /= cdf[-1]
-    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
-    got = np.quantile(r, qs)
-    want = np.interp(qs, cdf, t)
-    np.testing.assert_allclose(got, want, rtol=0.08)
+    B = np.asarray(COEFFS)
+    vs = np.linspace(0.0, 1.0, 8001)
+    tv = 2 * vs - 1
+    for w in np.linspace(-1.0, 1.0, 101):
+        Tw = C.chebvander(np.array([w]), B.shape[1] - 1)[0]
+        c = B @ Tw
+        ds = C.chebval(tv, C.chebder(c)) * 2.0
+        assert ds.min() > 0.01, (w, ds.min())
 
 
 def test_screened_radius_exact_extreme_screening():

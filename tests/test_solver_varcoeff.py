@@ -109,6 +109,34 @@ def test_manufactured_polynomial_solution():
     assert frac_ok > 0.85, (frac_ok, err, tol)
 
 
+def test_transport_sampler_solution_unbiased():
+    # screened_sampler="transport" (map + exact IS weight) must reproduce
+    # the manufactured solution with the same gates as the rejection
+    # default — the weight contract makes it exactly unbiased, and the
+    # fitted map only controls the (tiny) weight spread
+    u_exact, alpha, sigma, bc, source = _polynomial_manufactured()
+    prob = Problem(
+        dirichlet=square_loop(1.0),
+        bc_dirichlet=bc,
+        source=source,
+        alpha=alpha,
+        sigma=sigma,
+    )
+    solver = WoStSolver(
+        prob, SolverOptions(target_slots=16384, screened_sampler="transport")
+    )
+    g = np.linspace(-0.7, 0.7, 4)
+    X, Y = np.meshgrid(g, g, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    res = solver.solve(pts, n_walks=3000, max_steps=800, eps=1e-3, seed=2)
+    exact = u_exact(pts)
+    err = np.abs(res.mean - exact)
+    tol = 5.0 * res.stderr + 0.03
+    rmse = np.sqrt(np.mean((res.mean - exact) ** 2))
+    assert rmse < 0.08, (rmse, res.mean, exact)
+    assert (err < tol).mean() > 0.85, (err, tol)
+
+
 def test_convergence_with_walks():
     # RMSE must drop as n_walks grows (reference convergence sweep,
     # testWoStCorrectness.py:185-196).
