@@ -312,7 +312,11 @@ class SolverOptions:
                                        # picks pallas on TPU when the
                                        # geometry is statically unrollable
     pallas_inner_steps: int = 256      # walk steps per pallas launch
-    pallas_block_rows: int = 128       # walker rows (x128 lanes) per block
+    pallas_block_rows: int = 64        # walker rows (x128 lanes) per block
+                                       # (re-tuned 2026-08-18 after the
+                                       # rejection unroll: 64 -> 1.745 G
+                                       # vs 128 -> 1.70 on the DCR bench,
+                                       # 8-rep medians; 256 is 1.38)
     compaction: bool = False           # host-driven launch loop that
                                        # periodically permutes still-active
                                        # walker lanes into a smaller grid.
