@@ -52,8 +52,15 @@ def survey_default_options(**overrides) -> SolverOptions:
     the published numbers:
 
     * ``common_random_numbers=True`` — dipole voltages are differences;
-      slot-matched streams cancel the shared MC noise (2.3x with MIS on
-      err*sqrt(t), ``bench.py --preset accuracy``).
+      slot-matched streams correlate the shared MC noise so it cancels in
+      them. Free (a stream relabeling). Re-measured 2026-08-18 against
+      the FDM oracle (tools/accuracy_oracle_ab.py, 16 TPU seeds): with
+      the round-3 physics (chord-chain Robin, boundary-snap starts) the
+      40 m-spaced notebook electrodes decorrelate within a few steps and
+      CRN's err*sqrt(t) is within seed noise of plain — the earlier 2.3x
+      predates those physics fixes. Kept on: costs nothing, still exact,
+      and tightly correlates CLOSE receivers (verified bit-identical at
+      zero spacing).
     * ``compaction=False`` — re-measured 2026-08-18 (tools/
       pack_vs_shrink.py, TPU, notebook survey at 2500 and 10000 walks):
       with the roulette default killing the low-weight straggler tail,
