@@ -242,6 +242,13 @@ def _exact_rejection(draw, R, sigma_bar, max_rounds: int,
         return x, s, u[3]
 
     x0, s0, ua0 = candidates(draw(jnp.int32(0)))
+    # round-0 candidate, saved before any redraw round can replace it: for
+    # z below meaningful screening (``tiny`` at the bottom) the small-z
+    # candidate sqrt(U0 U1) IS the exact unscreened closed form, so the
+    # fallback reuses this draw instead of paying a dedicated 4-stream
+    # draw(-997) every step (the old extra call was discarded on every
+    # non-tiny lane; dropping it leaves non-tiny lanes bit-identical)
+    s_round0 = s0
     A0 = accept_prob(x0, s0)
     if with_weight and max_rounds == 1:
         acc0 = jnp.ones_like(s0) > 0.0  # pure IS: take round-0 candidate
@@ -289,14 +296,11 @@ def _exact_rejection(draw, R, sigma_bar, max_rounds: int,
         _, s_fin, w_fin, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(1), s0, w0, acc0.astype(jnp.int32))
         )
-    # z below any meaningful screening: unscreened closed form
+    # z below any meaningful screening: unscreened closed form. tiny
+    # implies ``small`` (z < 2), so round 0's candidate is exactly
+    # s = sqrt(U0 U1) — the unscreened law — and no fresh draw is needed.
     tiny = z < 1e-3
-    u = draw(jnp.int32(-997))
-    s_fin = jnp.where(
-        tiny,
-        jnp.sqrt(jnp.maximum(u[0], 1e-12) * jnp.maximum(u[1], 1e-12)),
-        s_fin,
-    )
+    s_fin = jnp.where(tiny, s_round0, s_fin)
     r_fin = jnp.clip(s_fin, 0.0, 1.0) * R
     if not with_weight:
         return r_fin
