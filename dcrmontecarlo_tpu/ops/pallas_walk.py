@@ -651,20 +651,21 @@ def make_pallas_walk(
         if snap_starts:
             ob0_ref, n0x_ref, n0y_ref = refs[gi2], refs[gi2 + 1], refs[gi2 + 2]
             gi2 += 3
-        n_state = 5 + 3 * n_src + 5
+        n_state = 5 + 3 * n_src + 8
         sin = refs[gi2: gi2 + n_state]
         sout = refs[gi2 + n_state: gi2 + 2 * n_state]
         (px_ref, py_ref, nx_ref, ny_ref, atten_ref) = sin[:5]
         acc_refs = sin[5: 5 + n_src]
         asum_refs = sin[5 + n_src: 5 + 2 * n_src]
         asq_refs = sin[5 + 2 * n_src: 5 + 3 * n_src]
-        (quota_ref, steps_ref, ndone_ref, ob_ref, life_ref) = sin[5 + 3 * n_src:]
+        (quota_ref, steps_ref, ndone_ref, ob_ref, life_ref,
+         tn_ref, tw_ref, wmax_ref) = sin[5 + 3 * n_src:]
         (opx_ref, opy_ref, onx_ref, ony_ref, oatten_ref) = sout[:5]
         oacc_refs = sout[5: 5 + n_src]
         oasum_refs = sout[5 + n_src: 5 + 2 * n_src]
         oasq_refs = sout[5 + 2 * n_src: 5 + 3 * n_src]
-        (oquota_ref, osteps_ref, ondone_ref, oob_ref, olife_ref) = \
-            sout[5 + 3 * n_src:]
+        (oquota_ref, osteps_ref, ondone_ref, oob_ref, olife_ref,
+         otn_ref, otw_ref, owmax_ref) = sout[5 + 3 * n_src:]
 
         if static_geom:
             closest_point = lambda px, py: _closest_point_unrolled(
@@ -705,7 +706,7 @@ def make_pallas_walk(
 
         def step(_, carry):
             (px, py, nxv, nyv, atten, accs, asums, asqs, quota, steps,
-             ndone, obi, life, *rest) = carry
+             ndone, obi, life, tn, tw, wmax, *rest) = carry
             # cross-step alpha cache (delta only): alpha at the CURRENT
             # position rides the carry — every move below evaluates alpha
             # at its destination anyway, so the walker-position re-eval
@@ -748,6 +749,14 @@ def make_pallas_walk(
                     walk_done, contrib * contrib, 0.0)
             ndone = ndone + walk_done.astype(jnp.int32)
             quota = quota - walk_done.astype(jnp.int32)
+
+            # truncation accounting (mirrors solver/wost.py): walks the
+            # max_steps cap ended while still carrying weight — roulette
+            # kills end with atten == 0 and are excluded. Accumulated
+            # per lane, summed by the caller's _moments.
+            truncated = walk_done & ~done_eps & (jnp.abs(atten) > 0.0)
+            tn = tn + truncated.astype(jnp.float32)
+            tw = tw + jnp.where(truncated, jnp.abs(atten), 0.0)
 
             px = jnp.where(walk_done, p0x, px)
             py = jnp.where(walk_done, p0y, py)
@@ -1112,6 +1121,12 @@ def make_pallas_walk(
             # per-lane lifetime counter: summed outside the kernel for the
             # walker-steps throughput metric
             life = life + stepping.astype(jnp.int32)
+            # running max |weight| of stepping lanes: the supercritical-
+            # compounding tripwire (solve() warns when the solve's max
+            # exceeds ~1e3x the split scale — robin_interior="chord"
+            # blowups, mid-launch compounding, any future weighted option)
+            wmax = jnp.maximum(
+                wmax, jnp.where(stepping, jnp.abs(atten), 0.0))
             if use_delta:
                 a_cur_out = jnp.where(
                     stepping, a_next, jnp.where(walk_done, a_p0, a_cur_in))
@@ -1120,7 +1135,7 @@ def make_pallas_walk(
                 tail = ()
             return (px, py, nxv, nyv, atten, tuple(accs), tuple(asums),
                     tuple(asqs), quota, steps, ndone, ob.astype(jnp.int32),
-                    life) + tail
+                    life, tn, tw, wmax) + tail
 
         # launch-level alpha evals, amortized over the n_inner steps: the
         # start-point alpha (recycle resets) and the incoming positions'
@@ -1136,6 +1151,7 @@ def make_pallas_walk(
             tuple(ref[:] for ref in asum_refs),
             tuple(ref[:] for ref in asq_refs),
             quota_ref[:], steps_ref[:], ndone_ref[:], ob_ref[:], life_ref[:],
+            tn_ref[:], tw_ref[:], wmax_ref[:],
         ) + cache_init
 
         # early exit when THIS block's quota is fully drained: a step with
@@ -1165,7 +1181,7 @@ def make_pallas_walk(
         _, carry = jax.lax.while_loop(inner_cond, inner_body,
                                       (jnp.int32(0), carry))
         (px, py, nxv, nyv, atten, accs, asums, asqs, quota, steps, ndone,
-         obi, life, *_rest) = carry
+         obi, life, tn, tw, wmax, *_rest) = carry
         opx_ref[:] = px
         opy_ref[:] = py
         onx_ref[:] = nxv
@@ -1180,6 +1196,9 @@ def make_pallas_walk(
         ondone_ref[:] = ndone
         oob_ref[:] = obi
         olife_ref[:] = life
+        otn_ref[:] = tn
+        otw_ref[:] = tw
+        owmax_ref[:] = wmax
 
     f32 = jnp.float32
     i32 = jnp.int32
@@ -1190,7 +1209,10 @@ def make_pallas_walk(
         state: dict with keys p0x,p0y (f32), sid (i32 RNG stream ids —
         carried IN the state so walker compaction can permute lanes
         without changing their walks), px,py,nx,ny,atten,acc,asum,asq
-        (f32), quota,steps,ndone,ob (i32) — all (rows, 128). ``seed`` is
+        (f32), quota,steps,ndone,ob,life (i32), and the per-lane
+        diagnostics tn,tw,wmax (f32: truncated-walk count, truncated
+        |atten| mass, running max stepping |atten|) — all (rows, 128).
+        ``seed`` is
         the int32-bit-pattern stream seed, constant across launches.
         ``freeze_thr`` (``freeze_split`` builds only): the per-launch
         |atten| freeze threshold — the host split's threshold normally,
@@ -1208,8 +1230,9 @@ def make_pallas_walk(
             + [f"asum{i}" for i in range(n_src)]
             + [f"asq{i}" for i in range(n_src)]
             + ["quota", "steps", "ndone", "ob", "life"]
+            + ["tn", "tw", "wmax"]
         )
-        dtypes = [f32] * (5 + 3 * n_src) + [i32] * 5
+        dtypes = [f32] * (5 + 3 * n_src) + [i32] * 5 + [f32] * 3
         out_shape = [
             jax.ShapeDtypeStruct((rows, _LANES), dt) for dt in dtypes
         ]

@@ -22,7 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..problems.problem import Problem
 from ..solver.state import init_state
-from ..solver.wost import SolverOptions, WoStSolver
+from ..solver.wost import RawSolveOut, SolverOptions, WoStSolver
 
 __all__ = ["ShardedWoStSolver", "make_mesh"]
 
@@ -54,6 +54,14 @@ class ShardedWoStSolver(WoStSolver):
         super().__init__(problem, options)
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
+        # progress callbacks: supported on BOTH sharded paths (the
+        # reference shows tqdm on its only path, WoStSolver.py:182, and
+        # production pod solves are exactly the long ones). Device loops
+        # stay collective-free, so device 0 reports its OWN shard's
+        # walks-done scaled by the mesh size — exact at start and end,
+        # approximate in between (shards drain at slightly different
+        # rates). XLA path: jax.debug.callback every ~64 steps; Pallas
+        # path: once per kernel launch.
         # compaction: honored on the sharded PALLAS path (in-graph lane
         # packing onto the kernel's per-block early exit — see
         # _build_solve_fn_pallas_sharded); the XLA-sharded builder warns
@@ -76,16 +84,6 @@ class ShardedWoStSolver(WoStSolver):
     def _build_solve_fn_uncached(
         self, n_points: int, n_walks: int, max_steps: int, eps: float
     ):
-        if self._progress_cb is not None:
-            import warnings
-
-            warnings.warn(
-                "progress callbacks are not supported on the sharded "
-                "solver (per-device loops have no shared host hook); "
-                "use solve_stream for batch-level progress.",
-                stacklevel=3,
-            )
-            self._progress_cb = None
         if self._use_pallas():
             return self._build_solve_fn_pallas_sharded(
                 n_points, n_walks, max_steps, eps
@@ -106,21 +104,12 @@ class ShardedWoStSolver(WoStSolver):
         )
         max_quota = int(quota_row.max())
         step_cap = max_quota * (max_steps + 1) + 2
-        # Robin residual mode needs the sweep loop (chord clone-pair
-        # service) on every shard, exactly like the base XLA path
-        use_requests = self._robin_enabled() == "residual"
-        if use_requests and self.options.rng != "fast":
-            raise ValueError(
-                "robin_correction='residual' requires rng='fast'")
-        step = self._make_step_core(
-            eps, max_steps, crn=crn,
-            req_cap=step_cap if use_requests else None,
-        )
+        step = self._make_step_core(eps, max_steps, crn=crn)
         axis = self.axis
         n_src = max(1, len(self.problem.source_fields))
         # cross-step alpha cache, exactly as the base XLA path
-        # (solver/wost.py::_build_solve_fn_xla; residual mode opts out)
-        use_cache = self.problem.use_delta_tracking and not use_requests
+        # (solver/wost.py::_build_solve_fn_xla)
+        use_cache = self.problem.use_delta_tracking
         if use_cache:
             from ..solver.wost import _lift
 
@@ -154,6 +143,32 @@ class ShardedWoStSolver(WoStSolver):
         # resolved eagerly: Problem.diameter's float() cannot run under
         # the shard_map trace
         snap_tol = self._boundary_snap_tol(eps)
+        # sharded progress: device 0 reports its shard's walks-done
+        # scaled by the mesh size (device loops stay collective-free)
+        want_progress = self._progress_cb is not None
+        n_dev_static = int(self.mesh.devices.size)
+        total_walks = n_points * n_walks
+
+        def _report(done_local, it):
+            cb = self._progress_cb
+            if cb is not None:
+                cb(min(int(done_local) * n_dev_static, total_walks),
+                   total_walks, int(it))
+
+        def _wrap_dev0(stepfn, dev, quota_total):
+            def wrapped(s, a, b, k, sid=None, **kw):
+                s2, d = stepfn(s, a, b, k, sid=sid, **kw)
+                jax.lax.cond(
+                    (s2.step_idx % 64 == 0) & (dev == 0),
+                    lambda done, it: jax.debug.callback(_report, done, it),
+                    lambda done, it: None,
+                    jnp.maximum(quota_total - jnp.sum(s2.quota), 0),
+                    s2.step_idx,
+                )
+                return s2, d
+
+            wrapped.lane_ids = stepfn.lane_ids
+            return wrapped
 
         def shard_body(points, quotas_shard, key):
             # quotas_shard: (K/n_dev, n_points) on each device
@@ -173,7 +188,7 @@ class ShardedWoStSolver(WoStSolver):
             p0y = pv(jnp.tile(pty, (k_local,)))
             a0 = alpha0_v(p0x, p0y) if use_cache else None
             state = init_state(p0x, p0y, quotas_shard.reshape(-1),
-                               n_src=n_src, with_chord=use_requests, a0=a0)
+                               n_src=n_src, a0=a0)
             state = state._replace(
                 on_bdry=pv(state.on_bdry),
                 nx=pv(state.nx),
@@ -188,8 +203,7 @@ class ShardedWoStSolver(WoStSolver):
                 step_idx=pv(state.step_idx),
                 trunc_n=pv(state.trunc_n),
                 trunc_absw=pv(state.trunc_absw),
-                chord=(None if state.chord is None
-                       else jax.tree.map(pv, state.chord)),
+                wmax=pv(state.wmax),
             )
             if ob0 is None:
                 def step_s(s, a, b, k, sid=None):
@@ -209,7 +223,10 @@ class ShardedWoStSolver(WoStSolver):
                 # _sharded_split_loop allocates lane stream ids via this
                 step_s.lane_ids = step.lane_ids
 
-            if not (use_split or use_requests):
+            if want_progress:
+                step_s = _wrap_dev0(step_s, dev, jnp.sum(quotas_shard))
+
+            if not use_split:
                 def cond(s):
                     return (s.step_idx < step_cap) & jnp.any(s.quota > 0)
 
@@ -222,7 +239,17 @@ class ShardedWoStSolver(WoStSolver):
                 final = self._sharded_split_loop(
                     step_s, state, p0x, p0y, shard_key, dev,
                     k_local, n_points, step_cap, max_steps,
-                    use_split=use_split, use_requests=use_requests,
+                )
+            if want_progress:
+                # final report: short shards can drain before the first
+                # in-loop %64 tick, and the end state is exact
+                jax.lax.cond(
+                    dev == 0,
+                    lambda d_, i_: jax.debug.callback(_report, d_, i_),
+                    lambda d_, i_: None,
+                    jnp.maximum(jnp.sum(quotas_shard) - jnp.sum(final.quota),
+                                0),
+                    final.step_idx,
                 )
             sums = final.acc_sum.reshape(n_src, k_local, n_points).sum(axis=1)
             sumsq = final.acc_sumsq.reshape(n_src, k_local, n_points).sum(axis=1)
@@ -234,32 +261,35 @@ class ShardedWoStSolver(WoStSolver):
             iters = jax.lax.pmax(final.step_idx, axis)
             trunc_n = jax.lax.psum(final.trunc_n, axis)
             trunc_absw = jax.lax.psum(final.trunc_absw, axis)
-            return sums, sumsq, steps, iters, trunc_n, trunc_absw
+            wmax = jax.lax.pmax(final.wmax, axis)
+            return sums, sumsq, steps, iters, trunc_n, trunc_absw, wmax
 
         mapped = jax.shard_map(
             shard_body,
             mesh=self.mesh,
             in_specs=(P(), P(axis, None), P()),
-            out_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P(), P()),
         )
 
         @jax.jit
         def run(points, key):
             (sums, sumsq, steps, iters,
-             trunc_n, trunc_absw) = mapped(points, quotas_km, key)
+             trunc_n, trunc_absw, wmax) = mapped(points, quotas_km, key)
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            return (mean, stderr, sums, sumsq, steps, iters,
-                    trunc_n, trunc_absw)
+            return RawSolveOut(
+                mean=mean, stderr=stderr, walk_sum=sums, walk_sumsq=sumsq,
+                total_steps=steps, iterations=iters,
+                truncated_walks=trunc_n, truncated_weight=trunc_absw,
+                max_weight=wmax,
+            )
 
         return run
 
     def _sharded_split_loop(self, step, state, p0x, p0y, shard_key,
-                            dev, k_local, n_points, step_cap, max_steps,
-                            use_split=True, use_requests=False):
-        """Sweep while-loop, slot-major: in-graph high-weight splitting
-        and/or Robin residual-chord service.
+                            dev, k_local, n_points, step_cap, max_steps):
+        """Sweep while-loop, slot-major: in-graph high-weight splitting.
 
         The pairing/halving/stream-allocation logic is the shared
         ``solver/split.py`` helper (same implementation as the base
@@ -270,11 +300,7 @@ class ShardedWoStSolver(WoStSolver):
         from a per-device range so shards never collide with each other
         or with the lane/CRN ids.
         """
-        from ..solver.split import (
-            make_chord_service,
-            make_ingraph_split,
-            run_split_while,
-        )
+        from ..solver.split import make_ingraph_split, run_split_while
 
         W_local = k_local * n_points
         # dev is already axis-varying, so deriving from it makes these
@@ -290,13 +316,10 @@ class ShardedWoStSolver(WoStSolver):
         do_split = make_ingraph_split(
             self.options.split_threshold, n_points, k_local,
             slot_major=True,
-        ) if use_split else None
-        service = make_chord_service(
-            n_points, k_local, slot_major=True,
-        ) if use_requests else None
+        )
         return run_split_while(
             step, do_split, state, p0x, p0y, shard_key,
-            sid0, nsid0, step_cap, max_steps, service=service,
+            sid0, nsid0, step_cap, max_steps,
         )
 
     def _build_solve_fn_pallas_sharded(
@@ -390,6 +413,18 @@ class ShardedWoStSolver(WoStSolver):
         # and packing captures the compute win without the reshape).
         use_pack = bool(opts.compaction)
 
+        # sharded progress (one report per kernel launch from device 0,
+        # scaled by the mesh size — see the class docstring note)
+        want_progress = self._progress_cb is not None
+        n_dev_static = int(self.mesh.devices.size)
+        total_walks_p = n_points * n_walks
+
+        def _report(done_local, it):
+            cb = self._progress_cb
+            if cb is not None:
+                cb(min(int(done_local) * n_dev_static, total_walks_p),
+                   total_walks_p, int(it))
+
         # quotas laid out (K, n_points) so the slot axis shards evenly
         quotas_km = jnp.asarray(
             np.tile(quota_row[:, None], (1, n_points)).astype(np.int32)
@@ -439,6 +474,7 @@ class ShardedWoStSolver(WoStSolver):
                 "atten": f0 + 1.0,
                 "quota": quota, "steps": i0_, "ndone": i0_, "ob": i0_,
                 "life": i0_,
+                "tn": f0, "tw": f0, "wmax": f0,
             }
             for i in range(n_src_p):
                 state[f"acc{i}"] = f0
@@ -465,6 +501,17 @@ class ShardedWoStSolver(WoStSolver):
                     jnp.sum((state["quota"] > 0).astype(jnp.int32)), axis
                 ) > 0
 
+            q_total_local = jnp.sum(quota)
+
+            def _emit_progress(st, launches):
+                jax.lax.cond(
+                    dev == 0,
+                    lambda done, it: jax.debug.callback(_report, done, it),
+                    lambda done, it: None,
+                    jnp.maximum(q_total_local - jnp.sum(st["quota"]), 0),
+                    launches * n_inner,
+                )
+
             def pack(state, pid):
                 # active lanes first (stable: relative walk order kept);
                 # every per-lane array — including sid/p0/snap data and
@@ -488,6 +535,8 @@ class ShardedWoStSolver(WoStSolver):
                 def body(c):
                     state, pid, launches, _ = c
                     new_state = plan.run(state, seed_i)
+                    if want_progress:
+                        _emit_progress(new_state, launches + 1)
                     if use_pack:
                         new_state, pid = pack(new_state, pid)
                     return (new_state, pid, launches + 1,
@@ -521,6 +570,8 @@ class ShardedWoStSolver(WoStSolver):
                 def body(c):
                     state, pid, nsid, bsum, bsq, launches, _ = c
                     state = plan.run(state, seed_i)
+                    if want_progress:
+                        _emit_progress(state, launches + 1)
 
                     def dosplit(state, pid, nsid, bsum, bsq):
                         state, pid, n, dsum, dsq = split_fn(
@@ -570,25 +621,31 @@ class ShardedWoStSolver(WoStSolver):
             sumsq = jax.lax.psum(sumsq, axis)
             steps = jax.lax.psum(steps, axis)
             iters = jax.lax.pmax(launches * n_inner, axis)
-            return sums, sumsq, steps, iters
+            trunc_n = jax.lax.psum(jnp.sum(state["tn"]), axis)
+            trunc_w = jax.lax.psum(jnp.sum(state["tw"]), axis)
+            wmax = jax.lax.pmax(jnp.max(state["wmax"]), axis)
+            return sums, sumsq, steps, iters, trunc_n, trunc_w, wmax
 
         mapped = jax.shard_map(
             shard_body,
             mesh=self.mesh,
             in_specs=(P(), P(axis, None), P()),
-            out_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P(), P()),
             check_vma=False,  # pallas_call outputs carry no vma metadata
         )
 
         @jax.jit
         def run(points, key):
-            sums, sumsq, steps, iters = mapped(points, quotas_km, key)
+            (sums, sumsq, steps, iters,
+             trunc_n, trunc_w, wmax) = mapped(points, quotas_km, key)
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            # the fused kernel tracks no truncation counter (see the
-            # single-chip Pallas path); NaN = "not tracked"
-            nan = jnp.float32(jnp.nan)
-            return mean, stderr, sums, sumsq, steps, iters, nan, nan
+            return RawSolveOut(
+                mean=mean, stderr=stderr, walk_sum=sums, walk_sumsq=sumsq,
+                total_steps=steps, iterations=iters,
+                truncated_walks=trunc_n, truncated_weight=trunc_w,
+                max_weight=wmax,
+            )
 
         return run

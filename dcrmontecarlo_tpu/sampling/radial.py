@@ -299,6 +299,11 @@ def _exact_rejection(draw, R, sigma_bar, max_rounds: int,
     # z below any meaningful screening: unscreened closed form. tiny
     # implies ``small`` (z < 2), so round 0's candidate is exactly
     # s = sqrt(U0 U1) — the unscreened law — and no fresh draw is needed.
+    # (Bookkeeping for bit-reproducibility across versions: this path
+    # inherits candidates()'s 1e-7 uniform floor, where the pre-round-3
+    # draw(-997) fallback floored at 1e-12 — a distributionally
+    # negligible change, sup-ECDF error 0.0015 vs the unscreened CDF at
+    # z=1e-4/n=200k, but tiny-lane draws differ from round-2 seeds.)
     tiny = z < 1e-3
     s_fin = jnp.where(tiny, s_round0, s_fin)
     r_fin = jnp.clip(s_fin, 0.0, 1.0) * R

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["SPLIT_EVERY", "make_ingraph_split", "run_split_while",
-           "make_launch_split", "LAUNCH_SPLIT_COPY", "make_chord_service"]
+           "make_launch_split", "LAUNCH_SPLIT_COPY"]
 
 SPLIT_EVERY = 16  # steps between split sweeps: bounds weight compounding
                   # at 16 steps of (1 - sigma'/sigma_bar) growth
@@ -72,12 +72,6 @@ def make_ingraph_split(threshold: float, n_points: int, n_slots: int,
         act = view(s.quota > 0)
         heavy = act & (view(jnp.abs(s.atten)) > thr)
         idle = ~act
-        if s.chord is not None:
-            # a drained lane with a pending chord request (or second-leg
-            # marker) is NOT a valid clone host: the split clone's
-            # walk_done would be mistaken for a leg-A termination and
-            # hijack the buffered restart
-            idle = idle & view((s.chord.w == 0.0) & (s.chord.wb == 0.0))
         src = jnp.argsort(~heavy, axis=1, stable=True)  # heavy slots first
         dst = jnp.argsort(~idle, axis=1, stable=True)   # idle slots first
         n = jnp.minimum(heavy.sum(1), idle.sum(1))      # per point group
@@ -119,164 +113,6 @@ def make_ingraph_split(threshold: float, n_points: int, n_slots: int,
         return new, sid, nsid + n.sum().astype(jnp.uint32)
 
     return do_split
-
-
-def make_chord_service(n_points: int, n_slots: int, slot_major: bool):
-    """Build the Robin residual-chord request service:
-    ``service(state, sid, nsid) -> (state, sid, nsid)`` (THEORY.md §4e).
-
-    Each pending :class:`~..solver.state.ChordRequest` is realized by ONE
-    clone placed into an idle lane of the same point group. The clone
-    runs an ANTITHETIC two-leg walk: leg A from the chord point
-    ``z = x + zeta t^`` with weight ``+w``; at leg A's termination the
-    step core (``_make_step_core``'s residual transition) restarts it
-    from ``x`` with weight ``-w`` — the second leg's start state rides
-    in the clone's own chord buffer — and only the COMBINED two-leg
-    contribution is banked, as one unit. Both legs reset ``steps_cur``
-    to 0 with ``n_done`` unchanged on the same fresh stream, so they
-    draw IDENTICAL per-step uniforms: the legs track each other and the
-    realized pair value is the residual ``u~(z) - u~(x)``, not ``u~``
-    itself — in the sum AND in the banked square (no stderr inflation
-    from two large cancelling halves).
-
-    Destination lanes must be idle AND have an empty chord buffer (a
-    pending original request on a drained lane must not be mistaken for
-    a clone's second-leg marker); unserved requests stay buffered for
-    the next sweep.
-    """
-    rows_idx = jnp.arange(n_points)[:, None]
-    col_idx = jnp.arange(n_slots)[None, :]
-
-    if slot_major:
-        def view(v):
-            return v.reshape(n_slots, n_points).T
-
-        def unview(m):
-            return m.T.reshape(-1)
-    else:
-        def view(v):
-            return v.reshape(n_points, n_slots)
-
-        def unview(m):
-            return m.reshape(-1)
-
-    def service(s, sid, nsid):
-        ch = s.chord
-        # pending REQUESTS live on non-clone lanes (sid < 2^30); a
-        # non-zero buffer on a clone lane is its own leg-B marker
-        is_clone = sid >= jnp.uint32(1 << 30)
-        req_flat = ((ch.w != 0.0) | (ch.wb != 0.0)) & ~is_clone
-        n_src_ax = s.walk_acc.shape[0]
-
-        # ---- phase 1: SELF-HOST requests on drained lanes ----------- #
-        # a drained lane realizes its own request in place (no partner
-        # needed), which guarantees endgame progress even if every lane
-        # of a point group holds a request
-        sf = req_flat & (s.quota <= 0)
-        zx_all = ch.xx + ch.zeta * (-ch.ny)
-        zy_all = ch.xy + ch.zeta * ch.nx
-        sfr = jnp.cumsum(sf.astype(jnp.uint32)) - sf.astype(jnp.uint32)
-        fresh_self = nsid + sfr
-        px = jnp.where(sf, zx_all, s.px)
-        py = jnp.where(sf, zy_all, s.py)
-        ob = jnp.where(sf, True, s.on_bdry)
-        nx1 = jnp.where(sf, ch.nx, s.nx)
-        ny1 = jnp.where(sf, ch.ny, s.ny)
-        atten = jnp.where(sf, ch.w, s.atten)
-        steps = jnp.where(sf, 0, s.steps_cur)
-        ndone = jnp.where(sf, 0, s.n_done)
-        quota = jnp.where(sf, 1, s.quota)
-        wacc = jnp.where(sf[None, :], 0.0, s.walk_acc)
-        sid1 = jnp.where(sf, fresh_self, sid)
-        # request becomes leg-B marker: the NEGATED leg-B weight (gamma
-        # at the request's x, stored in wb) — leg A above starts with
-        # ch.w (gamma at the chord point z)
-        w1 = jnp.where(sf, -ch.wb, ch.w)
-        wb1 = jnp.where(sf, 0.0, ch.wb)
-        nsid = nsid + sf.sum().astype(jnp.uint32)
-        s = s._replace(px=px, py=py, on_bdry=ob, nx=nx1, ny=ny1,
-                       atten=atten,
-                       steps_cur=steps, n_done=ndone, quota=quota,
-                       walk_acc=wacc, chord=ch._replace(w=w1, wb=wb1))
-        sid = sid1
-        ch = s.chord
-
-        # ---- phase 2: pair ACTIVE lanes' requests with clean idles -- #
-        req = view(((ch.w != 0.0) | (ch.wb != 0.0))
-                   & ~(sid >= jnp.uint32(1 << 30)))
-        idle = view((s.quota <= 0) & (ch.w == 0.0) & (ch.wb == 0.0))
-        src = jnp.argsort(~req, axis=1, stable=True)   # request lanes first
-        dst = jnp.argsort(~idle, axis=1, stable=True)  # clean idle first
-        n_serve = jnp.minimum(req.sum(1), idle.sum(1))
-        serve = col_idx < n_serve[:, None]
-
-        def gather(v):
-            return view(v)[rows_idx, src]
-
-        gx = gather(ch.xx)
-        gy = gather(ch.xy)
-        gnx = gather(ch.nx)
-        gny = gather(ch.ny)
-        gz = gather(ch.zeta)
-        gw = gather(ch.w)
-        gwb = gather(ch.wb)
-        zx = gx + gz * (-gny)   # chord point along the wall tangent
-        zy = gy + gz * gnx
-
-        def put(v, val):
-            m = view(v)
-            return unview(m.at[rows_idx, dst].set(
-                jnp.where(serve, val, m[rows_idx, dst])))
-
-        zero_i = jnp.zeros_like(serve, jnp.int32)
-        zf = jnp.zeros_like(serve, jnp.float32)
-        new_px = put(s.px, zx)
-        new_py = put(s.py, zy)
-        new_ob = put(s.on_bdry, jnp.ones_like(serve))
-        new_nx = put(s.nx, gnx)
-        new_ny = put(s.ny, gny)
-        new_atten = put(s.atten, gw)
-        new_steps = put(s.steps_cur, zero_i)
-        new_ndone = put(s.n_done, zero_i)
-        new_quota = put(s.quota, zero_i + 1)
-        # leg A's prefix is zero: its estimate is u~(z) alone
-        new_wacc = jnp.stack(
-            [put(s.walk_acc[i], zf) for i in range(n_src_ax)])
-        # one fresh stream per clone; both legs share it
-        srank = jnp.cumsum(n_serve) - n_serve
-        fresh = (srank[:, None] + col_idx).astype(jnp.uint32) + nsid
-        new_sid = put(sid, fresh)
-        # the clone's OWN chord buffer holds leg B's start: position x,
-        # the wall normal, and the NEGATED weight (zeta unused)
-        cxx = put(ch.xx, gx)
-        cxy = put(ch.xy, gy)
-        cnx = put(ch.nx, gnx)
-        cny = put(ch.ny, gny)
-        # clear served requests on their source lanes, THEN write the
-        # clone markers (a lane cannot be both: dst excludes request
-        # holders)
-        wm = view(ch.w)
-        wm = wm.at[rows_idx, src].set(
-            jnp.where(serve, 0.0, wm[rows_idx, src]))
-        # the clone's leg-B marker carries the NEGATED leg-B weight
-        # (gamma at x, from wb); its own wb stays clear
-        wm = wm.at[rows_idx, dst].set(
-            jnp.where(serve, -gwb, wm[rows_idx, dst]))
-        wbm = view(ch.wb)
-        wbm = wbm.at[rows_idx, src].set(
-            jnp.where(serve, 0.0, wbm[rows_idx, src]))
-        new_chord = ch._replace(
-            xx=cxx, xy=cxy, nx=cnx, ny=cny, w=unview(wm),
-            wb=unview(wbm))
-        new = s._replace(
-            px=new_px, py=new_py, on_bdry=new_ob,
-            nx=new_nx, ny=new_ny, atten=new_atten,
-            walk_acc=new_wacc, steps_cur=new_steps,
-            n_done=new_ndone, quota=new_quota, chord=new_chord,
-        )
-        return new, new_sid, nsid + n_serve.sum().astype(jnp.uint32)
-
-    return service
 
 
 # per-walk state a launch-boundary split clone copies; accumulators
@@ -370,8 +206,8 @@ def make_launch_split(threshold: float, n_src: int, n_points: int):
 
 
 def run_split_while(step, do_split, state, p0x, p0y, key, sid0, nsid0,
-                    step_cap: int, max_steps: int, service=None):
-    """The sweep-enabled while-loop all the in-graph solve paths share.
+                    step_cap: int, max_steps: int):
+    """The sweep-enabled while-loop the in-graph split solve paths share.
 
     ``step_cap`` bounds ORIGINAL walks (``quota * (max_steps + 1)``); a
     clone created near it needs up to ``max_steps`` more iterations, so
@@ -379,39 +215,20 @@ def run_split_while(step, do_split, state, p0x, p0y, key, sid0, nsid0,
     longer — every clone (and clone-of-clone: splits only occur below
     ``step_cap``) provably finishes, keeping the split exactly unbiased
     instead of truncating late clones' half-weights.
-
-    ``service`` (optional, from :func:`make_chord_service`): the Robin
-    residual-chord request sweep. It runs on every sweep tick including
-    past ``step_cap`` (requests are only FILED below ``step_cap`` — the
-    step core's ``req_cap`` gate — but a request pending at the cap must
-    still be realized), and the loop keeps running while any request is
-    buffered; the bound gains one sweep period plus one clone-walk span
-    so the last-serviced pair provably finishes. ``do_split`` may be
-    ``None`` (residual mode without high-weight splitting).
     """
     split_cap = step_cap + max_steps + 2
-    if service is not None:
-        split_cap += max_steps + 2 * SPLIT_EVERY + 2
 
     def cond(c):
         s = c[0]
-        alive = jnp.any(s.quota > 0)
-        if service is not None:
-            alive = alive | jnp.any(
-                (s.chord.w != 0.0) | (s.chord.wb != 0.0))
-        return (s.step_idx < split_cap) & alive
+        return (s.step_idx < split_cap) & jnp.any(s.quota > 0)
 
     def sweep(s, sid, nsid):
-        if service is not None:
-            s, sid, nsid = service(s, sid, nsid)
-        if do_split is not None:
-            s, sid, nsid = jax.lax.cond(
-                s.step_idx < step_cap,
-                do_split,
-                lambda a, b, c_: (a, b, c_),
-                s, sid, nsid,
-            )
-        return s, sid, nsid
+        return jax.lax.cond(
+            s.step_idx < step_cap,
+            do_split,
+            lambda a, b, c_: (a, b, c_),
+            s, sid, nsid,
+        )
 
     def body(c):
         s, sid, nsid = c

@@ -13,35 +13,7 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-__all__ = ["WalkerState", "ChordRequest", "init_state"]
-
-
-class ChordRequest(NamedTuple):
-    """Per-lane buffer of ONE pending Robin residual-chord clone-pair
-    request (``robin_correction="residual"``, THEORY.md §4e).
-
-    An on-boundary visit that draws the residual branch stores its chord
-    geometry here; the periodic split sweep services it by cloning an
-    antithetic walker PAIR into two idle lanes of the same point group
-    (+walk from the chord point ``z``, −walk from ``x``, one shared fresh
-    RNG stream so the difference walks cancel). ``w == 0`` means empty.
-    A lane whose buffer is occupied realizes further visits with the
-    unbiased chain fallback, so one slot per lane loses nothing.
-    """
-
-    xx: jnp.ndarray   # f32 on-boundary position x at request time
-    xy: jnp.ndarray   # f32
-    nx: jnp.ndarray   # f32 wall normal at request time
-    ny: jnp.ndarray   # f32
-    zeta: jnp.ndarray  # f32 signed chord offset along the wall tangent
-    w: jnp.ndarray    # f32 leg-A weight, gamma at the CHORD point z
-                      #     (0 = no pending request)
-    wb: jnp.ndarray   # f32 leg-B weight magnitude, gamma at the walker x.
-                      #     The legs need DIFFERENT gammas: the pair
-                      #     estimates int 2 gamma(z) G_s u~(z) dzeta
-                      #     - c(gamma_x) u~(x), so leg A carries gamma(z)
-                      #     and leg B gamma(x); sharing one weight biases
-                      #     wherever gamma varies along the wall.
+__all__ = ["WalkerState", "init_state"]
 
 
 class WalkerState(NamedTuple):
@@ -72,6 +44,11 @@ class WalkerState(NamedTuple):
     trunc_n: jnp.ndarray     # () f32 walks ended by the max_steps cap with
                              #     nonzero weight (roulette kills excluded —
                              #     they end with atten == 0 by design)
+    wmax: jnp.ndarray        # () f32 running max |atten| over stepping
+                             #     lanes — the supercritical-compounding
+                             #     tripwire surfaced as
+                             #     SolveResult.max_weight (solve() warns
+                             #     at ~1e3x the split scale)
     trunc_absw: jnp.ndarray  # () f32 sum of |atten| those walks carried:
                              #     the magnitude of the estimate mass the
                              #     cap silently dropped. The truncation
@@ -79,12 +56,6 @@ class WalkerState(NamedTuple):
                              #     large value relative to n_walks flags a
                              #     max_steps too small for the problem
                              #     (failure detection, SURVEY §2 A3).
-    chord: Optional[ChordRequest] = None  # residual-Robin request buffer;
-                                          # None (an empty pytree node)
-                                          # unless the solve runs
-                                          # robin_correction="residual",
-                                          # so other configs carry no
-                                          # extra state through the loop
     a_cur: Optional[jnp.ndarray] = None   # f32 cached alpha at the CURRENT
                                           # position (delta tracking only).
                                           # Every move's destination alpha
@@ -94,26 +65,18 @@ class WalkerState(NamedTuple):
                                           # re-eval next step — the single
                                           # avoidable field eval of the
                                           # hot loop. None = recompute
-                                          # each step (pre-cache behavior;
-                                          # also used by residual mode,
-                                          # whose leg-B restarts land at
-                                          # buffered positions with no
-                                          # cached alpha)
+                                          # each step (pre-cache behavior)
 
 
-def init_state(p0x, p0y, quotas, n_src: int = 1,
-               with_chord: bool = False, a0=None) -> WalkerState:
+def init_state(p0x, p0y, quotas, n_src: int = 1, a0=None) -> WalkerState:
     """``a0``: per-lane alpha at the start positions — enables the
     cross-step alpha cache (``WalkerState.a_cur``); ``None`` keeps the
     recompute-every-step behavior."""
     w = p0x.shape[0]
     f0 = jnp.zeros((w,), jnp.float32)
     acc0 = jnp.zeros((n_src, w), jnp.float32)
-    chord = ChordRequest(xx=f0, xy=f0, nx=f0, ny=f0, zeta=f0, w=f0, wb=f0) \
-        if with_chord else None
     return WalkerState(
         a_cur=None if a0 is None else jnp.asarray(a0, jnp.float32),
-        chord=chord,
         px=p0x.astype(jnp.float32),
         py=p0y.astype(jnp.float32),
         on_bdry=jnp.zeros((w,), bool),
@@ -130,4 +93,5 @@ def init_state(p0x, p0y, quotas, n_src: int = 1,
         step_idx=jnp.zeros((), jnp.int32),
         trunc_n=jnp.zeros((), jnp.float32),
         trunc_absw=jnp.zeros((), jnp.float32),
+        wmax=jnp.zeros((), jnp.float32),
     )

@@ -67,7 +67,7 @@ from ..sampling.radial import (
 from ..sampling.rng import counter_uniform, counter_uniform_lanes, mix32
 from .state import WalkerState, init_state
 
-__all__ = ["WoStSolver", "SolveResult", "SolverOptions"]
+__all__ = ["WoStSolver", "SolveResult", "SolverOptions", "RawSolveOut"]
 
 
 def _lift(f: Callable) -> Callable:
@@ -205,19 +205,19 @@ class SolverOptions:
                                        #   the pre-J q = |gamma|/
                                        #   sqrt(sigma_bar) scaling cost
                                        #   14x).
-                                       # * "residual" — strictly unbiased
-                                       #   resummation: fold the frozen
-                                       #   chord mass 1/(1-c) like
-                                       #   reflectance, estimate only the
-                                       #   residual by antithetic
-                                       #   two-leg clone pairs on the
-                                       #   split infrastructure
-                                       #   (THEORY.md §4e). XLA backend
-                                       #   only; measured WORSE than
-                                       #   chain on wall-hugging
-                                       #   problems (leg decoherence),
-                                       #   competitive on few-visit
-                                       #   long-chord regimes.
+                                       # * ("residual" — the antithetic
+                                       #   two-leg resummation — was
+                                       #   REMOVED in round 4: measured
+                                       #   worse than the chain on every
+                                       #   workload (leg decoherence,
+                                       #   THEORY.md §4e) while costing
+                                       #   the hot step 3 RNG streams, a
+                                       #   per-lane request buffer, and a
+                                       #   clone-pair service. The
+                                       #   negative result and the
+                                       #   removed design are recorded in
+                                       #   THEORY.md §4e; code in git
+                                       #   history.)
                                        # * "reflectance" — deterministic
                                        #   resummation: the chord integral
                                        #   with u~ frozen at the walker is
@@ -317,16 +317,61 @@ class SolverOptions:
                                        # rejection unroll: 64 -> 1.745 G
                                        # vs 128 -> 1.70 on the DCR bench,
                                        # 8-rep medians; 256 is 1.38)
-    compaction: bool = False           # host-driven launch loop that
-                                       # periodically permutes still-active
-                                       # walker lanes into a smaller grid.
-                                       # Straggler-bound workloads (heavy-
-                                       # tailed walk lengths, e.g. the
-                                       # 1000 m notebook survey at ~15%
-                                       # occupancy) speed up severalfold;
-                                       # saturated workloads are unchanged.
-                                       # The returned solve fn is a python
-                                       # driver (not end-to-end jittable).
+    compaction: object = False         # walker-lane compaction on the
+                                       # Pallas backend:
+                                       # * False — none (default).
+                                       # * "pack" — IN-GRAPH lane packing:
+                                       #   after a launch whose active
+                                       #   count halved since the last
+                                       #   pack, a stable argsort permutes
+                                       #   active lanes into the leading
+                                       #   kernel blocks, so drained
+                                       #   trailing blocks hit the
+                                       #   kernel's per-block early exit.
+                                       #   Walks are unchanged (stream
+                                       #   ids/p0/pid ride the
+                                       #   permutation); the solve stays
+                                       #   end-to-end jittable. The
+                                       #   halving condition makes it
+                                       #   ~free on saturated workloads
+                                       #   and a large win on short-walk
+                                       #   straggler tails (bench.py
+                                       #   --preset short). Sharded
+                                       #   Pallas packs every launch.
+                                       # * True — legacy host-driven
+                                       #   launch loop that SHRINKS the
+                                       #   grid (python driver, not
+                                       #   jittable; measured 3x worse on
+                                       #   the saturated DCR bench, wins
+                                       #   only on straggler-bound
+                                       #   no-roulette runs).
+
+
+class RawSolveOut(NamedTuple):
+    """Device-side output of every compiled solve fn.
+
+    All solve builders (XLA, Pallas, sharded — ``_build_solve_fn*`` here
+    and in ``parallel/mesh.py``) return this named structure instead of a
+    positional tuple: a field added to one backend is added to all of
+    them by construction, and consumers (``solve``, ``bench.py``,
+    ``tools/``) read fields by name — the class of silent positional
+    drift that broke both bench presets in round 3 (CLAUDE.md) cannot
+    recur. Array fields are per-source ``(n_src, N)``; scalars are 0-d
+    device arrays (or python floats on the host-driven Pallas loop).
+    """
+
+    mean: jnp.ndarray          # (n_src, N) MC estimate per point
+    stderr: jnp.ndarray        # (n_src, N) empirical stderr of the mean
+    walk_sum: jnp.ndarray      # (n_src, N) raw sum of walk totals
+    walk_sumsq: jnp.ndarray    # (n_src, N) raw sum of squares
+    total_steps: jnp.ndarray   # () active walker-steps executed
+    iterations: jnp.ndarray    # () loop iterations / inner steps issued
+    truncated_walks: jnp.ndarray   # () walks ended by max_steps with
+                                   # nonzero weight (NaN = not tracked)
+    truncated_weight: jnp.ndarray  # () sum of |atten| those walks dropped
+    max_weight: jnp.ndarray        # () max |atten| any stepping lane
+                                   # reached — the supercritical-weight
+                                   # tripwire read by solve()'s guard
 
 
 class SolveResult(NamedTuple):
@@ -339,13 +384,23 @@ class SolveResult(NamedTuple):
     walk_sumsq: np.ndarray = None  # (N,) raw sum of squares; lets
                                    # solve_stream combine batches exactly
     truncated_walks: float = None  # walks ended by max_steps while still
-                                   # carrying weight (XLA backend; NaN on
-                                   # the Pallas/sharded paths, which don't
-                                   # track it)
+                                   # carrying weight (tracked on ALL
+                                   # backends: XLA, Pallas, sharded)
     truncated_weight: float = None  # sum of |atten| those walks dropped —
                                     # the magnitude of the cap's silent
                                     # bias; compare against n_walks *
                                     # n_points
+    max_weight: float = None        # max |atten| any stepping lane reached
+                                    # during the solve (all backends).
+                                    # Walker weights compound per step;
+                                    # when an option makes the compounding
+                                    # supercritical (robin_interior=
+                                    # "chord" wall residence, strongly
+                                    # negative sigma' without splitting)
+                                    # the estimate is variance-dominated
+                                    # garbage — solve() warns when this
+                                    # exceeds ~1e3x the split scale and
+                                    # points at split/roulette/cap
 
 
 class WoStSolver:
@@ -376,10 +431,9 @@ class WoStSolver:
         """Resolve ``SolverOptions.robin_correction`` to a realization mode.
 
         Returns ``False`` (plain reflection), ``"chain"`` (strictly
-        unbiased signed chord branch; legacy ``True``), ``"residual"``
-        (strictly unbiased resummation + antithetic residual clone
-        pairs, THEORY.md §4e), or ``"reflectance"`` (deterministic chord
-        resummation, THEORY.md §4c).
+        unbiased signed chord branch; legacy ``True``), or
+        ``"reflectance"`` (deterministic chord resummation,
+        THEORY.md §4c).
 
         Auto probes max |gamma| along the Neumann boundary and evaluates
         the dimensionless scale ``s = gamma * min(diameter,
@@ -407,9 +461,17 @@ class WoStSolver:
         mode = self.options.robin_correction
         if not mode:
             return False
+        if mode == "residual":
+            raise ValueError(
+                "robin_correction='residual' was removed in round 4: the "
+                "antithetic two-leg resummation measured strictly worse "
+                "than the 'chain' realization on every workload "
+                "(THEORY.md 4e records the design and the measurements). "
+                "Use 'chain' (default under 'auto') or 'reflectance'."
+            )
         if not (pb.use_delta_tracking and pb.neumann is not None):
             return False
-        if mode in ("reflectance", "residual"):
+        if mode == "reflectance":
             return mode
         if mode != "auto":
             return "chain"  # True / "chain" / other truthy values
@@ -421,25 +483,44 @@ class WoStSolver:
         self._robin_cache = (pb.version, enabled)
         return enabled
 
+    def _warn_supercritical(self, max_weight: float):
+        """Runtime guard for supercritical weight compounding.
+
+        Delta-tracking weights multiply per step; options that make the
+        compounding supercritical (``robin_interior="chord"`` on
+        wall-hugging walks — measured 1e3..1e5-scale blowups on the
+        notebook survey, THEORY.md §4g — or strongly negative sigma'
+        without splitting) produce variance-dominated garbage means with
+        no error message. Warn when the solve's max stepping |atten|
+        exceeds 1e3x the configured split scale (``split_threshold``, or
+        1.0 when splitting is off) and point at the taming knobs.
+        """
+        thr = self.options.split_threshold
+        scale = max(float(thr), 1.0) if thr is not None else 1.0
+        if np.isfinite(max_weight) and max_weight > 1e3 * scale:
+            import warnings
+
+            warnings.warn(
+                f"walker weights reached |atten| = {max_weight:.3g} "
+                f"(> 1e3x the split scale {scale:g}): the estimate is "
+                "likely variance-dominated. Tame the compounding with "
+                "SolverOptions.split_threshold (unbiased splitting), "
+                "roulette_threshold (unbiased low-weight kill), or "
+                "max_attenuation (biased cap); if robin_interior='chord' "
+                "is set, switch back to 'arrival' (THEORY.md 4g).",
+                stacklevel=3,
+            )
+
     # ------------------------------------------------------------------ #
     # step function                                                      #
     # ------------------------------------------------------------------ #
 
-    def _make_step_core(self, eps: float, max_steps: int, crn=None,
-                        req_cap: int = None):
+    def _make_step_core(self, eps: float, max_steps: int, crn=None):
         """Build the branchless SoA step: ``(state, p0x, p0y, key) -> state``.
 
         Also returns a per-step diagnostics dict for the history-tracing
         path (``diagnostics/history.py``); the while-loop driver discards
         it.
-
-        ``req_cap``: iteration bound below which ``robin_correction=
-        "residual"`` may file chord clone-pair requests (the solve
-        builders pass their ``step_cap`` so late requests cannot outrun
-        the loop bound). ``None`` with residual mode resolves the chord
-        via the chain realization instead — the standalone steppers
-        (history tracing, occupancy profiling) have no split sweep to
-        service requests, and the chain is equally unbiased.
 
         ``crn``: optional ``(mode, period, reps)`` common-random-numbers
         layout — slot ``j`` of EVERY evaluation point draws the same
@@ -465,12 +546,9 @@ class WoStSolver:
         alpha_c = jax.vmap(_lift(pb.alpha_c)) if use_delta else None
         sigma_prime = jax.vmap(_lift(pb.sigma_prime)) if use_delta else None
         robin_mode = self._robin_enabled()
-        # False | "chain" | "residual" | "reflectance"
-        if robin_mode == "residual" and req_cap is None:
-            robin_mode = "chain"  # standalone steppers: see docstring
+        # False | "chain" | "reflectance"
         use_robin = bool(robin_mode)
         robin_chain = robin_mode == "chain"
-        robin_resid = robin_mode == "residual"
         # chain mode's interior-walker realization (THEORY.md §4g)
         int_chord = robin_chain and self.options.robin_interior == "chord"
         if use_robin:
@@ -506,7 +584,7 @@ class WoStSolver:
             raise ValueError("common random numbers require rng='fast'")
 
         n_u = 8 if use_mis else 4
-        if robin_chain or robin_resid:
+        if robin_chain:
             n_u = 11  # three extra streams for the on-boundary chord branch
             # (the reflectance mode is draw-free: no extra streams)
 
@@ -562,26 +640,7 @@ class WoStSolver:
                 bx, by = state.px, state.py
             contrib = state.walk_acc + bc(bx, by) * state.atten
 
-            if robin_resid:
-                # Residual-chord clone legs (THEORY.md §4e): a clone lane
-                # (stream id >= 2^30) whose chord buffer is non-empty is
-                # mid-PAIR — when leg A (+w from the chord point z)
-                # terminates, it does NOT bank: it restarts as leg B
-                # (-w from x, start state from its buffer), carrying leg
-                # A's total forward, and only the COMBINED two-leg
-                # contribution banks. steps_cur resets with n_done
-                # unchanged on the same stream, so both legs draw
-                # identical uniforms: the realized pair value is the
-                # coupled difference u~(z) - u~(x), in the banked square
-                # too (no stderr inflation from two cancelling halves).
-                lane_sid = lane_ids if sid is None else sid
-                is_clone = lane_sid >= jnp.uint32(1 << 30)
-                leg2 = is_clone & (state.chord.w != 0.0)
-                bank = walk_done & ~leg2
-                trans = walk_done & leg2
-            else:
-                bank = walk_done
-                trans = None
+            bank = walk_done
             # truncation accounting: walks the max_steps cap ended while
             # still carrying weight (roulette kills end with atten == 0
             # and are excluded); their dropped mass is the one silent
@@ -613,13 +672,6 @@ class WoStSolver:
                 cnx = jnp.where(walk_done, p0nx, state.nx)
                 cny = jnp.where(walk_done, p0ny, state.ny)
             steps_cur = jnp.where(walk_done, 0, state.steps_cur)
-            if robin_resid:
-                ch0 = state.chord
-                px = jnp.where(trans, ch0.xx, px)
-                py = jnp.where(trans, ch0.xy, py)
-                walk_acc = jnp.where(trans, contrib, walk_acc)
-                atten = jnp.where(trans, ch0.w, atten)
-                on_bdry = jnp.where(trans, True, on_bdry)
             stepping = act & ~walk_done
 
             # -- star radius (WoStSolver.py:210-215) ---------------------- #
@@ -754,30 +806,7 @@ class WoStSolver:
                     c_int = jnp.where(
                         ~on_bdry & (d_wall < r) & (l_ch > 0.0),
                         jnp.minimum(c_int, 0.5), 0.0)
-                if robin_resid:
-                    # THEORY.md §4e: per visit u~(x) = (H + R)/(1 - c) —
-                    # fold the frozen-u~ chord mass DETERMINISTICALLY
-                    # (like reflectance) and estimate only the residual
-                    # R = int 2 gamma G_s (u~(z) - u~(x)) dzeta by a rare
-                    # antithetic clone-pair branch (below). Lanes whose
-                    # one-request buffer is occupied (or past req_cap)
-                    # realize this visit via the chain instead — both
-                    # realizations are unbiased, so the mixture is.
-                    # CRITICAL: clone lanes themselves (is_clone, from
-                    # the termination block) never file requests — pairs
-                    # spawning pairs is a supercritical branching process
-                    # on wall-hugging walks (measured 100x step blowup);
-                    # with the chain realizing the clones' own chord
-                    # terms the cascade is single-generation and the
-                    # walk population stays linear in the request rate.
-                    buf_free = (state.chord.w == 0.0) & (
-                        state.chord.wb == 0.0)
-                    can_req = (buf_free & ~is_clone
-                               & (state.step_idx < jnp.int32(req_cap)))
-                    atten = jnp.where(
-                        stepping & on_bdry & can_req,
-                        atten / (1.0 - c_ch), atten)
-                elif not robin_chain:
+                if not robin_chain:
                     atten = jnp.where(
                         stepping & on_bdry, atten / (1.0 - c_ch), atten)
 
@@ -878,14 +907,12 @@ class WoStSolver:
             sy = jnp.where(beyond, hy, py + r_s * dy)
 
             if use_delta:
-                if state.a_cur is not None and not robin_resid:
+                if state.a_cur is not None:
                     # cross-step alpha cache: recycled lanes restart at p0
                     # (driver-supplied p0a, or a recompute that XLA hoists
                     # out of the loop — p0x/p0y are loop-invariant); every
                     # other lane carries the alpha its own move evaluated
-                    # last step (a_s / a_h / a_z below). Residual mode is
-                    # excluded: its leg-B restarts land at buffered chord
-                    # positions whose alpha was never evaluated.
+                    # last step (a_s / a_h / a_z below).
                     a_p0 = alpha_c(p0x, p0y) if p0a is None else p0a
                     a_p = jnp.where(walk_done, a_p0, state.a_cur)
                 else:
@@ -1034,7 +1061,7 @@ class WoStSolver:
                 newy = jnp.where(collide, sy, hy)
                 a_next = jnp.where(collide, a_s_mv, a_h)  # alpha cache feed
                 new_on_bdry = hit & ~collide
-                if robin_chain or robin_resid:
+                if robin_chain:
                     # On-boundary CHORD continuation: for a walker standing
                     # ON the wall the Robin term int_flat gamma G_refl u~
                     # (G_refl = 2 G_s on the wall) is realized by branching
@@ -1129,33 +1156,20 @@ class WoStSolver:
                     w_ch = (m_img * gamma_z * g_ch
                             / jnp.maximum(p_mix, 1e-30)
                             * jnp.sqrt(a_z / a_p))
-                    if robin_chain:
-                        # the integrand's support ends with the wall
-                        # segment: chord samples past its ends carry zero
-                        # weight (the branch still happens — redirecting
-                        # it into the no-branch path would double-count
-                        # the continuation; the zero-weight walk banks
-                        # its already-accumulated walk_acc and roulette
-                        # retires it)
-                        w_ch = jnp.where(
-                            (zeta >= s_lo) & (zeta <= s_hi), w_ch, 0.0)
-                    if robin_resid:
-                        # residual mode: a firing buffer-free lane FILES a
-                        # clone-pair request (+walk from z, -walk from x,
-                        # serviced by the split sweep) instead of moving;
-                        # its own continuation proceeds normally under the
-                        # 1/(1-c) fold, with NO non-branch upweight (the
-                        # pair is an additive estimator of R, not a
-                        # replacement of the continuation). Occupied /
-                        # post-cap lanes realize the visit via the chain.
-                        branch = fire & ~can_req
-                        chain_visit = on_bdry & ~can_req
-                    else:
-                        branch = fire
-                        # every lane with a live chord (on-boundary OR an
-                        # interior ball overlapping the wall) pays the
-                        # non-branch upweight 1/(1 - q)
-                        chain_visit = q_c > 0.0
+                    # the integrand's support ends with the wall
+                    # segment: chord samples past its ends carry zero
+                    # weight (the branch still happens — redirecting
+                    # it into the no-branch path would double-count
+                    # the continuation; the zero-weight walk banks
+                    # its already-accumulated walk_acc and roulette
+                    # retires it)
+                    w_ch = jnp.where(
+                        (zeta >= s_lo) & (zeta <= s_hi), w_ch, 0.0)
+                    branch = fire
+                    # every lane with a live chord (on-boundary OR an
+                    # interior ball overlapping the wall) pays the
+                    # non-branch upweight 1/(1 - q)
+                    chain_visit = q_c > 0.0
                     new_on_bdry = new_on_bdry | branch
                     newx = jnp.where(branch, zx, newx)
                     newy = jnp.where(branch, zy, newy)
@@ -1166,35 +1180,6 @@ class WoStSolver:
                         atten * jnp.where(
                             stepping & chain_visit & (q_c > 1e-6),
                             1.0 / (1.0 - q_c), 1.0))
-                    if robin_resid:
-                        # leg A carries gamma(z) (w_ch above); leg B must
-                        # carry gamma(x) — the pair estimates
-                        # int 2 gamma(z) G_s u~(z) dzeta - c(gamma_x) u~(x)
-                        w_pair = atten_pre * w_ch / jnp.maximum(q_c, 1e-6)
-                        w_ch_b = 2.0 * gamma0 * g_ch / jnp.maximum(
-                            p_mix, 1e-30)
-                        wb_pair = atten_pre * w_ch_b / jnp.maximum(
-                            q_c, 1e-6)
-                        req_new = (fire & can_req) & (
-                            (w_pair != 0.0) | (wb_pair != 0.0))
-                        ch = state.chord
-                        # trans lanes consumed their second-leg marker
-                        # this iteration; req_new lanes file a fresh
-                        # request (disjoint: trans lanes are not
-                        # stepping, so fire is False there)
-                        chord_new = ch._replace(
-                            xx=jnp.where(req_new, px, ch.xx),
-                            xy=jnp.where(req_new, py, ch.xy),
-                            nx=jnp.where(req_new, cnx, ch.nx),
-                            ny=jnp.where(req_new, cny, ch.ny),
-                            zeta=jnp.where(req_new, zeta, ch.zeta),
-                            w=jnp.where(
-                                trans, 0.0,
-                                jnp.where(req_new, w_pair, ch.w)),
-                            wb=jnp.where(
-                                trans, 0.0,
-                                jnp.where(req_new, wb_pair, ch.wb)),
-                        )
                 # cap AFTER the chord rewrite (matching the Pallas kernel)
                 # so it actually bounds the signed chord weights; symmetric
                 # clip because chord weights can be negative
@@ -1209,7 +1194,7 @@ class WoStSolver:
             py = jnp.where(stepping, newy, py)
             on_bdry = jnp.where(stepping, new_on_bdry, on_bdry)
             upd_n = stepping & hit
-            if robin_chain or robin_resid:
+            if robin_chain:
                 upd_n = upd_n & ~branch  # chord stays on its own wall
             nxx = jnp.where(upd_n, hnx, cnx)
             nyy = jnp.where(upd_n, hny, cny)
@@ -1219,10 +1204,6 @@ class WoStSolver:
                 # branches, whose foot normal IS the state normal)
                 nxx = jnp.where(branch, n_cx, nxx)
                 nyy = jnp.where(branch, n_cy, nyy)
-            if robin_resid:
-                # leg-B restart stands on the request's wall
-                nxx = jnp.where(trans, state.chord.nx, nxx)
-                nyy = jnp.where(trans, state.chord.ny, nyy)
             steps_cur = steps_cur + stepping.astype(jnp.int32)
 
             if use_delta and opts.roulette_threshold is not None:
@@ -1247,7 +1228,7 @@ class WoStSolver:
                 )
                 steps_cur = jnp.where(low & ~survive, max_steps, steps_cur)
 
-            if use_delta and state.a_cur is not None and not robin_resid:
+            if use_delta and state.a_cur is not None:
                 # moved lanes carry their move's alpha; recycled lanes the
                 # start alpha; parked lanes keep what they had
                 new_a_cur = jnp.where(
@@ -1255,8 +1236,14 @@ class WoStSolver:
                     jnp.where(walk_done, a_p0, state.a_cur))
             else:
                 new_a_cur = state.a_cur
+            # supercritical-weight tripwire: one cross-lane max per step
+            # (cheap next to the segment scans); read by solve()'s guard
+            new_wmax = jnp.maximum(
+                state.wmax,
+                jnp.max(jnp.where(stepping, jnp.abs(atten), 0.0)))
             new_state = WalkerState(
                 a_cur=new_a_cur,
+                wmax=new_wmax,
                 px=px,
                 py=py,
                 on_bdry=on_bdry,
@@ -1273,7 +1260,6 @@ class WoStSolver:
                 step_idx=state.step_idx + 1,
                 trunc_n=trunc_n,
                 trunc_absw=trunc_absw,
-                chord=chord_new if robin_resid else state.chord,
             )
             # diagnostics are computed at the PRE-recycle positions so a
             # walk's terminal record pairs its recorded position with its
@@ -1309,8 +1295,7 @@ class WoStSolver:
                 else jnp.zeros_like(stepping),
                 "evt_hit": (hit & stepping) if has_neumann
                 else jnp.zeros_like(stepping),
-                "evt_branch": (branch & stepping)
-                if (use_robin and (robin_chain or robin_resid))
+                "evt_branch": (branch & stepping) if robin_chain
                 else jnp.zeros_like(stepping),
             }
             return new_state, diag
@@ -1351,11 +1336,6 @@ class WoStSolver:
         if self.options.rng != "fast":
             blockers.append(f"rng='{self.options.rng}' (the kernel "
                             "implements the counter-hash RNG only)")
-        if self._robin_enabled() == "residual":
-            blockers.append(
-                "robin_correction='residual' (the chord clone-pair "
-                "request buffer is realized on the XLA sweep loop; the "
-                "kernel implements chain/reflectance)")
         if mode == "pallas":
             if not ok:
                 raise ValueError(
@@ -1480,19 +1460,7 @@ class WoStSolver:
         quotas = jnp.asarray(np.tile(quota_row, n_points))
         max_quota = int(quota_row.max())
         step_cap = max_quota * (max_steps + 1) + 2
-        # Robin residual mode files chord clone-pair requests, serviced by
-        # the periodic sweep — it needs the sweep loop and fresh hash
-        # streams even without high-weight splitting
-        use_requests = self._robin_enabled() == "residual"
-        if use_requests and self.options.rng != "fast":
-            raise ValueError(
-                "robin_correction='residual' requires rng='fast' (chord "
-                "clone pairs draw from fresh counter-hash streams)"
-            )
-        step = self._make_step_core(
-            eps, max_steps, crn=crn,
-            req_cap=step_cap if use_requests else None,
-        )
+        step = self._make_step_core(eps, max_steps, crn=crn)
         if self._progress_cb is not None:
             step = self._wrap_step_progress(step, n_points * n_walks)
 
@@ -1518,23 +1486,26 @@ class WoStSolver:
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
-            return (mean, stderr, sums, sumsq, final.total_steps,
-                    final.step_idx, final.trunc_n, final.trunc_absw)
+            return RawSolveOut(
+                mean=mean, stderr=stderr, walk_sum=sums, walk_sumsq=sumsq,
+                total_steps=final.total_steps, iterations=final.step_idx,
+                truncated_walks=final.trunc_n,
+                truncated_weight=final.trunc_absw,
+                max_weight=final.wmax,
+            )
 
         # cross-step alpha cache: carry alpha(walker) in state so the hot
         # loop never re-evaluates the field at the walker's own position
         # (the move already evaluated it at every candidate destination).
-        # Residual mode opts out — its leg-B restarts land at buffered
-        # chord positions whose alpha was never computed.
         # (TPU A/B 2026-08-18: 1.653 vs 1.650 G steps/s with the cache
         # forced off on the headline bench — neutral there because the
         # smooth-field alpha eval is cheap; kept for draw-for-draw parity
         # with the kernel carry and for expensive alpha fields.)
-        use_cache = self.problem.use_delta_tracking and not use_requests
+        use_cache = self.problem.use_delta_tracking
         alpha0_v = jax.vmap(_lift(self.problem.alpha_c)) if use_cache \
             else None
 
-        if not (use_split or use_requests):
+        if not use_split:
             def run(points, key):
                 ptx, pty, ob0, n0x, n0y = self._snap_points(points, snap_tol)
                 p0x = jnp.repeat(ptx, K)
@@ -1563,24 +1534,16 @@ class WoStSolver:
             return jax.jit(run)
 
         # ---- sweep loop: in-graph high-weight splitting (THEORY.md §5) -- #
-        # and/or Robin residual-chord pair service (THEORY.md §4e).
         # One shared pairing/halving/stream-allocation implementation
         # serves this point-major layout AND the sharded slot-major one
         # (see solver/split.py). Unlike the Pallas host loop (split at
         # launch boundaries), this bounds weight compounding at
         # SPLIT_EVERY steps.
-        from .split import (
-            make_chord_service,
-            make_ingraph_split,
-            run_split_while,
-        )
+        from .split import make_ingraph_split, run_split_while
 
         do_split = make_ingraph_split(
             self.options.split_threshold, n_points, K, slot_major=False
-        ) if use_split else None
-        service = make_chord_service(
-            n_points, K, slot_major=False
-        ) if use_requests else None
+        )
         # the step core's own stream layout (exposed as step.lane_ids) is
         # the single source of truth — re-deriving it here would silently
         # diverge if the crn tuple's mode ever changes
@@ -1591,8 +1554,7 @@ class WoStSolver:
             p0x = jnp.repeat(ptx, K)
             p0y = jnp.repeat(pty, K)
             a0 = alpha0_v(p0x, p0y) if use_cache else None
-            state = init_state(p0x, p0y, quotas, n_src=n_src,
-                               with_chord=use_requests, a0=a0)
+            state = init_state(p0x, p0y, quotas, n_src=n_src, a0=a0)
             if ob0 is None:
                 def step_s(s, a, b, k, sid=None):
                     return step(s, a, b, k, sid=sid, p0a=a0)
@@ -1609,7 +1571,6 @@ class WoStSolver:
             final = run_split_while(
                 step_s, do_split, state, p0x, p0y, key,
                 sid0, jnp.uint32(1 << 30), step_cap, max_steps,
-                service=service,
             )
             return _finish(final)
 
@@ -1712,6 +1673,7 @@ class WoStSolver:
                 "atten": f0 + 1.0,
                 "quota": quotas_j, "steps": i0_, "ndone": i0_, "ob": i0_,
                 "life": i0_,
+                "tn": f0, "tw": f0, "wmax": f0,
             }
             if use_snap:
                 pad1 = lambda a, dt: jnp.concatenate(
@@ -1752,32 +1714,73 @@ class WoStSolver:
                 )
                 for i in range(n_src)
             ])
-            return sums, sumsq, jnp.sum(state["life"].astype(jnp.float32))
+            return (sums, sumsq, jnp.sum(state["life"].astype(jnp.float32)),
+                    jnp.sum(state["tn"]), jnp.sum(state["tw"]),
+                    jnp.max(state["wmax"]))
 
         want_progress = self._progress_cb is not None
+        # "pack" = in-graph lane packing (end-to-end jittable); True =
+        # legacy host shrink loop (below, with split/progress)
+        use_pack = opts.compaction == "pack"
 
-        if not (opts.compaction or use_split or want_progress):
+        if not (opts.compaction or use_split or want_progress) or (
+                use_pack and not (use_split or want_progress)):
             def run(points, key):
                 state, seed_i = init_state(points, key)
 
+                def pack(st, pid):
+                    # stable active-first permutation of every per-lane
+                    # plane (stream ids / start points / snap normals /
+                    # accumulators / point ids all ride along, so walks
+                    # and statistics are unchanged — only which BLOCK a
+                    # lane lives in moves, letting drained trailing
+                    # blocks hit the kernel's early exit)
+                    inactive = (st["quota"].reshape(-1) <= 0).astype(
+                        jnp.int32)
+                    perm = jnp.argsort(inactive, stable=True)
+                    ns = {k: v.reshape(-1)[perm].reshape(v.shape)
+                          for k, v in st.items()}
+                    return ns, pid[perm]
+
                 def cond(c):
-                    st, launches = c
-                    return (launches < launch_cap) & jnp.any(st["quota"] > 0)
+                    launches = c[2]
+                    return (launches < launch_cap) & jnp.any(
+                        c[0]["quota"] > 0)
 
                 def body(c):
-                    st, launches = c
-                    return plan.run(st, seed_i), launches + 1
+                    st, pid, launches, last_pack = c
+                    st = plan.run(st, seed_i)
+                    if use_pack:
+                        # re-pack only when the active population halved
+                        # since the last pack: amortizes the argsort +
+                        # full-state gather to O(log) packs per solve,
+                        # so saturated workloads pay ~nothing
+                        active = jnp.sum(
+                            (st["quota"] > 0).astype(jnp.int32))
+                        st, pid, last_pack = jax.lax.cond(
+                            2 * active < last_pack,
+                            lambda s, p, _a: pack(s, p) + (active,),
+                            lambda s, p, a: (s, p, a),
+                            st, pid, last_pack,
+                        )
+                    return st, pid, launches + 1, last_pack
 
-                state, launches = jax.lax.while_loop(
-                    cond, body, (state, jnp.int32(0))
+                state, pid, launches, _ = jax.lax.while_loop(
+                    cond, body,
+                    (state, point_id_j, jnp.int32(0), jnp.int32(W_pad)),
                 )
-                sums, sumsq, total_steps = _moments(state, point_id_j)
+                (sums, sumsq, total_steps,
+                 trunc_n, trunc_w, wmax) = _moments(state, pid)
                 mean = sums / n_walks
                 var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
                 stderr = jnp.sqrt(var / n_walks)
-                nan = jnp.float32(jnp.nan)  # kernel tracks no truncation
-                return (mean, stderr, sums, sumsq, total_steps,
-                        launches * n_inner, nan, nan)
+                return RawSolveOut(
+                    mean=mean, stderr=stderr, walk_sum=sums,
+                    walk_sumsq=sumsq, total_steps=total_steps,
+                    iterations=launches * n_inner,
+                    truncated_walks=trunc_n, truncated_weight=trunc_w,
+                    max_weight=wmax,
+                )
 
             return jax.jit(run)
 
@@ -1801,6 +1804,15 @@ class WoStSolver:
             heavy_j = jax.jit(lambda st: (
                 (st["quota"] > 0)
                 & (jnp.abs(st["atten"]) > thr_f)).sum())
+
+        if use_pack:
+            @jax.jit
+            def pack_host(st, pid):
+                inactive = (st["quota"].reshape(-1) <= 0).astype(jnp.int32)
+                perm = jnp.argsort(inactive, stable=True)
+                ns = {k: v.reshape(-1)[perm].reshape(v.shape)
+                      for k, v in st.items()}
+                return ns, pid[perm]
 
         @functools.lru_cache(maxsize=None)
         def compact_j(rows_out: int):
@@ -1827,7 +1839,11 @@ class WoStSolver:
                     for i in range(n_src)
                 ])
                 dlife = jnp.sum(flat["life"][drop].astype(jnp.float32))
-                return kept, pid_kept, dsum, dsq, dlife
+                # the diagnostic accumulators ride per-lane too
+                ddiag = (jnp.sum(flat["tn"][drop]),
+                         jnp.sum(flat["tw"][drop]),
+                         jnp.max(flat["wmax"][drop]))
+                return kept, pid_kept, dsum, dsq, dlife, ddiag
 
             return jax.jit(compact)
 
@@ -1837,6 +1853,7 @@ class WoStSolver:
             carry_sum = jnp.zeros((n_src, n_points), jnp.float32)
             carry_sq = jnp.zeros((n_src, n_points), jnp.float32)
             carry_life = 0.0
+            carry_tn = carry_tw = carry_wmax = 0.0
             cur_rows = rows
             launches = 0
             sid_base = 1 << 30  # clone stream ids live above all lane ids
@@ -1853,6 +1870,7 @@ class WoStSolver:
             hard_cap = ((2 * launch_cap if use_split else launch_cap)
                         + split_reserve)
             cur_thr = thr_f if use_split else None
+            last_pack = W_pad
             while launches < hard_cap:
                 if use_split:
                     state = launch_j(state, seed_i, np.float32(cur_thr))
@@ -1881,31 +1899,44 @@ class WoStSolver:
                     cur_thr = (np.inf if 0 < heavy == active else thr_f)
                 elif use_split:
                     cur_thr = np.inf
-                if not opts.compaction:
+                if use_pack:
+                    # in-graph-style lane packing on the host loop (same
+                    # halving trigger as the jittable path)
+                    if 2 * active < last_pack:
+                        state, pid = pack_host(state, pid)
+                        last_pack = active
+                    continue
+                if opts.compaction is not True:
                     continue
                 target = max(
                     block_rows,
                     -(-active // lane_block) * block_rows,  # ceil division
                 )
                 if target <= cur_rows // 2:
-                    state, pid, dsum, dsq, dlife = compact_j(target)(
+                    state, pid, dsum, dsq, dlife, ddiag = compact_j(target)(
                         state, pid
                     )
                     carry_sum = carry_sum + dsum
                     carry_sq = carry_sq + dsq
                     carry_life = carry_life + float(dlife)
+                    carry_tn = carry_tn + float(ddiag[0])
+                    carry_tw = carry_tw + float(ddiag[1])
+                    carry_wmax = max(carry_wmax, float(ddiag[2]))
                     cur_rows = target
-            sums, sumsq, life = moments_j(state, pid)
+            sums, sumsq, life, tn, tw, wmax = moments_j(state, pid)
             sums = np.asarray(sums) + np.asarray(carry_sum)
             sumsq = np.asarray(sumsq) + np.asarray(carry_sq)
             total_steps = float(life) + carry_life
             mean = sums / n_walks
             var = np.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = np.sqrt(var / n_walks)
-            # the fused kernel recycles walks in VMEM without a truncation
-            # counter; NaN = "not tracked" (vs 0.0 = "none truncated")
-            return (mean, stderr, sums, sumsq, total_steps,
-                    launches * n_inner, float("nan"), float("nan"))
+            return RawSolveOut(
+                mean=mean, stderr=stderr, walk_sum=sums, walk_sumsq=sumsq,
+                total_steps=total_steps, iterations=launches * n_inner,
+                truncated_walks=float(tn) + carry_tn,
+                truncated_weight=float(tw) + carry_tw,
+                max_weight=max(float(wmax), carry_wmax),
+            )
 
         return run
 
@@ -1932,7 +1963,9 @@ class WoStSolver:
         the device loop every ~64 steps (XLA backend, via
         ``jax.debug.callback``) or once per kernel launch (Pallas
         backend, whose launch loop runs on the host when progress is
-        requested). Not supported on the sharded solver.
+        requested). Sharded solvers report too: device 0's shard
+        progress scaled by the mesh size — exact at the endpoints,
+        approximate in between (device loops stay collective-free).
 
         Args:
             points: ``(N, 2)`` evaluation points.
@@ -1956,12 +1989,11 @@ class WoStSolver:
         self._progress_cb = progress
         fn = self._build_solve_fn(n_points, int(n_walks), int(max_steps), float(eps))
         key = jax.random.PRNGKey(seed)
-        (mean, stderr, sums, sumsq, total_steps, iters,
-         trunc_n, trunc_absw) = fn(pts, key)
-        mean = np.asarray(mean)
-        stderr = np.asarray(stderr)
-        sums = np.asarray(sums)
-        sumsq = np.asarray(sumsq)
+        raw = fn(pts, key)
+        mean = np.asarray(raw.mean)
+        stderr = np.asarray(raw.stderr)
+        sums = np.asarray(raw.walk_sum)
+        sumsq = np.asarray(raw.walk_sumsq)
         # single-source problems keep the reference's flat (N,) shape;
         # multi-source problems return (n_src, N)
         if len(self.problem.source_fields) <= 1:
@@ -1973,13 +2005,15 @@ class WoStSolver:
             mean=mean,
             stderr=stderr,
             n_walks=int(n_walks),
-            total_steps=float(total_steps),
-            iterations=int(iters),
+            total_steps=float(raw.total_steps),
+            iterations=int(raw.iterations),
+            truncated_walks=float(raw.truncated_walks),
+            truncated_weight=float(raw.truncated_weight),
+            max_weight=float(raw.max_weight),
             walk_sum=sums,
             walk_sumsq=sumsq,
-            truncated_walks=float(trunc_n),
-            truncated_weight=float(trunc_absw),
         )
+        self._warn_supercritical(result.max_weight)
         if not return_history:
             return result
         from ..diagnostics.history import trace_walks

@@ -1,6 +1,7 @@
 """Walk-history tracing + occupancy profiling + plotting smoke tests."""
 
 import numpy as np
+import pytest
 
 from dcrmontecarlo_tpu import Problem, WoStSolver, square_loop
 from dcrmontecarlo_tpu.diagnostics import profile_occupancy, trace_walks
@@ -171,22 +172,82 @@ def test_diagnostics_multi_source_problems():
     assert occ.active_per_iter[0] > 0
 
 
-def test_truncation_counter():
+@pytest.mark.parametrize(
+    "mode", ["xla", "pallas", "sharded_xla", "sharded_pallas"])
+def test_truncation_counter(mode):
     # The max_steps cap is the estimator's one silent bias source:
     # SolveResult.truncated_walks / truncated_weight surface how many
     # walks it ended while still carrying weight and how much |atten|
-    # they dropped (failure detection, SURVEY §2 A3). Roulette kills
-    # (atten == 0 by construction) must NOT count.
+    # they dropped (failure detection, SURVEY §2 A3) — on EVERY backend,
+    # including the production Pallas and sharded paths (round-3 verdict
+    # item 4: the instrument was absent exactly where flagship runs
+    # live). Roulette kills (atten == 0 by construction) must NOT count.
+    from jax.experimental.pallas import tpu as pltpu
+
     prob = Problem(
         dirichlet=square_loop(1.0),
         bc_dirichlet=lambda x, y: x,
     )
-    solver = WoStSolver(prob, SolverOptions(backend="xla", target_slots=256))
     pts = np.array([[0.0, 0.0], [0.25, 0.1]])
-    tight = solver.solve(pts, n_walks=200, max_steps=4, eps=0.01, seed=0)
+    sharded = mode.startswith("sharded")
+    backend = "pallas" if mode.endswith("pallas") else "xla"
+    n_walks = 16 if mode == "sharded_pallas" else 200  # interpret is slow
+    if sharded:
+        from dcrmontecarlo_tpu.parallel import ShardedWoStSolver, make_mesh
+
+        solver = ShardedWoStSolver(
+            prob, make_mesh(4),
+            SolverOptions(backend=backend, target_slots=256,
+                          pallas_block_rows=1, pallas_inner_steps=8),
+        )
+    else:
+        solver = WoStSolver(
+            prob,
+            SolverOptions(backend=backend, target_slots=256,
+                          pallas_block_rows=1, pallas_inner_steps=8),
+        )
+    with pltpu.force_tpu_interpret_mode():
+        tight = solver.solve(pts, n_walks=n_walks, max_steps=4, eps=0.01,
+                             seed=0)
+        ample = solver.solve(pts, n_walks=n_walks, max_steps=4000, eps=0.01,
+                             seed=0)
     assert tight.truncated_walks > 0
     # plain WoS carries unit weight, so dropped weight == dropped walks
     assert tight.truncated_weight == tight.truncated_walks
-    ample = solver.solve(pts, n_walks=200, max_steps=4000, eps=0.01, seed=0)
+    assert tight.max_weight == 1.0  # plain WoS never reweights
     assert ample.truncated_walks == 0.0
     assert ample.truncated_weight == 0.0
+
+
+def test_supercritical_weight_warning():
+    # Runtime guard for supercritical weight compounding (round-3 verdict
+    # item 7): strongly negative sigma' multiplies (1 - sigma'/sigma_bar)
+    # > 1 per collision, and with no split/roulette/cap the weights
+    # explode silently — the solve must WARN and point at the knobs.
+    # sigma dips to -5 over most of the domain (a wide well: the max-min
+    # majorant bounds the per-collision factor at ~2, so the blowup
+    # needs MANY compounding collisions, not one deep spike).
+    prob = Problem(
+        dirichlet=square_loop(2.0),
+        bc_dirichlet=lambda x, y: x,
+        sigma=lambda x, y: 1.0 - 6.0 * np.exp(1.0) ** (
+            -(x * x + y * y) / 2.0),
+        alpha=lambda x, y: 1.0 + 0.0 * x,
+    )
+    solver = WoStSolver(prob, SolverOptions(backend="xla",
+                                            target_slots=512))
+    with pytest.warns(UserWarning, match="variance-dominated"):
+        res = solver.solve(np.array([[0.0, 0.0]]), n_walks=512,
+                           max_steps=800, eps=0.02, seed=0)
+    assert res.max_weight > 1e3
+    # a benign solve must NOT warn
+    import warnings as _w
+
+    benign = Problem(dirichlet=square_loop(1.0),
+                     bc_dirichlet=lambda x, y: x)
+    s2 = WoStSolver(benign, SolverOptions(backend="xla", target_slots=64))
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        r2 = s2.solve(np.array([[0.0, 0.0]]), n_walks=32, max_steps=200,
+                      eps=1e-2, seed=0)
+    assert r2.max_weight <= 1.0

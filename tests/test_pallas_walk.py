@@ -669,3 +669,64 @@ def test_pallas_matches_xla_robin_chord_varying_alpha_snap():
                    max_steps=120, eps=0.02, opts=opts)
     _assert_close(rp, rx, rel=1e-3)
     assert rp.total_steps == rx.total_steps
+
+
+def test_pallas_ingraph_pack_preserves_walks():
+    # compaction="pack": the in-graph lane packing (round-4 verdict item
+    # 2's jittable realization) permutes lanes so drained trailing blocks
+    # hit the kernel's early exit. Walks must be IDENTICAL — stream ids,
+    # start points, and point ids ride the permutation — so the packed
+    # solve's per-point sums equal the unpacked solve's up to float
+    # summation order.
+    from jax.experimental.pallas import tpu as pltpu
+
+    prob = Problem(
+        dirichlet=square_loop(1.0),
+        bc_dirichlet=lambda x, y: x + 2.0 * y,
+        source=lambda x, y: 1.0 + 0.0 * x,
+    )
+    pts = np.array([[0.0, 0.0], [0.4, 0.2], [-0.3, 0.5]], np.float32)
+    kw = dict(target_slots=512, pallas_inner_steps=16, pallas_block_rows=1)
+    res = {}
+    for mode in (False, "pack"):
+        s = WoStSolver(prob, SolverOptions(backend="pallas",
+                                           compaction=mode, **kw))
+        with pltpu.force_tpu_interpret_mode():
+            res[mode] = s.solve(pts, n_walks=64, max_steps=200, eps=1e-2,
+                                seed=3)
+    a, b = res[False], res["pack"]
+    np.testing.assert_allclose(b.walk_sum, a.walk_sum, rtol=1e-5)
+    np.testing.assert_allclose(b.walk_sumsq, a.walk_sumsq, rtol=1e-5)
+    assert b.total_steps == a.total_steps  # same walks, step for step
+
+
+def test_pallas_pack_with_split_host_loop():
+    # "pack" composes with the host-driven split loop (split forces the
+    # host path): packing must not disturb the split's banked statistics
+    # or the point-id relabeling.
+    import jax.numpy as jnp
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = 0.4
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-2.0, 0.0], [-2.0, -4.0], [2.0, -4.0], [2.0, 0.0]]),
+        neumann=Polyline.from_points([[-2.0, 0.0], [2.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x / 2.0,
+        alpha=lambda x, y: jnp.exp(k * y) + 0.0 * x,
+    )
+    pts = np.array([[-1.0, -0.1], [1.0, -0.1]], np.float32)
+    kw = dict(target_slots=512, pallas_inner_steps=16, pallas_block_rows=1,
+              split_threshold=1.5)
+    res = {}
+    for mode in (False, "pack"):
+        s = WoStSolver(prob, SolverOptions(backend="pallas",
+                                           compaction=mode, **kw))
+        with pltpu.force_tpu_interpret_mode():
+            res[mode] = s.solve(pts, n_walks=48, max_steps=300, eps=0.05,
+                                seed=7)
+    a, b = res[False], res["pack"]
+    np.testing.assert_allclose(np.asarray(b.walk_sum),
+                               np.asarray(a.walk_sum), rtol=2e-4)
+    assert np.isfinite(b.mean).all()

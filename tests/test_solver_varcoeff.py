@@ -185,7 +185,7 @@ def test_neumann_coefficient_gradient_robin():
                     np.full(5, -0.05, np.float32)], 1)
     exact = pts[:, 0] / 5.0
     res = {}
-    for robin in (False, "chain", "reflectance", "residual"):
+    for robin in (False, "chain", "reflectance"):
         s = WoStSolver(prob, SolverOptions(target_slots=65536,
                                            backend="xla",
                                            robin_correction=robin))
@@ -194,15 +194,12 @@ def test_neumann_coefficient_gradient_robin():
         assert np.isfinite(res[robin].mean).all(), res[robin].mean
     sel = np.abs(exact) > 0.1
     err_plain = np.abs(res[False].mean - exact)[sel].sum()
-    for mode in ("chain", "reflectance", "residual"):
+    for mode in ("chain", "reflectance"):
         r = res[mode]
         dev = np.abs(r.mean - exact) / np.maximum(r.stderr, 1e-12)
         assert (dev < 4.0).all(), (mode, r.mean, exact, r.stderr, dev)
         err_robin = np.abs(r.mean - exact)[sel].sum()
         assert err_robin < err_plain, (mode, err_robin, err_plain)
-    # residual's antithetic clone pairs actually run (extra two-leg
-    # walks beyond the chain's in-walk branches)
-    assert res["residual"].total_steps > res["chain"].total_steps
 
 
 def test_robin_auto_policy():

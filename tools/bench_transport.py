@@ -29,12 +29,12 @@ def run(sampler, rounds=2):
     t0 = time.perf_counter()
     for rep in range(3):
         out = fn(pts, jax.random.PRNGKey(rep + 1))
-        jax.block_until_ready(out[4])
-        steps += float(out[4])
+        jax.block_until_ready(out.total_steps)
+        steps += float(out.total_steps)
     dt = time.perf_counter() - t0
     print(f"{sampler}(rounds={rounds}): {steps / dt / 1e9:.3f} G steps/s "
           f"(t={dt:.2f}s, steps={steps:.3g}, "
-          f"mean[0]={float(np.asarray(out[0]).ravel()[0]):.5f}, "
+          f"mean[0]={float(np.asarray(out.mean).ravel()[0]):.5f}, "
           f"stderr[0]={float(np.asarray(out[1]).ravel()[0]):.2e})",
           flush=True)
 

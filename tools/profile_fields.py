@@ -39,8 +39,8 @@ def run(stub_sigma=False, stub_alpha=False, stub_bc=False):
     t0 = time.perf_counter()
     for rep in range(3):
         out = fn(pts, jax.random.PRNGKey(rep + 1))
-        jax.block_until_ready(out[4])
-        steps += float(out[4])
+        jax.block_until_ready(out.total_steps)
+        steps += float(out.total_steps)
     dt = time.perf_counter() - t0
     print(f"stub_sigma={stub_sigma} stub_alpha={stub_alpha} "
           f"stub_bc={stub_bc}: {steps / dt / 1e9:.3f} G steps/s "

@@ -62,13 +62,13 @@ def run_once(rejection_rounds: int, stub: bool) -> float:
     t0 = time.perf_counter()
     for rep in range(3):
         out = fn(pts, jax.random.PRNGKey(rep + 1))
-        jax.block_until_ready(out[4])
-        steps_total += float(out[4])
+        jax.block_until_ready(out.total_steps)
+        steps_total += float(out.total_steps)
     dt = time.perf_counter() - t0
     rate = steps_total / dt
     print(f"rounds={rejection_rounds} stub={stub}: {rate / 1e9:.3f} G "
           f"steps/s  (steps={steps_total:.3g}, t={dt:.2f}s, "
-          f"mean[0]={float(np.asarray(out[0]).ravel()[0]):.5f})",
+          f"mean[0]={float(np.asarray(out.mean).ravel()[0]):.5f})",
         flush=True)
     return rate
 

@@ -21,7 +21,7 @@ def run(rows, inner):
     steps = 0.0; t0 = time.perf_counter()
     for rep in range(3):
         out = fn(pts, jax.random.PRNGKey(rep + 1))
-        jax.block_until_ready(out[4]); steps += float(out[4])
+        jax.block_until_ready(out.total_steps); steps += float(out.total_steps)
     dt = time.perf_counter() - t0
     print(f"rows={rows} inner={inner}: {steps/dt/1e9:.3f} G (t={dt:.2f}s)",
           flush=True)
