@@ -37,31 +37,18 @@ def accuracy_preset():
     of err*sqrt(t) ~ 6.2-7.5. The survey defaults keep CRN/roulette/
     rejection_rounds=2 on TIME grounds: equal error at ~0.85x the
     wall-clock of the bare config.)"""
-    import jax
-
     from dcrmontecarlo_tpu.models import notebook_survey
     from dcrmontecarlo_tpu.solver import WoStSolver
     from dcrmontecarlo_tpu.survey.dcr import survey_default_options
-    from dcrmontecarlo_tpu.validation import fdm_solve
+    from dcrmontecarlo_tpu.validation import notebook_oracle_pins
 
     n_rep = 8
     survey, electrodes = notebook_survey()
     survey.local_majorant = "auto"
     problem = survey.build_problem()
-    # FDM oracle for the dipole voltages (CPU-side, ~seconds)
-    alpha_v = jax.vmap(lambda x, y: problem.alpha(x, y))
-    src_v = jax.vmap(lambda x, y: problem.source(x, y))
-    alpha_np = lambda X, Y: np.asarray(alpha_v(
-        X.ravel().astype(np.float32), Y.ravel().astype(np.float32))
-    ).reshape(X.shape)
-    source_np = lambda X, Y: np.asarray(src_v(
-        X.ravel().astype(np.float32), Y.ravel().astype(np.float32))
-    ).reshape(X.shape)
-    fdm = fdm_solve(bounds=((-500.0, 500.0), (-1000.0, 1.0)),
-                    alpha=alpha_np, source=source_np,
-                    neumann_top=True, nx=401, ny=401)
-    ref = fdm(np.asarray(electrodes, np.float32))
-    dv_ref = ref[:-1] - ref[1:]
+    # PINNED 401^2 FDM oracle for the dipole voltages
+    # (tools/gen_oracle_pins.py; saves a sparse solve per bench run)
+    dv_ref = notebook_oracle_pins()["dv_401"]
 
     solver = WoStSolver(problem, survey_default_options(target_slots=1 << 17))
     pts = np.asarray(electrodes, np.float32).copy()
@@ -126,9 +113,8 @@ def short_walk_preset(repeats: int):
     t0 = time.perf_counter()
     for rep in range(repeats):
         out = fn(jax.numpy.asarray(pts), jax.random.PRNGKey(rep + 1))
-        total_steps = out[4]  # (mean, stderr, sums, sumsq, total_steps, ...)
-        jax.block_until_ready(total_steps)
-        steps_total += float(total_steps)
+        jax.block_until_ready(out.total_steps)
+        steps_total += float(out.total_steps)
     dt = time.perf_counter() - t0
     rate = steps_total / dt
     print(json.dumps({
@@ -209,9 +195,9 @@ def main():
     t0 = time.perf_counter()
     for rep in range(args.repeats):
         out = fn(pts, jax.random.PRNGKey(rep + 1))
-        mean, total_steps = out[0], out[4]
-        jax.block_until_ready(total_steps)
-        steps_total += float(total_steps)
+        mean = out.mean
+        jax.block_until_ready(out.total_steps)
+        steps_total += float(out.total_steps)
     dt = time.perf_counter() - t0
 
     rate = steps_total / dt

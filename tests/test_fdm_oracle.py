@@ -1,6 +1,7 @@
 """Validate the FDM oracle itself against analytic solutions before it is
 used to judge the MC solver (the reference trusts SimPEG the same way)."""
 
+import pytest
 import numpy as np
 
 from dcrmontecarlo_tpu.validation import fdm_solve
@@ -159,3 +160,46 @@ def test_fem_variable_coefficient_manufactured():
     pts = np.array([[0.0, 0.0], [0.5, -0.3], [-0.7, 0.7]])
     exact = (1 - pts[:, 0] ** 2) * (1 - pts[:, 1] ** 2)
     np.testing.assert_allclose(sol(pts), exact, atol=3e-3)
+
+
+@pytest.mark.slow
+def test_notebook_oracle_pins_regenerate():
+    # Slow (two 401^2 sparse solves): rebuild the pinned flagship oracle
+    # values from scratch and compare against the committed artifact
+    # (tools/gen_oracle_pins.py). Deselected by default (addopts
+    # -m "not slow"); run with `pytest -m slow` after touching the
+    # notebook model, fdm.py, or fem.py — drift here means the pins (and
+    # the flagship gate calibrated on them) must be regenerated.
+    import jax
+
+    from dcrmontecarlo_tpu.models import notebook_survey
+    from dcrmontecarlo_tpu.validation import (
+        fem_solve,
+        notebook_oracle_pins,
+    )
+
+    pins = notebook_oracle_pins()
+    survey, electrodes = notebook_survey()
+    prob = survey.build_problem()
+    alpha_v = jax.vmap(lambda x, y: prob.alpha(x, y))
+    src_v = jax.vmap(lambda x, y: prob.source(x, y))
+
+    def alpha_np(X, Y):
+        return np.asarray(alpha_v(
+            X.ravel().astype(np.float32),
+            Y.ravel().astype(np.float32))).reshape(X.shape)
+
+    def source_np(X, Y):
+        return np.asarray(src_v(
+            X.ravel().astype(np.float32),
+            Y.ravel().astype(np.float32))).reshape(X.shape)
+
+    bounds = ((-500.0, 500.0), (-1000.0, 1.0))
+    el = np.asarray(electrodes, np.float32)
+    np.testing.assert_allclose(pins["electrodes"], el, atol=1e-5)
+    fdm = fdm_solve(bounds=bounds, alpha=alpha_np, source=source_np,
+                    neumann_top=True, nx=401, ny=401)(el)
+    fem = fem_solve(bounds=bounds, alpha=alpha_np, source=source_np,
+                    neumann_top=True, nx=401, ny=401)(el)
+    np.testing.assert_allclose(fdm, pins["fdm_401"], atol=1e-6)
+    np.testing.assert_allclose(fem, pins["fem_401"], atol=1e-6)

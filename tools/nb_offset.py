@@ -10,7 +10,7 @@ disagreement and the Richardson ratios in tests/test_dcr_survey.py and
 THEORY.md §4f bound the oracle error ~0.05).
 
 usage: python tools/nb_offset.py SEEDS WALKS MODE [SEED0]
-  MODE in {chain, off, refl, residual, auto}
+  MODE in {chain, off, refl, auto}
   NB_CPU=1 to force CPU (debug only).
 
 Do NOT use PYTHONPATH: setting it (to anything) breaks the axon TPU
@@ -36,7 +36,6 @@ def main():
     from dcrmontecarlo_tpu.models import notebook_survey
     from dcrmontecarlo_tpu.solver import SolverOptions
     from dcrmontecarlo_tpu.survey.dcr import survey_default_options
-    from dcrmontecarlo_tpu.validation import fdm_solve
 
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 120_000
@@ -45,34 +44,20 @@ def main():
 
     survey, electrodes = notebook_survey()
     survey.source_mis = True
-    prob = survey.build_problem()
-    alpha_v = jax.vmap(lambda x, y: prob.alpha(x, y))
-    src_v = jax.vmap(lambda x, y: prob.source(x, y))
 
-    def alpha_np(X, Y):
-        return np.asarray(alpha_v(
-            X.ravel().astype(np.float32),
-            Y.ravel().astype(np.float32))).reshape(X.shape)
-
-    def source_np(X, Y):
-        return np.asarray(src_v(
-            X.ravel().astype(np.float32),
-            Y.ravel().astype(np.float32))).reshape(X.shape)
-
-    bounds = ((-500.0, 500.0), (-1000.0, 1.0))
     el = np.asarray(electrodes, np.float32)
-    t0 = time.perf_counter()
-    u4 = fdm_solve(bounds=bounds, alpha=alpha_np, source=source_np,
-                   neumann_top=True, nx=401, ny=401)(el)
-    u8 = fdm_solve(bounds=bounds, alpha=alpha_np, source=source_np,
-                   neumann_top=True, nx=801, ny=801)(el)
-    ref = (4.0 * u8 - u4) / 3.0
-    print(f"oracle: richardson(401,801) max|u8-u4|="
-          f"{np.abs(u8 - u4).max():.3f} t={time.perf_counter()-t0:.0f}s",
+    # pinned Richardson(401,801) oracle (tools/gen_oracle_pins.py)
+    from dcrmontecarlo_tpu.validation import notebook_oracle_pins
+
+    pins = notebook_oracle_pins()
+    np.testing.assert_allclose(pins["electrodes"], el, atol=1e-5)
+    ref = pins["richardson"]
+    print(f"oracle: pinned richardson(401,801) max|u8-u4|="
+          f"{np.abs(pins['fdm_801'] - pins['fdm_401']).max():.3f}",
           flush=True)
 
     rc = {"chain": "chain", "off": False, "refl": "reflectance",
-          "residual": "residual", "auto": "auto"}[mode]
+          "auto": "auto"}[mode]  # ("residual" removed round 4)
     # split_threshold tames the rare huge-|weight| tail walks that
     # otherwise dominate the MEAN common mode (a single +600 electrode
     # deviation was observed at 60k walks without it); splitting is
@@ -80,6 +65,7 @@ def main():
     split = float(os.environ.get("NB_SPLIT", "4.0"))
     opts = survey_default_options(
         robin_correction=rc,
+        robin_arrival_clamp=float(os.environ.get("NB_CLAMP", "0.02")),
         split_threshold=None if split <= 0 else split,
         backend=os.environ.get("NB_BACKEND", "auto"),
         target_slots=1 << 20 if not os.environ.get("NB_CPU") else 1 << 14,
