@@ -29,14 +29,13 @@ def accuracy_preset():
     structural bound (BASELINE.md) — i.e. the end-to-end time-to-accuracy
     speedup on the flagship observable.
 
-    (Historical note, re-measured 2026-08-18 on TPU with 16-seed
-    oracle-grounded medians — tools/accuracy_oracle_ab.py: the round-2
-    'MIS+CRN 2.3x vs plain' ratio no longer holds; the round-3 physics
-    (chord-chain Robin default, boundary-snap starts) improved the PLAIN
-    baseline ~4x, and all tool combinations now measure within seed noise
-    of err*sqrt(t) ~ 6.2-7.5. The survey defaults keep CRN/roulette/
-    rejection_rounds=2 on TIME grounds: equal error at ~0.85x the
-    wall-clock of the bare config.)"""
+    Per-knob accuracy attribution is governed by THE pinned calibration
+    table (THEORY.md §5, 2026-08-19, tools/calibration_table.py — 24 TPU
+    seeds, one-knob-off arms vs the pinned Richardson oracle): CRN 1.9x
+    med²·t, majorant 1.7x, roulette 1.2x, MIS 1.2x, chain neutral on dV.
+    It supersedes the round-2 'MIS+CRN 2.3x' claim and the 2026-08-18
+    16-seed err*sqrt(t) A/B (tools/accuracy_oracle_ab.py, kept for
+    history)."""
     from dcrmontecarlo_tpu.models import notebook_survey
     from dcrmontecarlo_tpu.solver import WoStSolver
     from dcrmontecarlo_tpu.survey.dcr import survey_default_options

@@ -633,10 +633,15 @@ def make_pallas_walk(
 
     def kernel(*refs):
         seed_ref = refs[0]
-        gi = 1
+        ni_ref = refs[1]  # per-launch step budget (SMEM i32 (1,)): a
+                          # RUNTIME scalar so adaptive launch sizing
+                          # (SolverOptions.adaptive_launches) can vary the
+                          # launch length without recompiling the kernel;
+                          # non-adaptive callers pass the static n_inner
+        gi = 2
         if freeze_split:
-            thr_ref = refs[1]
-            gi = 2
+            thr_ref = refs[2]
+            gi = 3
         if not static_geom:
             dir_seg_ref = refs[gi]
             gi += 1
@@ -1162,6 +1167,8 @@ def make_pallas_walk(
         # n_inner budget as dead steps, collapsing to ~0.2 G steps/s
         # (VERDICT r2 #5). The per-iteration jnp.max reduction is ~free
         # next to the unrolled geometry scans.
+        ni = ni_ref[0]
+
         def inner_cond(c):
             i, cr = c
             if freeze_split:
@@ -1171,8 +1178,8 @@ def make_pallas_walk(
                 steppable = ((cr[8] > 0)
                              & (jnp.abs(cr[4]) <= thr_ref[0])).astype(
                                  jnp.int32)
-                return (i < n_inner) & (jnp.max(steppable) > 0)
-            return (i < n_inner) & (jnp.max(cr[8]) > 0)  # cr[8] = quota
+                return (i < ni) & (jnp.max(steppable) > 0)
+            return (i < ni) & (jnp.max(cr[8]) > 0)  # cr[8] = quota
 
         def inner_body(c):
             i, cr = c
@@ -1203,8 +1210,9 @@ def make_pallas_walk(
     f32 = jnp.float32
     i32 = jnp.int32
 
-    def launch(state, seed, freeze_thr=None):
-        """Advance all walkers by ``n_inner`` steps.
+    def launch(state, seed, freeze_thr=None, inner_steps=None):
+        """Advance all walkers by up to ``inner_steps`` (default
+        ``n_inner``) steps.
 
         state: dict with keys p0x,p0y (f32), sid (i32 RNG stream ids —
         carried IN the state so walker compaction can permute lanes
@@ -1243,7 +1251,9 @@ def make_pallas_walk(
         snap_args = (
             [state["ob0"], state["n0x"], state["n0y"]] if snap_starts else []
         )
-        n_pre = 2 if freeze_split else 1  # seed (+ freeze threshold)
+        n_pre = 3 if freeze_split else 2  # seed + inner budget (+ thr)
+        ni_val = n_inner if inner_steps is None else inner_steps
+        ni_arg = jnp.asarray(jnp.reshape(ni_val, (1,)), i32)
         thr_args = []
         if freeze_split:
             thr = jnp.inf if freeze_thr is None else freeze_thr
@@ -1268,6 +1278,7 @@ def make_pallas_walk(
             input_output_aliases=aliases,
         )(
             jnp.asarray(jnp.reshape(seed, (1,)), i32),
+            ni_arg,
             *thr_args,
             *geom_inputs,
             state["p0x"], state["p0y"], state["sid"],

@@ -49,26 +49,27 @@ __all__ = [
 def survey_default_options(**overrides) -> SolverOptions:
     """The survey pipelines' default :class:`SolverOptions` — every knob at
     its MEASURED optimum for the DCR workload, so default runs reproduce
-    the published numbers:
+    the published numbers. THE governing measurement is the pinned
+    accuracy-calibration table (THEORY.md §5, 2026-08-19,
+    ``tools/calibration_table.py``: one config, one pinned Richardson
+    oracle, 24 TPU seeds, one-knob-off arms); it supersedes all earlier
+    per-knob accuracy claims:
 
     * ``common_random_numbers=True`` — dipole voltages are differences;
       slot-matched streams correlate the shared MC noise so it cancels in
-      them. Free (a stream relabeling). Re-measured 2026-08-18 against
-      the FDM oracle (tools/accuracy_oracle_ab.py, 16 TPU seeds): with
-      the round-3 physics (chord-chain Robin, boundary-snap starts) the
-      40 m-spaced notebook electrodes decorrelate within a few steps and
-      CRN's err*sqrt(t) is within seed noise of plain — the earlier 2.3x
-      predates those physics fixes. Kept on: costs nothing, still exact,
-      and tightly correlates CLOSE receivers (verified bit-identical at
-      zero spacing).
+      them. Free (a stream relabeling). The single biggest accuracy
+      lever in the pinned table: CRN off costs 1.9x in med²·t
+      (42.4 vs 21.9). Also tightly correlates CLOSE receivers (verified
+      bit-identical at zero spacing).
     * ``compaction=False`` — re-measured 2026-08-18 (tools/
       pack_vs_shrink.py, TPU, notebook survey at 2500 and 10000 walks):
       with the roulette default killing the low-weight straggler tail,
       host-loop shrink compaction costs 1.6x wall-clock for bit-identical
       results. Compaction still pays on straggler-bound runs WITHOUT
       roulette (the original ~2.4x measurement) — opt in for those.
-    * ``roulette_threshold=0.05`` — unbiased low-weight kill, measured
-      1.75x on the notebook survey at identical accuracy vs the oracle.
+    * ``roulette_threshold=0.05`` — unbiased low-weight kill; the pinned
+      table measures 1.2x med²·t off→on (26.6 vs 21.9) on top of the
+      wall-clock it saves elsewhere (1.75x on the no-majorant survey).
     * ``rejection_rounds=2`` — the measured stderr^2*time optimum of the
       screened-radius rejection cap on TPU (1 is ~18% faster per step but
       pays more weight variance than it saves; 64 wastes rounds).

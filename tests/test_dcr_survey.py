@@ -39,11 +39,13 @@ def test_surface_electrode_line_never_overshoots():
 
 def test_survey_default_options_are_measured_optima():
     # the shipped defaults must reproduce the published profile
-    # (VERDICT r2 #7): rejection_rounds=2 is the measured stderr^2*time
-    # optimum, CRN/roulette are the survey-pipeline defaults; compaction
+    # (VERDICT r2 #7): every knob is pinned by THE accuracy-calibration
+    # table (THEORY.md §5, 2026-08-19, tools/calibration_table.py —
+    # 24 TPU seeds, one-knob-off arms vs the pinned Richardson oracle:
+    # CRN 1.9x med²·t, roulette 1.2x, majorant 1.7x). compaction
     # flipped OFF 2026-08-18 (1.6x cost under the roulette default,
     # tools/pack_vs_shrink.py — opt in for straggler-bound no-roulette
-    # runs)
+    # runs); rejection_rounds=2 is the measured stderr^2*time optimum.
     from dcrmontecarlo_tpu.survey import survey_default_options
 
     o = survey_default_options()
