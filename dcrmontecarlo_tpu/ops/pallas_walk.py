@@ -49,6 +49,10 @@ __all__ = ["make_pallas_walk", "pallas_supported", "stream_ids",
 
 MAX_UNROLL_SEGMENTS = 96   # static register unroll above this -> SMEM loop
 MAX_SMEM_SEGMENTS = 8192   # SMEM geometry table budget
+EXIT_CHECK = 16            # plain-path drain check cadence (steps): the
+                           # early-exit cross-lane reduction runs once per
+                           # EXIT_CHECK fori-unrolled steps; overshoot is
+                           # masked no-ops, results bit-identical
 _LANES = 128
 _TWO_PI = 2.0 * np.pi
 
@@ -1185,8 +1189,27 @@ def make_pallas_walk(
             i, cr = c
             return i + 1, step(i, cr)
 
-        _, carry = jax.lax.while_loop(inner_cond, inner_body,
-                                      (jnp.int32(0), carry))
+        if freeze_split:
+            # lanes freeze individually above the threshold, so the block
+            # must re-evaluate steppability every iteration
+            _, carry = jax.lax.while_loop(inner_cond, inner_body,
+                                          (jnp.int32(0), carry))
+        else:
+            # plain path: amortize the cross-lane drain reduction (and the
+            # Mosaic while-loop cond/body sync) over EXIT_CHECK-step
+            # chunks. A step with no active lane mutates nothing, so
+            # overshooting the drain point by <= EXIT_CHECK-1 masked
+            # no-op steps is EXACTLY the same computation (and ni
+            # overshoot is covered by launch-partition invariance) —
+            # results stay bit-identical to the per-step check.
+            def chunk_body(c):
+                i, cr = c
+                cr = jax.lax.fori_loop(
+                    0, EXIT_CHECK, lambda j, cc: step(i + j, cc), cr)
+                return i + EXIT_CHECK, cr
+
+            _, carry = jax.lax.while_loop(inner_cond, chunk_body,
+                                          (jnp.int32(0), carry))
         (px, py, nxv, nyv, atten, accs, asums, asqs, quota, steps, ndone,
          obi, life, tn, tw, wmax, *_rest) = carry
         opx_ref[:] = px

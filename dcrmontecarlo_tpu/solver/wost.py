@@ -312,6 +312,26 @@ class SolverOptions:
                                        # picks pallas on TPU when the
                                        # geometry is statically unrollable
     pallas_inner_steps: int = 256      # walk steps per pallas launch
+                                       # (launch BOUNDARIES are where
+                                       # splitting / packing / progress
+                                       # fire, so those paths keep it)
+    adaptive_launches: bool = True     # plain fused-kernel path only
+                                       # (no split/compaction/progress —
+                                       # nothing needs launch boundaries):
+                                       # issue ONE kernel launch whose
+                                       # runtime step budget covers the
+                                       # whole remaining quota bound and
+                                       # let the per-block early exit end
+                                       # each block exactly when its
+                                       # quota drains. Removes the
+                                       # per-launch dispatch + full-state
+                                       # HBM round-trip that dominates
+                                       # SHORT-walk solves (bench.py
+                                       # --preset short; VERDICT r3 #2).
+                                       # Walks are launch-partitioning-
+                                       # invariant by RNG design, so
+                                       # results are BIT-IDENTICAL to the
+                                       # fixed-launch loop (tested).
     pallas_block_rows: int = 64        # walker rows (x128 lanes) per block
                                        # (re-tuned 2026-08-18 after the
                                        # rejection unroll: 64 -> 1.745 G
@@ -1725,6 +1745,18 @@ class WoStSolver:
 
         if not (opts.compaction or use_split or want_progress) or (
                 use_pack and not (use_split or want_progress)):
+            # adaptive single-launch mode: nothing on this path needs
+            # launch boundaries, so hand the kernel the WHOLE remaining
+            # step bound as its runtime budget — each block's early exit
+            # ends it exactly when its quota drains, and the per-launch
+            # dispatch + full-state HBM round-trip disappears. The while
+            # loop below is kept as a pure safety net (it runs once).
+            # Packing mode still wants boundaries to re-sort at.
+            adaptive = opts.adaptive_launches and not use_pack
+            step_bound = max_quota * (max_steps + 1) + 2
+            ni_run = step_bound if adaptive else None
+            eff_cap = 2 if adaptive else launch_cap
+
             def run(points, key):
                 state, seed_i = init_state(points, key)
 
@@ -1744,12 +1776,12 @@ class WoStSolver:
 
                 def cond(c):
                     launches = c[2]
-                    return (launches < launch_cap) & jnp.any(
+                    return (launches < eff_cap) & jnp.any(
                         c[0]["quota"] > 0)
 
                 def body(c):
                     st, pid, launches, last_pack = c
-                    st = plan.run(st, seed_i)
+                    st = plan.run(st, seed_i, inner_steps=ni_run)
                     if use_pack:
                         # re-pack only when the active population halved
                         # since the last pack: amortizes the argsort +
@@ -1777,7 +1809,7 @@ class WoStSolver:
                 return RawSolveOut(
                     mean=mean, stderr=stderr, walk_sum=sums,
                     walk_sumsq=sumsq, total_steps=total_steps,
-                    iterations=launches * n_inner,
+                    iterations=launches * (ni_run or n_inner),
                     truncated_walks=trunc_n, truncated_weight=trunc_w,
                     max_weight=wmax,
                 )

@@ -730,3 +730,35 @@ def test_pallas_pack_with_split_host_loop():
     np.testing.assert_allclose(np.asarray(b.walk_sum),
                                np.asarray(a.walk_sum), rtol=2e-4)
     assert np.isfinite(b.mean).all()
+
+
+def test_adaptive_single_launch_bit_identical():
+    # adaptive_launches hands the kernel the whole step bound as ONE
+    # launch; walks are launch-partitioning-invariant by RNG design
+    # (per-lane (walk#, step#) counters), so the result must be
+    # BIT-IDENTICAL to the fixed 16-step launch loop — on a fixture
+    # where interior collisions, wall arrivals, and recycling all fire.
+    import jax.numpy as jnp
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    alpha = lambda x, y: 2.0 + jnp.sin(0.8 * x) * 0.9 + 0.15 * y
+    prob = Problem(
+        dirichlet=Polyline.from_points(
+            [[-3.0, 0.0], [-3.0, -6.0], [3.0, -6.0], [3.0, 0.0]]
+        ),
+        neumann=Polyline.from_points([[-3.0, 0.0], [3.0, 0.0]]),
+        bc_dirichlet=lambda x, y: x + 0.5 * y,
+        alpha=alpha,
+    )
+    pts = np.array([[0.0, -0.2], [1.5, -1.0]], np.float32)
+    res = {}
+    for adaptive in (False, True):
+        s = WoStSolver(prob, SolverOptions(
+            backend="pallas", adaptive_launches=adaptive, **_SMALL))
+        with pltpu.force_tpu_interpret_mode():
+            res[adaptive] = s.solve(pts, n_walks=64, max_steps=120,
+                                    eps=0.02, seed=5)
+    np.testing.assert_array_equal(np.asarray(res[True].walk_sum),
+                                  np.asarray(res[False].walk_sum))
+    assert res[True].total_steps == res[False].total_steps
