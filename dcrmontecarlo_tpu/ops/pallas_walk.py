@@ -660,7 +660,7 @@ def make_pallas_walk(
         if snap_starts:
             ob0_ref, n0x_ref, n0y_ref = refs[gi2], refs[gi2 + 1], refs[gi2 + 2]
             gi2 += 3
-        n_state = 5 + 3 * n_src + 8
+        n_state = 5 + 3 * n_src + 9
         sin = refs[gi2: gi2 + n_state]
         sout = refs[gi2 + n_state: gi2 + 2 * n_state]
         (px_ref, py_ref, nx_ref, ny_ref, atten_ref) = sin[:5]
@@ -668,13 +668,13 @@ def make_pallas_walk(
         asum_refs = sin[5 + n_src: 5 + 2 * n_src]
         asq_refs = sin[5 + 2 * n_src: 5 + 3 * n_src]
         (quota_ref, steps_ref, ndone_ref, ob_ref, life_ref,
-         tn_ref, tw_ref, wmax_ref) = sin[5 + 3 * n_src:]
+         tn_ref, tw_ref, wmax_ref, bmax_ref) = sin[5 + 3 * n_src:]
         (opx_ref, opy_ref, onx_ref, ony_ref, oatten_ref) = sout[:5]
         oacc_refs = sout[5: 5 + n_src]
         oasum_refs = sout[5 + n_src: 5 + 2 * n_src]
         oasq_refs = sout[5 + 2 * n_src: 5 + 3 * n_src]
         (oquota_ref, osteps_ref, ondone_ref, oob_ref, olife_ref,
-         otn_ref, otw_ref, owmax_ref) = sout[5 + 3 * n_src:]
+         otn_ref, otw_ref, owmax_ref, obmax_ref) = sout[5 + 3 * n_src:]
 
         if static_geom:
             closest_point = lambda px, py: _closest_point_unrolled(
@@ -715,7 +715,7 @@ def make_pallas_walk(
 
         def step(_, carry):
             (px, py, nxv, nyv, atten, accs, asums, asqs, quota, steps,
-             ndone, obi, life, tn, tw, wmax, *rest) = carry
+             ndone, obi, life, tn, tw, wmax, bmax, *rest) = carry
             # cross-step alpha cache (delta only): alpha at the CURRENT
             # position rides the carry — every move below evaluates alpha
             # at its destination anyway, so the walker-position re-eval
@@ -751,11 +751,18 @@ def make_pallas_walk(
             # p0 = (0,0), possibly outside the domain) would permanently
             # poison the accumulators; the XLA step uses jnp.where for the
             # same reason
+            bank_mag = jnp.zeros_like(g_bc)
             for i in range(n_src):
                 contrib = accs[i] + g_bc
                 asums[i] = asums[i] + jnp.where(walk_done, contrib, 0.0)
                 asqs[i] = asqs[i] + jnp.where(
                     walk_done, contrib * contrib, 0.0)
+                bank_mag = jnp.maximum(bank_mag, jnp.abs(contrib))
+            # heaviest banked walk total (max over sources): the
+            # variance-domination tripwire read by solve()'s guard
+            # (mirrors solver/wost.py's WalkerState.bmax)
+            bmax = jnp.maximum(
+                bmax, jnp.where(walk_done, bank_mag, 0.0))
             ndone = ndone + walk_done.astype(jnp.int32)
             quota = quota - walk_done.astype(jnp.int32)
 
@@ -1144,7 +1151,7 @@ def make_pallas_walk(
                 tail = ()
             return (px, py, nxv, nyv, atten, tuple(accs), tuple(asums),
                     tuple(asqs), quota, steps, ndone, ob.astype(jnp.int32),
-                    life, tn, tw, wmax) + tail
+                    life, tn, tw, wmax, bmax) + tail
 
         # launch-level alpha evals, amortized over the n_inner steps: the
         # start-point alpha (recycle resets) and the incoming positions'
@@ -1160,7 +1167,7 @@ def make_pallas_walk(
             tuple(ref[:] for ref in asum_refs),
             tuple(ref[:] for ref in asq_refs),
             quota_ref[:], steps_ref[:], ndone_ref[:], ob_ref[:], life_ref[:],
-            tn_ref[:], tw_ref[:], wmax_ref[:],
+            tn_ref[:], tw_ref[:], wmax_ref[:], bmax_ref[:],
         ) + cache_init
 
         # early exit when THIS block's quota is fully drained: a step with
@@ -1211,7 +1218,7 @@ def make_pallas_walk(
             _, carry = jax.lax.while_loop(inner_cond, chunk_body,
                                           (jnp.int32(0), carry))
         (px, py, nxv, nyv, atten, accs, asums, asqs, quota, steps, ndone,
-         obi, life, tn, tw, wmax, *_rest) = carry
+         obi, life, tn, tw, wmax, bmax, *_rest) = carry
         opx_ref[:] = px
         opy_ref[:] = py
         onx_ref[:] = nxv
@@ -1229,6 +1236,7 @@ def make_pallas_walk(
         otn_ref[:] = tn
         otw_ref[:] = tw
         owmax_ref[:] = wmax
+        obmax_ref[:] = bmax
 
     f32 = jnp.float32
     i32 = jnp.int32
@@ -1261,9 +1269,9 @@ def make_pallas_walk(
             + [f"asum{i}" for i in range(n_src)]
             + [f"asq{i}" for i in range(n_src)]
             + ["quota", "steps", "ndone", "ob", "life"]
-            + ["tn", "tw", "wmax"]
+            + ["tn", "tw", "wmax", "bmax"]
         )
-        dtypes = [f32] * (5 + 3 * n_src) + [i32] * 5 + [f32] * 3
+        dtypes = [f32] * (5 + 3 * n_src) + [i32] * 5 + [f32] * 4
         out_shape = [
             jax.ShapeDtypeStruct((rows, _LANES), dt) for dt in dtypes
         ]

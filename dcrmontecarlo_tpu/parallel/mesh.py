@@ -204,6 +204,7 @@ class ShardedWoStSolver(WoStSolver):
                 trunc_n=pv(state.trunc_n),
                 trunc_absw=pv(state.trunc_absw),
                 wmax=pv(state.wmax),
+                bmax=pv(state.bmax),
             )
             if ob0 is None:
                 def step_s(s, a, b, k, sid=None):
@@ -262,19 +263,21 @@ class ShardedWoStSolver(WoStSolver):
             trunc_n = jax.lax.psum(final.trunc_n, axis)
             trunc_absw = jax.lax.psum(final.trunc_absw, axis)
             wmax = jax.lax.pmax(final.wmax, axis)
-            return sums, sumsq, steps, iters, trunc_n, trunc_absw, wmax
+            bmax = jax.lax.pmax(final.bmax, axis)
+            return (sums, sumsq, steps, iters, trunc_n, trunc_absw, wmax,
+                    bmax)
 
         mapped = jax.shard_map(
             shard_body,
             mesh=self.mesh,
             in_specs=(P(), P(axis, None), P()),
-            out_specs=(P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         )
 
         @jax.jit
         def run(points, key):
-            (sums, sumsq, steps, iters,
-             trunc_n, trunc_absw, wmax) = mapped(points, quotas_km, key)
+            (sums, sumsq, steps, iters, trunc_n, trunc_absw, wmax,
+             bmax) = mapped(points, quotas_km, key)
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
@@ -282,7 +285,7 @@ class ShardedWoStSolver(WoStSolver):
                 mean=mean, stderr=stderr, walk_sum=sums, walk_sumsq=sumsq,
                 total_steps=steps, iterations=iters,
                 truncated_walks=trunc_n, truncated_weight=trunc_absw,
-                max_weight=wmax,
+                max_weight=wmax, max_banked=bmax,
             )
 
         return run
@@ -474,7 +477,7 @@ class ShardedWoStSolver(WoStSolver):
                 "atten": f0 + 1.0,
                 "quota": quota, "steps": i0_, "ndone": i0_, "ob": i0_,
                 "life": i0_,
-                "tn": f0, "tw": f0, "wmax": f0,
+                "tn": f0, "tw": f0, "wmax": f0, "bmax": f0,
             }
             for i in range(n_src_p):
                 state[f"acc{i}"] = f0
@@ -620,24 +623,28 @@ class ShardedWoStSolver(WoStSolver):
             sums = jax.lax.psum(sums, axis)
             sumsq = jax.lax.psum(sumsq, axis)
             steps = jax.lax.psum(steps, axis)
-            iters = jax.lax.pmax(launches * n_inner, axis)
+            # executed critical-path live steps, not the issued budget
+            # (matches the single-device Pallas paths — see RawSolveOut)
+            iters = jax.lax.pmax(jnp.max(state["life"]), axis)
             trunc_n = jax.lax.psum(jnp.sum(state["tn"]), axis)
             trunc_w = jax.lax.psum(jnp.sum(state["tw"]), axis)
             wmax = jax.lax.pmax(jnp.max(state["wmax"]), axis)
-            return sums, sumsq, steps, iters, trunc_n, trunc_w, wmax
+            bmax = jax.lax.pmax(jnp.max(state["bmax"]), axis)
+            return (sums, sumsq, steps, iters, trunc_n, trunc_w, wmax,
+                    bmax)
 
         mapped = jax.shard_map(
             shard_body,
             mesh=self.mesh,
             in_specs=(P(), P(axis, None), P()),
-            out_specs=(P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
             check_vma=False,  # pallas_call outputs carry no vma metadata
         )
 
         @jax.jit
         def run(points, key):
-            (sums, sumsq, steps, iters,
-             trunc_n, trunc_w, wmax) = mapped(points, quotas_km, key)
+            (sums, sumsq, steps, iters, trunc_n, trunc_w, wmax,
+             bmax) = mapped(points, quotas_km, key)
             mean = sums / n_walks
             var = jnp.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = jnp.sqrt(var / n_walks)
@@ -645,7 +652,7 @@ class ShardedWoStSolver(WoStSolver):
                 mean=mean, stderr=stderr, walk_sum=sums, walk_sumsq=sumsq,
                 total_steps=steps, iterations=iters,
                 truncated_walks=trunc_n, truncated_weight=trunc_w,
-                max_weight=wmax,
+                max_weight=wmax, max_banked=bmax,
             )
 
         return run

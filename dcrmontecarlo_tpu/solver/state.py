@@ -45,10 +45,18 @@ class WalkerState(NamedTuple):
                              #     nonzero weight (roulette kills excluded —
                              #     they end with atten == 0 by design)
     wmax: jnp.ndarray        # () f32 running max |atten| over stepping
-                             #     lanes — the supercritical-compounding
-                             #     tripwire surfaced as
-                             #     SolveResult.max_weight (solve() warns
-                             #     at ~1e3x the split scale)
+                             #     lanes — surfaced as
+                             #     SolveResult.max_weight (diagnostic
+                             #     only since round 5: transient weight
+                             #     excursions that decay before banking
+                             #     are harmless, so the guard reads bmax)
+    bmax: jnp.ndarray        # () f32 running max |banked walk total|
+                             #     (max over sources). solve()'s
+                             #     supercritical guard warns when
+                             #     bmax^2 exceeds half a point's walk
+                             #     sum-of-squares: then ONE walk carries
+                             #     most of that point's variance mass and
+                             #     the reported stderr is meaningless.
     trunc_absw: jnp.ndarray  # () f32 sum of |atten| those walks carried:
                              #     the magnitude of the estimate mass the
                              #     cap silently dropped. The truncation
@@ -94,4 +102,5 @@ def init_state(p0x, p0y, quotas, n_src: int = 1, a0=None) -> WalkerState:
         trunc_n=jnp.zeros((), jnp.float32),
         trunc_absw=jnp.zeros((), jnp.float32),
         wmax=jnp.zeros((), jnp.float32),
+        bmax=jnp.zeros((), jnp.float32),
     )

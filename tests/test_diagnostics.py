@@ -236,10 +236,15 @@ def test_supercritical_weight_warning():
     )
     solver = WoStSolver(prob, SolverOptions(backend="xla",
                                             target_slots=512))
-    with pytest.warns(UserWarning, match="variance-dominated"):
+    # round-5 criterion: the guard reads the heaviest BANKED walk (not
+    # the transient stepping max) and fires only when that one walk
+    # carries > half its point's sum-of-squares — i.e. the stderr is a
+    # single-sample artifact. This config genuinely banks its blowups.
+    with pytest.warns(UserWarning, match="supercritical weight"):
         res = solver.solve(np.array([[0.0, 0.0]]), n_walks=512,
                            max_steps=800, eps=0.02, seed=0)
     assert res.max_weight > 1e3
+    assert res.max_banked ** 2 > 0.5 * np.max(res.walk_sumsq)
     # a benign solve must NOT warn
     import warnings as _w
 

@@ -762,3 +762,12 @@ def test_adaptive_single_launch_bit_identical():
     np.testing.assert_array_equal(np.asarray(res[True].walk_sum),
                                   np.asarray(res[False].walk_sum))
     assert res[True].total_steps == res[False].total_steps
+    # `iterations` means EXECUTED critical-path live steps on every path
+    # (round-4 regression: adaptive mode reported the ~100x step BOUND).
+    # The two modes run the same walks step for step, so their critical
+    # paths agree exactly; both are far below the adaptive bound
+    # (n_walks * (max_steps + 1) + 2) and at least the mean walk depth.
+    assert res[True].iterations == res[False].iterations
+    bound = 64 * (120 + 1) + 2
+    assert res[True].iterations < bound / 4
+    assert res[True].iterations >= res[True].total_steps / 256  # lanes
