@@ -123,6 +123,8 @@ def martingale_audit(
     max_steps: int = 60000,
     source_index: int = 0,
     normalize_by_atten: bool = False,
+    atten_bands=None,
+    step_bands=None,
 ) -> MartingaleReport:
     """Audit the production step operator from a controlled start state.
 
@@ -150,6 +152,18 @@ def martingale_audit(
             SEMs by 1-2 orders of magnitude. The atten-weighted (raw)
             mode remains the one whose bucket sums add up to the actual
             walk bias; use raw to SIZE a leak, normalized to FIND it.
+        atten_bands: optional increasing ``|atten|`` edges (e.g.
+            ``[0.5, 2.0, 8.0]``) — each state bucket splits by the
+            PRE-step weight magnitude into ``len+1`` sub-buckets,
+            labelled ``name@a<edge`` / ``name@a>=last``. A leak that is
+            invisible per-unit-weight but rides the atten x residual
+            CORRELATION (THEORY.md §4f: E[inc/atten] ~ 0 in every state
+            bucket while the raw sums are biased) shows up as nonzero
+            raw means concentrated in the heavy bands.
+        step_bands: optional increasing step-index edges (e.g.
+            ``[16, 64, 256]``) — further splits by the scan step t, so
+            late-walk leaks (state distributions decohered from the
+            controlled start) separate from the first visits.
 
     Returns a :class:`MartingaleReport` over the buckets in
     ``BUCKET_NAMES``.
@@ -173,8 +187,25 @@ def martingale_audit(
         raise ValueError("on_boundary start needs the inward normal")
     nx0, ny0 = (float(normal[0]), float(normal[1])) if normal else (0.0, 0.0)
     W = int(n_walkers)
-    NB = len(BUCKET_NAMES)
     si = int(source_index)
+    a_edges = (np.asarray(sorted(atten_bands), np.float32)
+               if atten_bands else None)
+    s_edges = (np.asarray(sorted(step_bands), np.int32)
+               if step_bands else None)
+    NA = 1 if a_edges is None else len(a_edges) + 1
+    NS = 1 if s_edges is None else len(s_edges) + 1
+    names = []
+    for nm in BUCKET_NAMES:
+        for ai in range(NA):
+            a_tag = "" if a_edges is None else (
+                f"@a<{a_edges[ai]:g}" if ai < len(a_edges)
+                else f"@a>={a_edges[-1]:g}")
+            for six in range(NS):
+                s_tag = "" if s_edges is None else (
+                    f"@t<{s_edges[six]}" if six < len(s_edges)
+                    else f"@t>={s_edges[-1]}")
+                names.append(nm + a_tag + s_tag)
+    NB = len(names)
 
     def run(key):
         p0x = jnp.full((W,), px0, jnp.float32)
@@ -215,6 +246,16 @@ def martingale_audit(
                 jnp.where(t == 0, 3, 2),
                 jnp.where(d_neu < r_pre, 1, 0))
             bucket = jnp.where((s1.n_done >= 1) & pre_live, 4, bucket)
+            if a_edges is not None or s_edges is not None:
+                a_idx = 0
+                if a_edges is not None:
+                    a_idx = jnp.sum(
+                        jnp.abs(pre_att)[:, None]
+                        >= jnp.asarray(a_edges)[None, :], axis=1)
+                s_idx = 0
+                if s_edges is not None:
+                    s_idx = jnp.sum(t >= jnp.asarray(s_edges))
+                bucket = bucket * (NA * NS) + a_idx * NS + s_idx
             live_f = pre_live.astype(jnp.float32)
             sums = jnp.zeros((NB,)).at[bucket].add(jnp.where(pre_live, inc, 0.0))
             sqs = jnp.zeros((NB,)).at[bucket].add(
@@ -243,7 +284,7 @@ def martingale_audit(
         var = np.maximum(tot[1] / np.maximum(tot[2], 1.0) - mean**2, 0.0)
         sem = np.sqrt(var / np.maximum(tot[2], 1.0))
     return MartingaleReport(
-        bucket_names=BUCKET_NAMES,
+        bucket_names=names,
         mean=mean,
         sem=sem,
         visits_per_walk=tot[2] / (W * n_seeds),

@@ -76,10 +76,11 @@ class ShardedWoStSolver(WoStSolver):
             np.clip(self.options.target_slots // max(n_points, 1), 1, k_cap)
         )
         K = max(n_dev, (K // n_dev) * n_dev)
-        base, rem = divmod(n_walks, K)
-        quota_row = np.full((K,), base, np.int32)
-        quota_row[:rem] += 1
-        return K, quota_row
+        from ..solver.split import reserve_quota_row
+
+        frac = (self.options.split_reserve
+                if self.options.split_threshold is not None else 0.0)
+        return K, reserve_quota_row(n_walks, K, frac)
 
     def _build_solve_fn_uncached(
         self, n_points: int, n_walks: int, max_steps: int, eps: float

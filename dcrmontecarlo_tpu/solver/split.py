@@ -33,7 +33,41 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["SPLIT_EVERY", "make_ingraph_split", "run_split_while",
-           "make_launch_split", "LAUNCH_SPLIT_COPY"]
+           "make_launch_split", "LAUNCH_SPLIT_COPY", "reserve_quota_row"]
+
+
+def reserve_quota_row(n_walks: int, K: int, frac: float):
+    """Distribute ``n_walks`` over ``K`` slots leaving ~``frac`` idle.
+
+    The split (both the in-graph 16-step sweep and the Pallas
+    launch-boundary pass) can only clone a heavy lane into an IDLE lane
+    of the same point group — with every lane active at solve start, the
+    EARLY heavy walks (exactly when weights first compound) escape
+    splitting entirely (measured: banked |walk| 6e5 with
+    ``split_threshold=4`` on the cylinder gate). Reserving a strided
+    subset of slots as quota-0 clone hosts makes the split live from
+    step one; the hosts recycle (a clone runs its single walk, then the
+    lane is idle again). Striding (every ``round(1/frac)``-th slot)
+    keeps work AND clone capacity balanced per device under the
+    slot-major sharded layout.
+
+    Exactness: the walks are simply redistributed over fewer lanes —
+    per-lane RNG streams are lane-keyed, so this changes WHICH walks run
+    where (like any target_slots change) but not the estimator.
+    """
+    import numpy as np
+
+    quota = np.zeros((K,), np.int32)
+    if frac <= 0.0 or K < 2:
+        work_idx = np.arange(K)
+    else:
+        stride = max(2, int(round(1.0 / frac)))
+        idle = (np.arange(K) % stride) == (stride - 1)
+        work_idx = np.flatnonzero(~idle)
+    base, rem = divmod(int(n_walks), len(work_idx))
+    quota[work_idx] = base
+    quota[work_idx[:rem]] += 1
+    return quota
 
 SPLIT_EVERY = 16  # steps between split sweeps: bounds weight compounding
                   # at 16 steps of (1 - sigma'/sigma_bar) growth

@@ -167,6 +167,26 @@ class SolverOptions:
                                        # (pieces enter sumsq separately),
                                        # and CRN lane matching does not
                                        # extend to clones. None: off.
+    split_reserve: float = 0.25        # fraction of each point's slots
+                                       # that start IDLE (quota 0) as
+                                       # clone hosts when split_threshold
+                                       # is set (inert otherwise). The
+                                       # split can only fire when an idle
+                                       # lane exists in the point's
+                                       # group; with every lane active at
+                                       # start, EARLY heavy walks escape
+                                       # splitting entirely (round-5
+                                       # measurement: max banked |walk|
+                                       # 6e5 on the cylinder gate WITH
+                                       # split_threshold=4 — the tail the
+                                       # split exists to clip rode
+                                       # through starved sweeps). Idle
+                                       # slots are strided so slot-major
+                                       # device sharding keeps work and
+                                       # clone capacity balanced per
+                                       # shard. The same total walks run
+                                       # on the working slots (quota is
+                                       # redistributed, n_walks exact).
     max_attenuation: float = None      # optional walker-weight cap. Delta
                                        # tracking multiplies (1 - sigma'/
                                        # sigma_bar) per collision; where
@@ -1424,10 +1444,11 @@ class WoStSolver:
         """
         k_cap = max(1, n_walks // max(self.options.min_quota, 1))
         K = int(np.clip(self.options.target_slots // max(n_points, 1), 1, k_cap))
-        base, rem = divmod(n_walks, K)
-        quota_row = np.full((K,), base, np.int32)
-        quota_row[:rem] += 1
-        return K, quota_row
+        from .split import reserve_quota_row
+
+        frac = (self.options.split_reserve
+                if self.options.split_threshold is not None else 0.0)
+        return K, reserve_quota_row(n_walks, K, frac)
 
     def _use_pallas(self) -> bool:
         mode = self.options.backend

@@ -134,3 +134,31 @@ def test_notebook_step_operator_normalized_residuals():
             continue
         assert abs(rep.mean[b]) < 5 * rep.sem[b] + 0.1, (
             rep.bucket_names[b], rep.mean[b], rep.sem[b])
+
+
+def test_banded_audit_partitions_the_unbanded_buckets():
+    # atten_bands x step_bands (round-5 §4f instrument): the banded grid
+    # must be a PARTITION of each state bucket — visit counts and raw
+    # increment sums re-aggregate exactly to the unbanded audit (same
+    # seeds, same walks), and the names carry the band labels.
+    prob, um = _mms()
+    opts = SolverOptions(backend="xla", target_slots=1 << 12,
+                         robin_correction="chain", rejection_rounds=2,
+                         boundary_snap=0.01)
+    kw = dict(problem=prob, options=opts, point=(0.0, 0.0),
+              continuation=um, eps=0.02, on_boundary=True,
+              normal=(0.0, -1.0), n_steps=12, n_walkers=1 << 12,
+              n_seeds=2)
+    plain = martingale_audit(**kw)
+    banded = martingale_audit(**kw, atten_bands=[0.9, 1.1],
+                              step_bands=[4])
+    assert len(banded.bucket_names) == 5 * 3 * 2
+    assert "far-interior@a<0.9@t<4" in banded.bucket_names
+    assert "on-boundary@a>=1.1@t>=4" in banded.bucket_names
+    n_b = np.asarray(banded.n).reshape(5, 3, 2)
+    np.testing.assert_allclose(n_b.sum(axis=(1, 2)), plain.n)
+    sums_b = (np.asarray(banded.mean) * np.asarray(banded.n)).reshape(
+        5, 3, 2).sum(axis=(1, 2))
+    np.testing.assert_allclose(
+        sums_b, np.asarray(plain.mean) * np.asarray(plain.n),
+        rtol=1e-5, atol=1e-5)
