@@ -1,3 +1,3 @@
-from .mesh import ShardedWoStSolver, make_mesh
+from .mesh import ShardedWoStSolver, initialize_distributed, make_mesh
 
-__all__ = ["ShardedWoStSolver", "make_mesh"]
+__all__ = ["ShardedWoStSolver", "make_mesh", "initialize_distributed"]

@@ -8,7 +8,9 @@ communicate — no per-iteration collectives, so device loops don't sync),
 and a single ``psum`` over ICI combines the per-point
 ``(sum, sum-of-squares, count)`` triples at the end. Seeds are stratified
 per shard by folding the device index into the RNG key. Multi-host (DCN)
-works through the same mesh via ``jax.distributed`` initialization.
+runs through the same mesh: call :func:`initialize_distributed` on every
+process first (recipe in its docstring; exercised end-to-end by the
+2-process CPU mesh test in ``tests/test_multihost.py``).
 """
 
 from __future__ import annotations
@@ -24,11 +26,51 @@ from ..problems.problem import Problem
 from ..solver.state import init_state
 from ..solver.wost import RawSolveOut, SolverOptions, WoStSolver
 
-__all__ = ["ShardedWoStSolver", "make_mesh"]
+__all__ = ["ShardedWoStSolver", "make_mesh", "initialize_distributed"]
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           local_device_count: Optional[int] = None):
+    """Join a multi-host (DCN) job, then build meshes as usual.
+
+    Multi-host runs the SAME code as single-host: every process calls
+    this once before any other JAX work, then ``make_mesh()`` (which
+    sees the GLOBAL device list) and ``ShardedWoStSolver`` behave
+    exactly as on one host — walkers never communicate, so the only
+    cross-host traffic is the final ``psum`` of per-point moment
+    triples, which rides DCN fine at (n_src x n_points)-float sizes.
+
+    On TPU pods the three arguments are inferred from the environment
+    (``jax.distributed.initialize()`` with no args); pass them
+    explicitly for CPU/GPU clusters:
+
+        # host 0                          # host 1
+        initialize_distributed(           initialize_distributed(
+            "10.0.0.1:1234", 2, 0)            "10.0.0.1:1234", 2, 1)
+        solver = ShardedWoStSolver(prob, make_mesh())   # both hosts
+
+    ``local_device_count`` forces the per-process VIRTUAL CPU device
+    count (``jax_num_cpu_devices`` — must run before any backend use;
+    used by the CPU multi-process test, ``tests/test_multihost.py``,
+    which drives a REAL 2-process x 4-virtual-device mesh through this
+    exact path). Returns the global device count.
+    """
+    if local_device_count is not None:
+        jax.config.update("jax_num_cpu_devices", int(local_device_count))
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes,
+                      process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return len(jax.devices())
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "walkers") -> Mesh:
-    """1D device mesh over the walker axis."""
+    """1D device mesh over the walker axis (global devices: multi-host
+    processes each see the full list after :func:`initialize_distributed`)."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
