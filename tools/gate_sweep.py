@@ -65,6 +65,12 @@ def main():
         # a survey attribute, not a SolverOptions knob)
         survey.local_majorant = "auto"
         opts = survey_default_options(target_slots=65536)
+    elif mode == "r5":
+        # round-5 candidate: tuned + unbiased splitting with the
+        # split_reserve clone hosts (mean-stabilizing; §4f resolution)
+        survey.local_majorant = "auto"
+        opts = survey_default_options(target_slots=65536,
+                                      split_threshold=4.0)
     else:
         opts = SolverOptions(target_slots=65536,
                              common_random_numbers=True)
@@ -73,7 +79,7 @@ def main():
     signed_errs, stderrs = [], []
     for k in range(S):
         t0 = time.perf_counter()
-        res = survey.run(electrodes, n_walks=2500, max_steps=6000, eps=1.0,
+        res = survey.run(electrodes, n_walks=int(os.environ.get("NB_WALKS", "2500")), max_steps=6000, eps=1.0,
                          seed=SEED0 + k, solver=solver)
         err = np.abs(res.potentials - ref)
         dev = err / (4.0 * res.potentials_stderr + 0.75)
