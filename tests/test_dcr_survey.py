@@ -182,33 +182,39 @@ def test_notebook_survey_matches_fdm_oracle():
     ref = pins["fdm_401"]
     dv_ref = pins["dv_401"]
 
-    # Config: the measured-optimal notebook pipeline (THEORY §4d/§4e) —
-    # survey defaults (CRN + roulette + rejection_rounds=2)
-    # plus local_majorant="auto" (2x err^2*t on absolute potentials) with
-    # the Robin chord chain auto-enabled (flagship scale s=0.119 > 0.05).
-    # This is the tail-tamed config: over the calibration sweep no
-    # uncovered catastrophic seed remains (max potential excess 13.6 vs
-    # four-digit blowups in the bare pre-r3 config).
+    # Config: the measured-optimal notebook pipeline (THEORY §4d/§4e/§4f)
+    # — survey defaults (CRN + roulette + rejection_rounds=2)
+    # plus local_majorant="auto" (2x err^2*t on absolute potentials),
+    # the Robin chord chain auto-enabled (flagship scale s=0.119 > 0.05),
+    # and round-5's unbiased high-weight splitting with reserved clone
+    # hosts (split_threshold=4 + the split_reserve default): splitting
+    # stabilizes the MEAN's heavy right tail (§4f resolution — the old
+    # "chain offset" is median skew of a mean-unbiased estimator), which
+    # halved the potentials slack this gate needs (6.49 -> 3.05 measured).
     #
     # Gate bounds calibrated on a 24-seed sweep at this exact config
-    # (2026-08-18, tools/gate_sweep.py mode=tuned; pinned in THEORY.md §5):
+    # (2026-08-20, tools/gate_sweep.py mode=r5; pinned in THEORY.md §5):
     # * ALL dipole voltages — the notebook's plotted observable (cell 21)
     #   — within 4 sigma + 0.25: dV excess over pure 4 sigma was ZERO at
     #   every electrode of every seed (the CRN stderr tracks the dV error
     #   tail; the 0.25 covers the measured 401^2 oracle error: FDM-vs-FEM
     #   mutual disagreement 0.0385, Richardson grid bias <=0.2).
-    # * Potentials: >=19/21 within 4 sigma + 7.0 per seed (24-seed min
-    #   19/21, seeds 0-2 measured 20/21/20). The +7.0 covers the chain's
-    #   known small interior offset (THEORY §4f, open edge: med -10 over
-    #   the central array at 2500 walks, vs plain reflection's ~3x larger
-    #   positive bias).
+    # * Potentials: >=19/21 within 4 sigma + 3.5 per seed (24-seed worst
+    #   3rd-largest excess 3.05, max excess 10.9; seeds 0-2 measured
+    #   21/19/20 at this slack). Down from +7.0 (round 4): the slack now
+    #   covers the measured finite-n median skew, not an unexplained
+    #   bias — the mechanism is identified (§4f RESOLVED: the estimator's
+    #   EXPECTATION is unbiased — cap sweep -14.7 -> -0.2 as the cap
+    #   lifts — and the per-seed median sits low because the balancing
+    #   mass rides rare banked weights >= 1e3).
     # * Common-mode tripwire: the median signed potential error per seed
-    #   sits in (-30, +6) — 24-seed measured range [-18.4, -6.4]; a chain
-    #   regression blows past -30, a reversion to uncorrected reflection
-    #   drifts positive past +6 (off-mode cm is ~+19, §4f).
+    #   sits in (-25, +3) — 24-seed measured range [-17.3, -1.5]; a chain
+    #   regression blows past -25, a reversion to uncorrected reflection
+    #   drifts positive past +3 (off-mode's wrong-BVP bias is ~+19, §4f).
     survey.local_majorant = "auto"
     solver = survey.make_solver(
-        options=survey_default_options(target_slots=65536))
+        options=survey_default_options(target_slots=65536,
+                                       split_threshold=4.0))
     for seed in (0, 1, 2):
         result = survey.run(
             electrodes,
@@ -223,11 +229,11 @@ def test_notebook_survey_matches_fdm_oracle():
         assert result.potentials[np.abs(x - 200) <= 40].mean() < 0
 
         err = result.potentials - ref
-        dev = np.abs(err) / (4.0 * result.potentials_stderr + 7.0)
+        dev = np.abs(err) / (4.0 * result.potentials_stderr + 3.5)
         assert (dev < 1.0).sum() >= 19, (seed, result.potentials, ref, dev)
 
         cm = np.median(err)
-        assert -30.0 < cm < 6.0, (seed, cm, err)
+        assert -25.0 < cm < 3.0, (seed, cm, err)
 
         dv_dev = np.abs(result.voltages - dv_ref) / (
             4.0 * result.voltages_stderr + 0.25
