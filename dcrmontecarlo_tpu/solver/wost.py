@@ -608,7 +608,17 @@ class WoStSolver:
                 or o.roulette_threshold is not None
                 or o.max_attenuation is not None):
             return
-        if n_walks < 8:  # a tiny ensemble is trivially "dominated"
+        if n_walks < 256:
+            # Small ensembles are trivially "dominated": with the DCR
+            # family's legitimately heavy-tailed per-walk banks (rare
+            # near-source NEE hits), the top walk's share of a point's
+            # sum-of-squares is O(1) with high probability at small n
+            # regardless of whether the compounding is controlled — the
+            # bare bench warmup (64 walks/point, a sanctioned config)
+            # measured share ~1.0 (|bank| 3.83, sumsq 14.7, 2026-08-21).
+            # Domination only carries a supercritical signal once it
+            # SURVIVES a few hundred walks; the provoking test fires at
+            # n_walks=512 (tests/test_diagnostics.py).
             return
         top = float(np.max(walk_sumsq)) if np.size(walk_sumsq) else 0.0
         if (np.isfinite(max_banked) and top > 0.0

@@ -256,3 +256,13 @@ def test_supercritical_weight_warning():
         r2 = s2.solve(np.array([[0.0, 0.0]]), n_walks=32, max_steps=200,
                       eps=1e-2, seed=0)
     assert r2.max_weight <= 1.0
+    # ... and neither must a SMALL ensemble, even a supercritical one:
+    # below a few hundred walks top-share domination is the expected
+    # state of any heavy-tailed estimator (the bare bench warmup at 64
+    # walks/point measured share ~1.0 on a sanctioned config), so the
+    # guard is gated at n_walks >= 256 — the warning only means
+    # something when domination survives a real ensemble.
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        solver.solve(np.array([[0.0, 0.0]]), n_walks=128, max_steps=800,
+                     eps=0.02, seed=0)

@@ -55,7 +55,7 @@ def _time_solver(solver, pts, n_walks, max_steps, eps, reps, pipelined):
     return steps, dt
 
 
-def sustained(arm):
+def sustained(arm, roulette=None):
     from dcrmontecarlo_tpu.models import geophysical_scenario
     from dcrmontecarlo_tpu.solver import SolverOptions, WoStSolver
 
@@ -65,9 +65,15 @@ def sustained(arm):
     pts[:, 1] = -0.5
     solver = WoStSolver(problem, SolverOptions(
         target_slots=1 << 21, min_quota=32, rejection_rounds=2,
-        roulette_threshold=0.05, compaction=arm))
+        roulette_threshold=roulette, compaction=arm))
     steps, dt = _time_solver(solver, pts, 1 << 19, 500, 0.9, 3, False)
     return steps / dt, "steps/s"
+
+
+def sustained_roul(arm):
+    # does in-graph packing recover the roulette-drained blocks that cost
+    # the steps/s metric 1.875 -> 1.52 G (2026-08-21, CLAUDE.md)?
+    return sustained(arm, roulette=0.05)
 
 
 def short(arm):
@@ -113,8 +119,8 @@ def main():
     regimes = sys.argv[1:] or ["sustained", "short", "straggler"]
     table = {}
     for name in regimes:
-        fn = {"sustained": sustained, "short": short,
-              "straggler": straggler}[name]
+        fn = {"sustained": sustained, "sustained-roul": sustained_roul,
+              "short": short, "straggler": straggler}[name]
         for label, arm in ARMS:
             t0 = time.perf_counter()
             try:
