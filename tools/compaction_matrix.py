@@ -116,12 +116,16 @@ def straggler(arm):
 
 
 def main():
+    # args: regime or regime:arm1,arm2 (e.g. "sustained:pack,shrink")
     regimes = sys.argv[1:] or ["sustained", "short", "straggler"]
     table = {}
-    for name in regimes:
+    for spec in regimes:
+        name, _, armsel = spec.partition(":")
         fn = {"sustained": sustained, "sustained-roul": sustained_roul,
               "short": short, "straggler": straggler}[name]
-        for label, arm in ARMS:
+        arms = ([(a, dict(ARMS)[a]) for a in armsel.split(",")]
+                if armsel else ARMS)
+        for label, arm in arms:
             t0 = time.perf_counter()
             try:
                 val, unit = fn(arm)
