@@ -181,7 +181,21 @@ def main():
                       # weight (radial.py) — and the config is validated
                       # against the notebook FDM oracle gate (pass rate
                       # 0.952, stderr indistinguishable from uncapped).
-                      rejection_rounds=2,
+                      # rounds=1 is the round-5 stderr^2*t optimum on
+                      # this workload (tools/throughput_tradeoff.py,
+                      # TPU 2026-08-21): rounds=1 0.585 s/solve at
+                      # med(stderr^2) 5.26e-8 (fom 3.08e-8, 2.22 G)
+                      # vs rounds=2 0.680 s at 5.55e-8 (fom 3.78e-8,
+                      # 1.93 G) — the round-3 "rounds=1 pays more
+                      # weight variance than it saves" does NOT
+                      # reproduce on the post-unroll adaptive-launch
+                      # kernel; the capped lanes' importance weights
+                      # (exactly unbiased, sampling/radial.py) are
+                      # variance-neutral here. split_threshold=4 cuts
+                      # stderr^2 28% more but forces the multi-launch
+                      # path (adaptive off): 19.9 s/solve, 34x worse
+                      # fom — pinned negative.
+                      rejection_rounds=1,
                       # The throughput preset is EXEMPT from the
                       # production variance controls, deliberately
                       # (round-4 verdict weak #3 offered run-or-

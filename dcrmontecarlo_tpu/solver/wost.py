@@ -371,13 +371,20 @@ class SolverOptions:
                                        #   Walks are unchanged (stream
                                        #   ids/p0/pid ride the
                                        #   permutation); the solve stays
-                                       #   end-to-end jittable. The
-                                       #   halving condition makes it
-                                       #   ~free on saturated workloads
-                                       #   and a large win on short-walk
-                                       #   straggler tails (bench.py
-                                       #   --preset short). Sharded
-                                       #   Pallas packs every launch.
+                                       #   end-to-end jittable. NOTE:
+                                       #   setting "pack" disables the
+                                       #   (stronger) adaptive single-
+                                       #   launch mode, and the round-5
+                                       #   TPU matrix (CLAUDE.md,
+                                       #   tools/compaction_matrix.py)
+                                       #   measured pack 3x WORSE on the
+                                       #   short-walk preset (0.27 vs
+                                       #   2.36 G: the argsort/gather
+                                       #   dominates ~10-step walks) —
+                                       #   its remaining niche is
+                                       #   sharded Pallas (packs every
+                                       #   launch) where the host
+                                       #   shrink loop isn't available.
                                        # * True — legacy host-driven
                                        #   launch loop that SHRINKS the
                                        #   grid (python driver, not

@@ -27,12 +27,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ARMS = [
-    ("r2-roul", dict(rejection_rounds=2, roulette_threshold=0.05)),
-    ("r1-roul", dict(rejection_rounds=1, roulette_threshold=0.05)),
-    ("r1-roul-split4", dict(rejection_rounds=1, roulette_threshold=0.05,
-                            split_threshold=4.0)),
-    ("r2-roul-split4", dict(rejection_rounds=2, roulette_threshold=0.05,
-                            split_threshold=4.0)),
+    ("r2", dict(rejection_rounds=2)),          # headline control
+    ("r1", dict(rejection_rounds=1)),          # faster/step, weighted caps
+    ("r1-split4", dict(rejection_rounds=1, split_threshold=4.0)),
 ]
 
 
@@ -52,11 +49,18 @@ def main():
     for label, kw in ARMS:
         solver = WoStSolver(problem, SolverOptions(
             target_slots=1 << 21, min_quota=32, **kw))
+        t0 = time.perf_counter()
+        print(f"{label}: warmup compile...", flush=True)
         solver.solve(pts, n_walks=min(n_walks, 64), max_steps=max_steps,
                      eps=0.9, seed=0)
+        print(f"{label}: warmup done {time.perf_counter() - t0:.0f}s; "
+              "full compile...", flush=True)
+        t0 = time.perf_counter()
         fn = solver._build_solve_fn(len(pts), n_walks, max_steps, 0.9)
         out = fn(jax.numpy.asarray(pts), jax.random.PRNGKey(0))
         jax.block_until_ready(out)
+        print(f"{label}: full compile done {time.perf_counter() - t0:.0f}s",
+              flush=True)
         times, meds, steps = [], [], 0.0
         for rep in range(3):
             t0 = time.perf_counter()
