@@ -86,10 +86,15 @@ def test_pseudosection_matches_fdm_oracle():
     from dcrmontecarlo_tpu.validation import fdm_solve
 
     survey, electrodes = geophysical_scenario(sharpness=0.5)
+    # production pipeline options (roulette 0.05 etc): exercising the
+    # shipped config — a bare SolverOptions here is a no-knobs
+    # heavy-tail config that (correctly) trips the supercritical guard
+    from dcrmontecarlo_tpu.survey.dcr import survey_default_options
+
     ps = run_pseudosection(
         survey, electrodes, num_rx_per_src=3,
         n_walks=2500, max_steps=800, eps=0.5, seed=0,
-        options=SolverOptions(target_slots=32768),
+        options=survey_default_options(target_slots=32768),
     )
     assert ps.potentials.shape == (6, 9)
     assert (ps.pseudo_z < 0).all()

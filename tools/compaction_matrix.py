@@ -64,7 +64,7 @@ def sustained(arm, roulette=None):
     pts = np.asarray(electrodes, np.float32).copy()
     pts[:, 1] = -0.5
     solver = WoStSolver(problem, SolverOptions(
-        target_slots=1 << 21, min_quota=32, rejection_rounds=2,
+        target_slots=1 << 21, min_quota=32, rejection_rounds=1,
         roulette_threshold=roulette, compaction=arm))
     steps, dt = _time_solver(solver, pts, 1 << 19, 500, 0.9, 3, False)
     return steps / dt, "steps/s"
