@@ -41,7 +41,6 @@ Algorithm per step (reference semantics with documented fixes, SURVEY §5):
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Callable, NamedTuple
 
@@ -359,7 +358,14 @@ class SolverOptions:
                                        # 8-rep medians; 256 is 1.38)
     compaction: object = False         # walker-lane compaction on the
                                        # Pallas backend:
-                                       # * False — none (default).
+                                       # * False — none (default, and
+                                       #   the measured winner in EVERY
+                                       #   single-device regime of the
+                                       #   round-5 TPU matrix —
+                                       #   tools/compaction_matrix.py,
+                                       #   2026-08-21: the adaptive
+                                       #   single-launch mode already
+                                       #   absorbs straggler tails).
                                        # * "pack" — IN-GRAPH lane packing:
                                        #   after a launch whose active
                                        #   count halved since the last
@@ -374,24 +380,40 @@ class SolverOptions:
                                        #   end-to-end jittable. NOTE:
                                        #   setting "pack" disables the
                                        #   (stronger) adaptive single-
-                                       #   launch mode, and the round-5
-                                       #   TPU matrix (CLAUDE.md,
-                                       #   tools/compaction_matrix.py)
-                                       #   measured pack 3x WORSE on the
-                                       #   short-walk preset (0.27 vs
-                                       #   2.36 G: the argsort/gather
-                                       #   dominates ~10-step walks) —
-                                       #   its remaining niche is
-                                       #   sharded Pallas (packs every
-                                       #   launch) where the host
-                                       #   shrink loop isn't available.
-                                       # * True — legacy host-driven
-                                       #   launch loop that SHRINKS the
-                                       #   grid (python driver, not
-                                       #   jittable; measured 3x worse on
-                                       #   the saturated DCR bench, wins
-                                       #   only on straggler-bound
-                                       #   no-roulette runs).
+                                       #   launch mode; measured on
+                                       #   single-device: 0.76x
+                                       #   sustained, 0.11x short-walk,
+                                       #   ~1.0x straggler — its ONLY
+                                       #   paying niche is sharded
+                                       #   Pallas (packs every launch),
+                                       #   where adaptive mode and the
+                                       #   host loop don't exist.
+                                       # * True (the legacy host-driven
+                                       #   grid-SHRINK loop) was REMOVED
+                                       #   in round 5: the matrix
+                                       #   measured it slower everywhere
+                                       #   — 0.22x sustained, 0.05x
+                                       #   short, 2.2x worse even on the
+                                       #   straggler-bound no-roulette
+                                       #   notebook workload it
+                                       #   historically won (0.618 vs
+                                       #   0.287 s/solve) — because
+                                       #   adaptive launches now handle
+                                       #   the tail in-kernel. Passing
+                                       #   True raises.
+
+    def __post_init__(self):
+        if self.compaction is True:
+            raise ValueError(
+                "compaction=True (the host-driven grid-shrink loop) was "
+                "removed in round 5: the TPU compaction matrix "
+                "(tools/compaction_matrix.py, 2026-08-21) measured it "
+                "slower in every regime — 0.22x sustained, 0.05x "
+                "short-walk, 2.2x worse on the straggler-bound "
+                "no-roulette workload it once won — because adaptive "
+                "single-launch mode now absorbs straggler tails "
+                "in-kernel. Use the default compaction=False, or "
+                "'pack' on sharded Pallas.")
 
 
 class RawSolveOut(NamedTuple):
@@ -1729,12 +1751,15 @@ class WoStSolver:
         Pallas kernel (``ops/pallas_walk.py``), which advances every walker
         ``pallas_inner_steps`` per launch with state resident in VMEM.
 
-        With ``SolverOptions.compaction`` the launch loop runs on the host
-        and periodically PERMUTES still-active walker lanes into a smaller
-        grid (stream ids ride in the state, so a lane's walk is unchanged
-        by where it lives): straggler-tail phases that would otherwise run
-        the full grid at a few percent occupancy shrink with the active
-        population. Off, the whole loop is one jitted ``lax.while_loop``.
+        With ``SolverOptions.compaction="pack"`` (or splitting/progress)
+        the launch loop runs on the host; packing periodically PERMUTES
+        still-active walker lanes into the leading kernel blocks (stream
+        ids ride in the state, so a lane's walk is unchanged by where it
+        lives) and drained trailing blocks take the kernel's per-block
+        early exit. Off — the default, and the measured winner in every
+        single-device regime (tools/compaction_matrix.py) — the whole
+        loop is one jitted ``lax.while_loop`` or, when nothing needs
+        launch boundaries, the adaptive single-launch kernel.
         """
         from ..ops.pallas_walk import make_pallas_walk, stream_ids
 
@@ -1973,51 +1998,11 @@ class WoStSolver:
                       for k, v in st.items()}
                 return ns, pid[perm]
 
-        @functools.lru_cache(maxsize=None)
-        def compact_j(rows_out: int):
-            def compact(state, pid):
-                flat = {k: v.reshape(-1) for k, v in state.items()}
-                inactive = (flat["quota"] <= 0).astype(jnp.int32)
-                perm = jnp.argsort(inactive, stable=True)  # active first
-                keep = perm[: rows_out * 128]
-                drop = perm[rows_out * 128:]
-                kept = {k: v[keep].reshape(rows_out, 128)
-                        for k, v in flat.items()}
-                pid_kept = pid[keep]
-                # dropped lanes are all inactive, but their accumulators
-                # hold finished-walk statistics — bank them
-                drop_pid = pid[drop]
-                dsum = jnp.stack([
-                    jax.ops.segment_sum(flat[f"asum{i}"][drop], drop_pid,
-                                        num_segments=n_points)
-                    for i in range(n_src)
-                ])
-                dsq = jnp.stack([
-                    jax.ops.segment_sum(flat[f"asq{i}"][drop], drop_pid,
-                                        num_segments=n_points)
-                    for i in range(n_src)
-                ])
-                dlife = jnp.sum(flat["life"][drop].astype(jnp.float32))
-                # the diagnostic accumulators ride per-lane too
-                ddiag = (jnp.sum(flat["tn"][drop]),
-                         jnp.sum(flat["tw"][drop]),
-                         jnp.max(flat["wmax"][drop]),
-                         jnp.max(flat["bmax"][drop]))
-                return kept, pid_kept, dsum, dsq, dlife, ddiag
-
-            return jax.jit(compact)
-
         def run(points, key):
             state, seed_i = init_j(points, key)
             pid = point_id_j
             carry_sum = jnp.zeros((n_src, n_points), jnp.float32)
             carry_sq = jnp.zeros((n_src, n_points), jnp.float32)
-            carry_life = 0.0
-            carry_maxlife = 0  # compaction drops drained lanes: fold
-            # their executed-step max before each shrink so `iterations`
-            # (critical-path live steps) survives the row drops
-            carry_tn = carry_tw = carry_wmax = carry_bmax = 0.0
-            cur_rows = rows
             launches = 0
             sid_base = 1 << 30  # clone stream ids live above all lane ids
             # splits stop at launch_cap; the loop then runs long enough
@@ -2068,42 +2053,20 @@ class WoStSolver:
                     if 2 * active < last_pack:
                         state, pid = pack_host(state, pid)
                         last_pack = active
-                    continue
-                if opts.compaction is not True:
-                    continue
-                target = max(
-                    block_rows,
-                    -(-active // lane_block) * block_rows,  # ceil division
-                )
-                if target <= cur_rows // 2:
-                    carry_maxlife = max(carry_maxlife,
-                                        int(maxlife_j(state)))
-                    state, pid, dsum, dsq, dlife, ddiag = compact_j(target)(
-                        state, pid
-                    )
-                    carry_sum = carry_sum + dsum
-                    carry_sq = carry_sq + dsq
-                    carry_life = carry_life + float(dlife)
-                    carry_tn = carry_tn + float(ddiag[0])
-                    carry_tw = carry_tw + float(ddiag[1])
-                    carry_wmax = max(carry_wmax, float(ddiag[2]))
-                    carry_bmax = max(carry_bmax, float(ddiag[3]))
-                    cur_rows = target
             sums, sumsq, life, tn, tw, wmax, bmax = moments_j(state, pid)
             sums = np.asarray(sums) + np.asarray(carry_sum)
             sumsq = np.asarray(sumsq) + np.asarray(carry_sq)
-            total_steps = float(life) + carry_life
             mean = sums / n_walks
             var = np.maximum(sumsq / n_walks - mean * mean, 0.0)
             stderr = np.sqrt(var / n_walks)
             return RawSolveOut(
                 mean=mean, stderr=stderr, walk_sum=sums, walk_sumsq=sumsq,
-                total_steps=total_steps,
-                iterations=max(carry_maxlife, int(maxlife_j(state))),
-                truncated_walks=float(tn) + carry_tn,
-                truncated_weight=float(tw) + carry_tw,
-                max_weight=max(float(wmax), carry_wmax),
-                max_banked=max(float(bmax), carry_bmax),
+                total_steps=float(life),
+                iterations=int(maxlife_j(state)),
+                truncated_walks=float(tn),
+                truncated_weight=float(tw),
+                max_weight=float(wmax),
+                max_banked=float(bmax),
             )
 
         return run

@@ -61,18 +61,22 @@ def survey_default_options(**overrides) -> SolverOptions:
       lever in the pinned table: CRN off costs 1.9x in med²·t
       (42.4 vs 21.9). Also tightly correlates CLOSE receivers (verified
       bit-identical at zero spacing).
-    * ``compaction=False`` — re-measured 2026-08-18 (tools/
-      pack_vs_shrink.py, TPU, notebook survey at 2500 and 10000 walks):
-      with the roulette default killing the low-weight straggler tail,
-      host-loop shrink compaction costs 1.6x wall-clock for bit-identical
-      results. Compaction still pays on straggler-bound runs WITHOUT
-      roulette (the original ~2.4x measurement) — opt in for those.
+    * ``compaction=False`` — the round-5 TPU matrix
+      (tools/compaction_matrix.py, 2026-08-21) measured compaction
+      losing in EVERY single-device regime, including the
+      straggler-bound no-roulette notebook workload it historically won
+      (shrink 0.618 vs off 0.287 s/solve; "pack" ~neutral at 0.293):
+      adaptive single-launch mode absorbs the straggler tail in-kernel.
+      The shrink mode was removed; "pack" remains for sharded Pallas.
     * ``roulette_threshold=0.05`` — unbiased low-weight kill; the pinned
       table measures 1.2x med²·t off→on (26.6 vs 21.9) on top of the
       wall-clock it saves elsewhere (1.75x on the no-majorant survey).
-    * ``rejection_rounds=2`` — the measured stderr^2*time optimum of the
-      screened-radius rejection cap on TPU (1 is ~18% faster per step but
-      pays more weight variance than it saves; 64 wastes rounds).
+    * ``rejection_rounds=2`` — the notebook-survey default. (The
+      round-5 bench sweep, tools/throughput_tradeoff.py 2026-08-21,
+      found rounds=1 wins stderr^2*t on the SUSTAINED bench workload —
+      the headline preset flipped — but the survey defaults are
+      governed by the pinned notebook accuracy table, measured at
+      rounds=2; 64 wastes rounds.)
 
     Any keyword overrides the tuned value (e.g.
     ``survey_default_options(compaction=False)`` for end-to-end jittable

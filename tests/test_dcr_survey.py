@@ -52,7 +52,7 @@ def test_survey_default_options_are_measured_optima():
     assert o.rejection_rounds == 2
     assert o.common_random_numbers and not o.compaction
     assert o.roulette_threshold == 0.05
-    o2 = survey_default_options(compaction=True, rejection_rounds=8)
+    o2 = survey_default_options(compaction="pack", rejection_rounds=8)
     assert o2.compaction and o2.rejection_rounds == 8
 
 

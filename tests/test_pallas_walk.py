@@ -311,14 +311,14 @@ def test_pallas_sharded_compaction_packs_lanes():
                    bc_dirichlet=lambda x, y: x + 2.0 * y)
     pts = np.array([[0.0, 0.0], [0.5, 0.3]])
     res = {}
-    for comp in (False, True):
+    for comp in (False, "pack"):
         s = ShardedWoStSolver(prob, make_mesh(2), SolverOptions(
             backend="pallas", target_slots=256,
             pallas_inner_steps=8, pallas_block_rows=8, compaction=comp))
         with pltpu.force_tpu_interpret_mode():
             res[comp] = s.solve(pts, n_walks=256, max_steps=60, eps=1e-3,
                                 seed=0)
-    a, b = res[False], res[True]
+    a, b = res[False], res["pack"]
     assert a.total_steps == b.total_steps  # identical walks, re-ordered
     np.testing.assert_allclose(a.walk_sum, b.walk_sum, rtol=1e-5)
     np.testing.assert_allclose(a.walk_sumsq, b.walk_sumsq, rtol=1e-5)
@@ -491,27 +491,19 @@ def test_pallas_matches_xla_robin_reflectance():
     assert rp.total_steps == rx.total_steps
 
 
-def test_compaction_matches_uncompacted():
-    # Walker compaction permutes active lanes into smaller grids between
-    # launches; stream ids ride in the state, so each walk is identical —
-    # results match the jitted while-loop path up to summation order.
-    from jax.experimental.pallas import tpu as pltpu
+def test_shrink_compaction_removed():
+    # compaction=True (the host-driven grid-SHRINK loop) was REMOVED in
+    # round 5: the TPU compaction matrix (tools/compaction_matrix.py,
+    # 2026-08-21) measured it slower in every regime — 0.22x sustained,
+    # 0.05x short-walk, and 2.2x worse even on the straggler-bound
+    # no-roulette notebook workload it historically won (0.618 vs
+    # 0.287 s/solve) — because adaptive single-launch mode absorbs
+    # straggler tails in-kernel. The option must fail loudly, not
+    # silently fall back.
+    import pytest
 
-    prob = Problem(dirichlet=square_loop(1.0),
-                   bc_dirichlet=lambda x, y: x + 2 * y)
-    pts = np.array([[0.0, 0.0], [0.5, 0.3]], np.float32)
-    res = {}
-    for comp in (False, True):
-        s = WoStSolver(prob, SolverOptions(
-            target_slots=2048, backend="pallas", pallas_inner_steps=8,
-            pallas_block_rows=8, compaction=comp))
-        with pltpu.force_tpu_interpret_mode():
-            res[comp] = s.solve(pts, n_walks=512, max_steps=100, eps=1e-3,
-                                seed=3)
-    a, b = res[False], res[True]
-    assert a.total_steps == b.total_steps
-    np.testing.assert_allclose(a.walk_sum, b.walk_sum, rtol=1e-5)
-    np.testing.assert_allclose(a.walk_sumsq, b.walk_sumsq, rtol=1e-5)
+    with pytest.raises(ValueError, match="removed in round 5"):
+        SolverOptions(backend="pallas", compaction=True)
 
 
 def test_pallas_matches_xla_roulette():
