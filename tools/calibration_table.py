@@ -62,6 +62,15 @@ def main():
 
     print(f"seeds={S} walks={W} oracle=pinned richardson(401,801) "
           f"base=flagship gate config", flush=True)
+    if "r5arms" in sys.argv:
+        # round-5 add-on arms: does the bench sweep's rounds=1 win
+        # (tools/throughput_tradeoff.py) carry over to the notebook
+        # accuracy workload, and what does the gate's split=4 config
+        # cost/buy on the dV observable?
+        measure("base")
+        measure("+rounds1", rejection_rounds=1)
+        measure("+split4", split_threshold=4.0)
+        return
     measure("base")
     measure("-CRN", common_random_numbers=False)
     measure("-roulette", roulette_threshold=None)
